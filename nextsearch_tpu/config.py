@@ -1,0 +1,92 @@
+"""Typed configuration for the whole framework.
+
+Every tunable that matters for parity with the reference is carried here with
+the reference's hard-coded default (citations per field). On top of those we
+add the TPU-framework knobs: mesh axes, query batching, posting block size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    # src/api_engine.cpp:375-376
+    k1: float = 1.2
+    b: float = 0.75
+    # k clamp 1..100: src/api_engine.cpp:377
+    k_min: int = 1
+    k_max: int = 100
+
+
+@dataclass(frozen=True)
+class ExpansionConfig:
+    # src/api_engine.cpp:411-417
+    per_term: int = 3
+    global_topk: int = 5
+    min_sim: float = 0.55
+    alpha: float = 0.6
+    max_total_terms: int = 40
+
+
+@dataclass(frozen=True)
+class AutocompleteConfig:
+    # suggest limit clamp 1..10: src/api_engine.cpp:171
+    limit_min: int = 1
+    limit_max: int = 10
+    # top candidates per prefix: src/api_engine.cpp:108
+    max_candidates: int = 10
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    # include/api_engine.hpp:42-60
+    search_capacity: int = 2600
+    ai_overview_capacity: int = 500
+    ai_summary_capacity: int = 1000
+    save_interval: int = 1
+
+
+@dataclass(frozen=True)
+class DeviceConfig:
+    """TPU execution knobs (no reference counterpart — ours)."""
+
+    # Queries scored per kernel launch; concurrent API requests are batched
+    # up to this size (replaces the reference's engine-wide mutex).
+    max_query_batch: int = 64
+    # Max weighted terms per query after expansion (ExpansionConfig caps at 40).
+    max_terms: int = 40
+    # Posting gather tile; per-term postings are processed in L-sized windows.
+    posting_block: int = 2048
+    # Pad doc axis of per-segment score vectors to a multiple of this.
+    doc_pad: int = 128
+    # Accumulate per-term contributions sequentially (bit-exact vs the C++
+    # engine's term-order f32 accumulation) or in one fused scatter (faster,
+    # identical top-k sets in practice, ULP-level score differences possible).
+    exact_accumulation: bool = True
+    # Mesh axis names: dp shards the query batch, seg shards index segments.
+    mesh_axes: Tuple[str, str] = ("dp", "seg")
+
+
+@dataclass(frozen=True)
+class BatchingConfig:
+    """Request-batching queue for the API front (replaces the global mutex)."""
+
+    max_batch: int = 64
+    # How long the dispatcher waits to coalesce concurrent requests.
+    window_ms: float = 1.0
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    bm25: BM25Config = field(default_factory=BM25Config)
+    expansion: ExpansionConfig = field(default_factory=ExpansionConfig)
+    autocomplete: AutocompleteConfig = field(default_factory=AutocompleteConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    device: DeviceConfig = field(default_factory=DeviceConfig)
+    batching: BatchingConfig = field(default_factory=BatchingConfig)
+
+
+DEFAULT_CONFIG = EngineConfig()
