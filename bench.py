@@ -1,0 +1,166 @@
+"""Benchmark: batched BM25 top-10 QPS on one chip.
+
+North star (BASELINE.json): >=10k batched BM25 top-10 queries/sec on one TPU
+v5e chip with exact score parity vs the C++ reference engine. This harness
+builds a synthetic CORD-scale corpus (Zipf term distribution), runs the
+end-to-end batched query path (host planning + device kernel + result
+extraction) in exact-accumulation mode, and prints one JSON line:
+
+    {"metric": "bm25_top10_qps", "value": N, "unit": "queries/sec",
+     "vs_baseline": N / 10000}
+
+Env knobs: NEXTSEARCH_BENCH_DOCS (default 100000), NEXTSEARCH_BENCH_VOCAB
+(default 50000), NEXTSEARCH_BENCH_BATCH (default 64), NEXTSEARCH_BENCH_SECS
+(default 10), NEXTSEARCH_BENCH_MODE (exact|fast, default exact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_corpus(n_docs: int, vocab: int, seed: int = 0):
+    """Zipf-distributed synthetic corpus built directly as segment arrays.
+
+    Bypasses per-doc Python tokenization (that path is exercised by the tools
+    and tests); what we benchmark here is the query engine, so the corpus is
+    synthesized straight into posting arrays with realistic df skew.
+    """
+    from nextsearch_tpu.index.builder import SegmentArrays, eager_scores
+
+    r = np.random.default_rng(seed)
+    avg_len = 120
+    doc_len = np.maximum(1, r.poisson(avg_len, n_docs)).astype(np.int64)
+
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.07
+    probs /= probs.sum()
+
+    # Sample unique-terms-per-doc and tf multiplicities without materializing
+    # token streams: draw ~doc_len/2 unique terms per doc.
+    uniq = np.maximum(1, doc_len // 2)
+    total = int(uniq.sum())
+    terms_flat = r.choice(vocab, size=total, p=probs).astype(np.int64)
+    docs_flat = np.repeat(np.arange(n_docs, dtype=np.int64), uniq)
+
+    # Dedup (doc, term) pairs, summing as tf=2 for duplicates' remainder.
+    key = docs_flat * vocab + terms_flat
+    key_sorted = np.sort(key)
+    uniq_key, counts = np.unique(key_sorted, return_counts=True)
+    post_doc = (uniq_key // vocab).astype(np.int32)
+    post_term = (uniq_key % vocab).astype(np.int32)
+    post_tf = counts.astype(np.int32)
+
+    # Reorder to CSR by term (stable keeps doc ascending within term).
+    order = np.argsort(post_term, kind="stable")
+    post_term = post_term[order]
+    post_doc = post_doc[order]
+    post_tf = post_tf[order]
+
+    term_df = np.bincount(post_term, minlength=vocab).astype(np.int32)
+    term_offsets = np.zeros(vocab + 1, np.int64)
+    np.cumsum(term_df, out=term_offsets[1:])
+
+    # Actual doc lengths = sum of tf per doc.
+    real_len = np.bincount(post_doc, weights=post_tf, minlength=n_docs).astype(np.int64)
+    avgdl = float(np.float32(real_len.sum()) / np.float32(n_docs))
+
+    terms = [f"t{i:06d}" for i in range(vocab)]
+    seg = SegmentArrays(
+        terms=terms,
+        term_df=term_df,
+        term_offsets=term_offsets,
+        post_doc=post_doc,
+        post_tf=post_tf,
+        doc_len=real_len.astype(np.int32),
+        N=n_docs,
+        avgdl=avgdl,
+        cord_uids=[f"uid{i}" for i in range(n_docs)],
+    )
+    seg.post_score = eager_scores(seg)
+    return seg, probs
+
+
+def sample_queries(probs, n_queries: int, batch: int, seed: int = 1):
+    """Realistic query stream: 1-4 Zipf-sampled terms, distinct queries."""
+    r = np.random.default_rng(seed)
+    vocab = probs.shape[0]
+    batches = []
+    for _ in range(n_queries // batch):
+        qb = []
+        n_terms = r.integers(1, 5, size=batch)
+        for nt in n_terms:
+            tids = r.choice(vocab, size=int(nt), p=probs, replace=False)
+            qb.append([(f"t{t:06d}", 1.0) for t in tids])
+        batches.append(qb)
+    return batches
+
+
+def main():
+    n_docs = int(os.environ.get("NEXTSEARCH_BENCH_DOCS", 100_000))
+    vocab = int(os.environ.get("NEXTSEARCH_BENCH_VOCAB", 50_000))
+    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 64))
+    secs = float(os.environ.get("NEXTSEARCH_BENCH_SECS", 10))
+    mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "exact")
+
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+    from nextsearch_tpu.index.segment import DeviceIndex
+
+    t0 = time.time()
+    seg, probs = build_corpus(n_docs, vocab)
+    print(
+        f"[bench] corpus: {n_docs} docs, {vocab} terms, "
+        f"{seg.num_postings} postings ({time.time() - t0:.1f}s)",
+        file=sys.stderr,
+    )
+
+    cfg = EngineConfig(
+        device=DeviceConfig(exact_accumulation=(mode == "exact"))
+    )
+    di = DeviceIndex([seg], config=cfg)
+
+    batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
+
+    # Warmup / compile.
+    t0 = time.time()
+    di.search_batch(batches[0], k=10)
+    print(f"[bench] warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_done = 0
+    i = 1
+    t0 = time.time()
+    lat = []
+    while True:
+        b0 = time.time()
+        di.search_batch(batches[i % len(batches)], k=10)
+        lat.append(time.time() - b0)
+        n_done += batch
+        i += 1
+        elapsed = time.time() - t0
+        if elapsed >= secs and i >= 5:
+            break
+    qps = n_done / elapsed
+    p50 = float(np.median(lat)) * 1000
+    print(
+        f"[bench] mode={mode} batch={batch} iters={i - 1} "
+        f"qps={qps:.0f} p50_batch_ms={p50:.2f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_top10_qps",
+                "value": round(qps, 1),
+                "unit": "queries/sec",
+                "vs_baseline": round(qps / 10000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""DeviceIndex: HBM-resident multi-segment BM25 index + batched query planner.
+
+The reference's Segment keeps the lexicon in RAM and postings behind open file
+handles (src/api_segment.cpp:70-102); a DeviceIndex instead concatenates every
+segment's postings into flat device arrays with *global* doc slots:
+
+    post_doc   int32 [P]  global doc slot (= segment doc base + local docId)
+    post_score f32  [P]   eager BM25 contribution (index/builder.py)
+
+Per-segment lexicons stay host-side as dicts term -> (global posting start,
+df). A query is planned host-side into fixed-shape (starts, dfs, weights)
+term-slot arrays — slots are ordered term-major with segments ascending, so
+per-document f32 accumulation order equals the C++ engine's segment-outer/
+term-inner loop (each doc only ever receives contributions from its own
+segment) — then executed by ops/bm25.py in one batched kernel launch.
+
+Shape bucketing keeps jit recompiles bounded: the query batch, term-slot, and
+k axes are padded to a small set of static sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .builder import SegmentArrays, eager_scores
+
+WeightedTerm = Tuple[str, float]
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1] if n <= buckets[-1] else n
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class QueryResult:
+    """One query's hits as global doc slots (segment/docId via locate())."""
+
+    scores: np.ndarray  # f32 [<=k]
+    doc_slots: np.ndarray  # int32 [<=k]
+    found: int
+
+
+class DeviceIndex:
+    """Immutable multi-segment index resident in device memory."""
+
+    T_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
+    Q_BUCKETS = (1, 8, 16, 32, 64, 128)
+    K_BUCKETS = (10, 32, 100)
+
+    def __init__(
+        self,
+        segments: Sequence[SegmentArrays],
+        seg_names: Optional[Sequence[str]] = None,
+        config: EngineConfig = DEFAULT_CONFIG,
+        device=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.config = config
+        self.segments = list(segments)
+        self.seg_names = list(seg_names) if seg_names else [
+            f"seg_{i + 1:06d}" for i in range(len(self.segments))
+        ]
+        assert len(self.seg_names) == len(self.segments)
+
+        # Global doc slot layout: segments concatenated in order.
+        self.doc_bases: List[int] = []
+        base = 0
+        for seg in self.segments:
+            self.doc_bases.append(base)
+            base += seg.N
+        self.n_docs = base
+        self.n_slots = max(_round_up(base, config.device.doc_pad), config.device.doc_pad)
+
+        # Host lexicons: term -> (global posting start, df) per segment.
+        self.lex: List[Dict[str, Tuple[int, int]]] = []
+        post_doc_parts: List[np.ndarray] = []
+        post_score_parts: List[np.ndarray] = []
+        pbase = 0
+        for seg, dbase in zip(self.segments, self.doc_bases):
+            lex: Dict[str, Tuple[int, int]] = {}
+            offs = seg.term_offsets
+            for i, t in enumerate(seg.terms):
+                lex[t] = (pbase + int(offs[i]), int(seg.term_df[i]))
+            self.lex.append(lex)
+            post_doc_parts.append(seg.post_doc.astype(np.int64) + dbase)
+            score = seg.post_score
+            if score is None:
+                score = eager_scores(seg, k1=config.bm25.k1, b=config.bm25.b)
+            post_score_parts.append(score)
+            pbase += seg.num_postings
+        self.n_postings = pbase
+
+        post_doc = (
+            np.concatenate(post_doc_parts).astype(np.int32)
+            if post_doc_parts
+            else np.zeros(1, np.int32)
+        )
+        post_score = (
+            np.concatenate(post_score_parts).astype(np.float32)
+            if post_score_parts
+            else np.zeros(1, np.float32)
+        )
+        if post_doc.size == 0:
+            post_doc = np.zeros(1, np.int32)
+            post_score = np.zeros(1, np.float32)
+
+        self._device = device
+        put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+        self.post_doc = put(post_doc)
+        self.post_score = put(post_score)
+
+    # ---------------- query planning ----------------
+
+    def plan(
+        self, queries: Sequence[Sequence[WeightedTerm]]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pack weighted term lists into padded (starts, dfs, weights).
+
+        Slot order is term-major, segment ascending; inactive slots carry
+        df=0/weight=0 and are no-ops in the kernel.
+        """
+        rows: List[List[Tuple[int, int, float]]] = []
+        for terms in queries:
+            slots: List[Tuple[int, int, float]] = []
+            for term, w in terms:
+                for lex in self.lex:
+                    hit = lex.get(term)
+                    if hit is not None and hit[1] > 0:
+                        slots.append((hit[0], hit[1], float(w)))
+            rows.append(slots)
+
+        t_max = max((len(r) for r in rows), default=0)
+        T = _bucket(max(t_max, 1), self.T_BUCKETS)
+        Qb = _bucket(len(rows), self.Q_BUCKETS)
+
+        starts = np.zeros((Qb, T), np.int32)
+        dfs = np.zeros((Qb, T), np.int32)
+        weights = np.zeros((Qb, T), np.float32)
+        for qi, slots in enumerate(rows):
+            for ti, (s, df, w) in enumerate(slots[:T]):
+                starts[qi, ti] = s
+                dfs[qi, ti] = df
+                weights[qi, ti] = w
+        return starts, dfs, weights
+
+    # ---------------- execution ----------------
+
+    def search_batch(
+        self, queries: Sequence[Sequence[WeightedTerm]], k: int
+    ) -> List[QueryResult]:
+        """Run one batched BM25 top-k kernel for all queries."""
+        from ..ops.bm25 import bm25_topk_exact, bm25_topk_fast
+
+        nq = len(queries)
+        if nq == 0 or self.n_docs == 0:
+            return [QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)] * nq
+
+        K = _bucket(max(k, 1), self.K_BUCKETS)
+        K = min(K, self.n_slots)
+        starts, dfs, weights = self.plan(queries)
+        block = self.config.device.posting_block
+
+        if self.config.device.exact_accumulation:
+            vals, idx, found = bm25_topk_exact(
+                self.post_doc, self.post_score, starts, dfs, weights,
+                n_slots=self.n_slots, K=K, block=block,
+            )
+        else:
+            chunk_start, chunk_len, chunk_q, chunk_w = self._chunk_plan(
+                starts, dfs, weights, block
+            )
+            vals, idx, found = bm25_topk_fast(
+                self.post_doc, self.post_score,
+                chunk_start, chunk_len, chunk_q, chunk_w,
+                n_slots=self.n_slots, K=K, Q=starts.shape[0], block=block,
+            )
+
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        found = np.asarray(found)
+        out: List[QueryResult] = []
+        for qi in range(nq):
+            keep = vals[qi] > 0.0
+            keep[min(k, K):] = False
+            out.append(
+                QueryResult(
+                    scores=vals[qi][keep][:k],
+                    doc_slots=idx[qi][keep][:k],
+                    found=int(found[qi]),
+                )
+            )
+        return out
+
+    def _chunk_plan(self, starts, dfs, weights, block):
+        """Flatten (query, slot) pairs into fixed-size posting chunks."""
+        Qb, T = starts.shape
+        cs: List[int] = []
+        cl: List[int] = []
+        cq: List[int] = []
+        cw: List[float] = []
+        for qi in range(Qb):
+            for ti in range(T):
+                df = int(dfs[qi, ti])
+                if df == 0:
+                    continue
+                s = int(starts[qi, ti])
+                w = float(weights[qi, ti])
+                for off in range(0, df, block):
+                    cs.append(s + off)
+                    cl.append(min(block, df - off))
+                    cq.append(qi)
+                    cw.append(w)
+        C = _round_up(max(len(cs), 1), 16)
+        chunk_start = np.zeros(C, np.int32)
+        chunk_len = np.zeros(C, np.int32)
+        chunk_q = np.full(C, Qb, np.int32)  # out-of-range row -> dropped
+        chunk_w = np.zeros(C, np.float32)
+        n = len(cs)
+        chunk_start[:n] = cs
+        chunk_len[:n] = cl
+        chunk_q[:n] = cq
+        chunk_w[:n] = cw
+        return chunk_start, chunk_len, chunk_q, chunk_w
+
+    # ---------------- result mapping ----------------
+
+    def locate(self, doc_slot: int) -> Tuple[int, int]:
+        """Global doc slot -> (segment index, local docId)."""
+        seg_idx = int(np.searchsorted(np.asarray(self.doc_bases), doc_slot, "right") - 1)
+        return seg_idx, int(doc_slot - self.doc_bases[seg_idx])
+
+    def doc_info(self, doc_slot: int) -> Tuple[str, str, int]:
+        """Global doc slot -> (segment name, cord_uid, local docId)."""
+        seg_idx, doc_id = self.locate(doc_slot)
+        return self.seg_names[seg_idx], self.segments[seg_idx].cord_uids[doc_id], doc_id

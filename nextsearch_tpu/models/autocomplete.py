@@ -1,0 +1,142 @@
+"""Autocomplete over a device-side sorted term table.
+
+Behavioral parity with the reference trie (src/api_autocomplete.cpp):
+  - candidate terms are the normalized lexicon terms with len >= 2; score is
+    the document frequency summed across segments (src/api_engine.cpp:92-108)
+  - ranking is (score desc, term asc) (src/api_autocomplete.cpp:48-51)
+  - only the last alphanumeric run of the user input is completed; everything
+    before it ("base") is preserved verbatim (src/api_autocomplete.cpp:154-190)
+  - at most 10 candidates per prefix (build) and limit clamps to 1..10
+
+TPU-native mechanism: terms sorted lexicographically; a prefix is a
+contiguous [lo, hi) range found by host binary search; the device ranks the
+range with a masked top-k over the score vector (ops/prefix.py). Lookups are
+batchable across concurrent API requests.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.textutil import normalize_token
+
+
+def _is_ascii_alnum(ch: str) -> bool:
+    return ch.isascii() and ch.isalnum()
+
+
+def split_last_token(user_input: str) -> tuple[str, str]:
+    """(base, last_token): last ASCII-alnum run + the preserved prefix.
+
+    Trailing non-alnum characters are dropped (reference :161-169).
+    """
+    n = len(user_input)
+    end = n
+    while end > 0 and not _is_ascii_alnum(user_input[end - 1]):
+        end -= 1
+    start = end
+    while start > 0 and _is_ascii_alnum(user_input[start - 1]):
+        start -= 1
+    return user_input[:start], user_input[start:end]
+
+
+class AutocompleteIndex:
+    """Sorted term table + device score vector, built from term->score."""
+
+    def __init__(self):
+        self.terms: List[str] = []
+        self._scores_dev = None
+        self._pad = 0
+
+    def build(
+        self,
+        term_to_score: Dict[str, int],
+        max_candidates_per_prefix: int = 10,
+    ) -> None:
+        import jax.numpy as jnp
+
+        self.max_top = max(1, int(max_candidates_per_prefix))
+        items: Dict[str, int] = {}
+        for raw, score in term_to_score.items():
+            t = normalize_token(raw)
+            if len(t) < 2:
+                continue
+            # normalized collisions keep the max score (reference update_top
+            # dedup keeps the higher score, :33-47)
+            prev = items.get(t)
+            if prev is None or score > prev:
+                items[t] = int(score)
+        self.terms = sorted(items)
+        scores = np.fromiter(
+            (items[t] for t in self.terms), np.int32, count=len(self.terms)
+        )
+        # pad to a lane multiple with -1 (never ranks above real scores >= 1)
+        T = max(128, ((len(scores) + 127) // 128) * 128)
+        padded = np.full(T, -1, np.int32)
+        padded[: len(scores)] = scores
+        self._scores_dev = jnp.asarray(padded)
+        self._pad = T
+
+    def empty(self) -> bool:
+        return not self.terms
+
+    # ---------------- lookup ----------------
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self.terms, prefix)
+        hi = bisect.bisect_left(self.terms, prefix + "\U0010ffff")
+        return lo, hi
+
+    def suggest_batch(
+        self, inputs: Sequence[str], limit: int
+    ) -> List[List[str]]:
+        """Batched suggestions for concurrent requests (one device launch)."""
+        from ..ops.prefix import prefix_range_topk
+
+        L = max(1, min(int(limit), self.max_top if self.terms else 10))
+        out: List[Optional[List[str]]] = [None] * len(inputs)
+        bases: List[str] = []
+        los: List[int] = []
+        his: List[int] = []
+        rows: List[int] = []
+        for i, user_input in enumerate(inputs):
+            if self.empty():
+                out[i] = []
+                continue
+            base, last = split_last_token(user_input)
+            prefix = normalize_token(last)
+            if not prefix:
+                out[i] = []
+                continue
+            lo, hi = self.prefix_range(prefix)
+            if lo >= hi:
+                out[i] = []
+                continue
+            bases.append(base)
+            los.append(lo)
+            his.append(hi)
+            rows.append(i)
+
+        if rows:
+            vals, idx = prefix_range_topk(
+                self._scores_dev,
+                np.asarray(los, np.int32),
+                np.asarray(his, np.int32),
+                L=L,
+            )
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+            for j, i in enumerate(rows):
+                sugg = []
+                for l in range(L):
+                    if vals[j, l] < 0:
+                        break
+                    sugg.append(bases[j] + self.terms[int(idx[j, l])])
+                out[i] = sugg
+        return [x if x is not None else [] for x in out]
+
+    def suggest_query(self, user_input: str, limit: int) -> List[str]:
+        return self.suggest_batch([user_input], limit)[0]

@@ -1,0 +1,135 @@
+"""Batched BM25 scoring + fused top-k on device.
+
+This replaces the reference's per-posting ifstream hot loop
+(src/api_engine.cpp:441-496) with array programs over HBM-resident posting
+arrays. BM25 per-posting contributions are precomputed at build time ("eager"
+scoring, see index/builder.py), so query-time work is:
+
+    gather posting windows -> weighted accumulate into per-doc scores -> top-k
+
+Two execution modes:
+
+  bm25_topk_exact   Term slots are accumulated sequentially (lax.fori over the
+                    slot axis); within a slot each doc appears at most once, so
+                    the f32 accumulation order equals the C++ engine's
+                    term-at-a-time order — bit-exact score parity.
+
+  bm25_topk_fast    All (slot, window) chunks are flattened into one scatter.
+                    XLA is free to reorder the adds, so scores can differ from
+                    the reference in the last ULP when several query terms hit
+                    the same document; top-k sets are identical except on exact
+                    float ties. Higher throughput: no sequential slot chain.
+
+Both return (vals [Q,K] f32, idx [Q,K] int32 global doc slots, found [Q] int32)
+where `found` counts matched docs (score>0), mirroring the reference's
+total_found (src/api_engine.cpp:495). Padded/absent slots must be passed with
+df=0 / weight=0. Ties break by lowest doc slot, the framework's canonical
+(segment asc, docId asc) order (see index/oracle.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "K", "block"))
+def bm25_topk_exact(
+    post_doc: jax.Array,  # int32 [P] global doc slot per posting
+    post_score: jax.Array,  # f32 [P] eager BM25 contribution per posting
+    starts: jax.Array,  # int32 [Q, T] posting offset per (query, term slot)
+    dfs: jax.Array,  # int32 [Q, T] posting count per slot (0 = inactive)
+    weights: jax.Array,  # f32 [Q, T] query weight per slot
+    *,
+    n_slots: int,
+    K: int,
+    block: int = 4096,
+):
+    Q, T = starts.shape
+    P = post_doc.shape[0]
+    offs = lax.broadcasted_iota(jnp.int32, (1, block), 1)  # [1, B]
+    q_rows = lax.broadcasted_iota(jnp.int32, (Q, block), 0)  # [Q, B]
+
+    def stage(t, scores):
+        start = lax.dynamic_index_in_dim(starts, t, axis=1, keepdims=True)  # [Q,1]
+        df = lax.dynamic_index_in_dim(dfs, t, axis=1, keepdims=True)
+        w = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
+        max_df = jnp.max(df)
+        n_windows = (max_df + block - 1) // block
+
+        def window(wi, sc):
+            o = offs + wi * block  # [1, B]
+            valid = o < df  # [Q, B]
+            idx = jnp.clip(start + o, 0, max(P - 1, 0))
+            doc = jnp.where(valid, post_doc[idx], n_slots)  # OOB slot -> drop
+            contrib = jnp.where(valid, w * post_score[idx], jnp.float32(0.0))
+            return sc.at[q_rows, doc].add(contrib, mode="drop")
+
+        return lax.fori_loop(0, n_windows, window, scores)
+
+    scores = jnp.zeros((Q, n_slots), jnp.float32)
+    scores = lax.fori_loop(0, T, stage, scores)
+    vals, idx = lax.top_k(scores, K)
+    found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+    return vals, idx.astype(jnp.int32), found
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "K", "Q", "block"))
+def bm25_topk_fast(
+    post_doc: jax.Array,  # int32 [P]
+    post_score: jax.Array,  # f32 [P]
+    chunk_start: jax.Array,  # int32 [C] posting offset per chunk
+    chunk_len: jax.Array,  # int32 [C] live postings in chunk (<= B)
+    chunk_q: jax.Array,  # int32 [C] owning query row (Q = out of range -> drop)
+    chunk_w: jax.Array,  # f32 [C] query weight for the chunk's term
+    *,
+    n_slots: int,
+    K: int,
+    Q: int,
+    block: int = 4096,
+):
+    """Fused one-scatter variant over host-planned fixed-size chunks."""
+    C = chunk_start.shape[0]
+    P = post_doc.shape[0]
+    offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    valid = offs < chunk_len[:, None]
+    idx = jnp.clip(chunk_start[:, None] + offs, 0, max(P - 1, 0))
+    doc = jnp.where(valid, post_doc[idx], n_slots)
+    contrib = jnp.where(valid, chunk_w[:, None] * post_score[idx], jnp.float32(0.0))
+
+    scores = jnp.zeros((Q, n_slots), jnp.float32)
+    qrow = jnp.broadcast_to(chunk_q[:, None], (C, block))
+    scores = scores.at[qrow, doc].add(contrib, mode="drop")
+    vals, idx_out = lax.top_k(scores, K)
+    found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+    return vals, idx_out.astype(jnp.int32), found
+
+
+def score_only_exact(post_doc, post_score, starts, dfs, weights, *, n_slots, block=4096):
+    """Exact-mode dense scores [Q, n_slots] without top-k (shard-local use)."""
+    Q, T = starts.shape
+    P = post_doc.shape[0]
+    offs = lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    q_rows = lax.broadcasted_iota(jnp.int32, (Q, block), 0)
+
+    def stage(t, scores):
+        start = lax.dynamic_index_in_dim(starts, t, axis=1, keepdims=True)
+        df = lax.dynamic_index_in_dim(dfs, t, axis=1, keepdims=True)
+        w = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
+        n_windows = (jnp.max(df) + block - 1) // block
+
+        def window(wi, sc):
+            o = offs + wi * block
+            valid = o < df
+            idx = jnp.clip(start + o, 0, max(P - 1, 0))
+            doc = jnp.where(valid, post_doc[idx], n_slots)
+            contrib = jnp.where(valid, w * post_score[idx], jnp.float32(0.0))
+            return sc.at[q_rows, doc].add(contrib, mode="drop")
+
+        return lax.fori_loop(0, n_windows, window, scores)
+
+    scores = jnp.zeros((Q, n_slots), jnp.float32)
+    return lax.fori_loop(0, T, stage, scores)

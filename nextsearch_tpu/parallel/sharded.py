@@ -1,0 +1,262 @@
+"""Sharded multi-segment BM25 execution over a (dp, seg) device mesh.
+
+This is the framework's distributed backend (SURVEY.md §5): segments are
+grouped into `seg`-axis shards, each holding its own posting arrays and doc
+slots; the query batch is sharded over the `dp` axis. Each device scores its
+local shard (ops/bm25.py exact accumulation), takes a local top-K, and the
+K-candidate lists are merged across the `seg` axis with an all_gather +
+re-top-K — the TPU-native version of the reference's global top-K heap over
+segments (src/api_engine.cpp:441-505). `found` counts are combined with a
+psum. All collectives ride ICI inside one shard_map'd jit program.
+
+Doc-slot layout: global slot = shard_id * shard_capacity + local slot, with
+shards holding contiguous segment ranges in order, so ties still break in the
+canonical (segment asc, docId asc) order after the merge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..index.builder import SegmentArrays, eager_scores
+from ..index.segment import QueryResult, WeightedTerm, _bucket, _round_up
+from ..ops.bm25 import score_only_exact
+
+
+def _sharded_search_fn(mesh: Mesh, n_slots: int, K: int, block: int):
+    """Build the jit'd shard_map search step for a given mesh/static shapes."""
+
+    def local_step(post_doc, post_score, starts, dfs, weights):
+        # Block shapes: post_* [1, P_shard], starts/dfs/weights [1, Qd, T]
+        post_doc = post_doc[0]
+        post_score = post_score[0]
+        starts, dfs, weights = starts[0], dfs[0], weights[0]
+        scores = score_only_exact(
+            post_doc, post_score, starts, dfs, weights, n_slots=n_slots, block=block
+        )  # [Qd, n_slots]
+        vals, idx = lax.top_k(scores, K)
+        shard_id = lax.axis_index("seg")
+        gidx = idx.astype(jnp.int32) + shard_id * n_slots
+        found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+
+        # Merge across the seg axis: gather all shards' candidates, re-top-K.
+        all_vals = lax.all_gather(vals, "seg", axis=0)  # [S, Qd, K]
+        all_idx = lax.all_gather(gidx, "seg", axis=0)
+        S = all_vals.shape[0]
+        qd = all_vals.shape[1]
+        cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qd, S * K)
+        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qd, S * K)
+        mvals, mpos = lax.top_k(cat_vals, K)  # ties -> earliest shard ✓
+        midx = jnp.take_along_axis(cat_idx, mpos, axis=1)
+        total_found = lax.psum(found, "seg")
+        return mvals[None], midx[None], total_found[None]
+
+    from jax import shard_map
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("seg", None),  # post_doc   [S, P_shard]
+            P("seg", None),  # post_score [S, P_shard]
+            P("seg", "dp", None),  # starts  [S, Q, T]
+            P("seg", "dp", None),
+            P("seg", "dp", None),
+        ),
+        out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
+        check_vma=False,
+    )
+
+    def step(post_doc, post_score, starts, dfs, weights):
+        vals, idx, found = fn(post_doc, post_score, starts, dfs, weights)
+        return vals[0], idx[0], found[0]
+
+    return jax.jit(step)
+
+
+class ShardedIndex:
+    """Multi-segment index sharded over a (dp, seg) mesh.
+
+    Segments are assigned to seg-shards round-robin by contiguous ranges
+    (shard i gets segments [cuts[i], cuts[i+1])); every shard's arrays are
+    padded to common capacities so shard_map blocks have equal shapes.
+    """
+
+    T_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
+    K_BUCKETS = (10, 32, 100)
+
+    def __init__(
+        self,
+        segments: Sequence[SegmentArrays],
+        mesh: Mesh,
+        seg_names: Optional[Sequence[str]] = None,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.segments = list(segments)
+        self.seg_names = list(seg_names) if seg_names else [
+            f"seg_{i + 1:06d}" for i in range(len(self.segments))
+        ]
+        self.dp = mesh.shape["dp"]
+        self.n_shards = mesh.shape["seg"]
+        S = self.n_shards
+
+        # Contiguous segment ranges per shard, balanced by doc count.
+        n_segs = len(self.segments)
+        doc_counts = [s.N for s in self.segments]
+        total_docs = sum(doc_counts)
+        cuts = [0]
+        acc = 0
+        for i, c in enumerate(doc_counts):
+            acc += c
+            # close the shard when it reached its fair share (keep S ranges)
+            while len(cuts) < S and acc >= total_docs * len(cuts) / S and i + 1 <= n_segs:
+                cuts.append(i + 1)
+        while len(cuts) < S:
+            cuts.append(n_segs)
+        cuts.append(n_segs)
+        self.shard_seg_ranges = [(cuts[i], cuts[i + 1]) for i in range(S)]
+
+        # Per-shard layouts.
+        self.shard_doc_bases: List[List[int]] = []  # local doc base per segment
+        shard_docs: List[int] = []
+        shard_posts: List[int] = []
+        self.lex: List[List[dict]] = []  # [shard][segment] term -> (start, df)
+        for si, (lo, hi) in enumerate(self.shard_seg_ranges):
+            dbase = 0
+            pbase = 0
+            bases = []
+            lexes = []
+            for seg in self.segments[lo:hi]:
+                bases.append(dbase)
+                lex = {}
+                offs = seg.term_offsets
+                for i, t in enumerate(seg.terms):
+                    lex[t] = (pbase + int(offs[i]), int(seg.term_df[i]))
+                lexes.append(lex)
+                dbase += seg.N
+                pbase += seg.num_postings
+            self.shard_doc_bases.append(bases)
+            self.lex.append(lexes)
+            shard_docs.append(dbase)
+            shard_posts.append(pbase)
+
+        dpad = config.device.doc_pad
+        self.shard_capacity = max(_round_up(max(shard_docs or [1], default=1), dpad), dpad)
+        p_capacity = max(max(shard_posts) if shard_posts else 1, 1)
+
+        post_doc = np.zeros((S, p_capacity), np.int32)
+        post_score = np.zeros((S, p_capacity), np.float32)
+        for si, (lo, hi) in enumerate(self.shard_seg_ranges):
+            pb = 0
+            for j, seg in enumerate(self.segments[lo:hi]):
+                n = seg.num_postings
+                post_doc[si, pb : pb + n] = seg.post_doc + self.shard_doc_bases[si][j]
+                sc = seg.post_score
+                if sc is None:
+                    sc = eager_scores(seg, k1=config.bm25.k1, b=config.bm25.b)
+                post_score[si, pb : pb + n] = sc
+                pb += n
+        # Padding rows: doc slot 0 with score 0 — harmless (df masks them off).
+
+        post_spec = NamedSharding(mesh, P("seg", None))
+        self.post_doc = jax.device_put(post_doc, post_spec)
+        self.post_score = jax.device_put(post_score, post_spec)
+        self.n_docs = total_docs
+        self._fns = {}
+
+    # ---------------- planning ----------------
+
+    def plan(self, queries: Sequence[Sequence[WeightedTerm]]):
+        """Per-shard padded term-slot plans: [S, Q, T] arrays."""
+        S = self.n_shards
+        rows: List[List[List[Tuple[int, int, float]]]] = [[] for _ in range(S)]
+        t_max = 1
+        for terms in queries:
+            per_shard = [[] for _ in range(S)]
+            for term, w in terms:
+                for si in range(S):
+                    for lex in self.lex[si]:
+                        hit = lex.get(term)
+                        if hit is not None and hit[1] > 0:
+                            per_shard[si].append((hit[0], hit[1], float(w)))
+            for si in range(S):
+                rows[si].append(per_shard[si])
+                t_max = max(t_max, len(per_shard[si]))
+
+        Qb = _round_up(max(len(queries), 1), self.dp)
+        T = _bucket(t_max, self.T_BUCKETS)
+        starts = np.zeros((S, Qb, T), np.int32)
+        dfs = np.zeros((S, Qb, T), np.int32)
+        weights = np.zeros((S, Qb, T), np.float32)
+        for si in range(S):
+            for qi, slots in enumerate(rows[si]):
+                for ti, (s, df, w) in enumerate(slots[:T]):
+                    starts[si, qi, ti] = s
+                    dfs[si, qi, ti] = df
+                    weights[si, qi, ti] = w
+        return starts, dfs, weights
+
+    # ---------------- execution ----------------
+
+    def search_batch(
+        self, queries: Sequence[Sequence[WeightedTerm]], k: int
+    ) -> List[QueryResult]:
+        nq = len(queries)
+        if nq == 0 or self.n_docs == 0:
+            return [QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)] * nq
+        K = _bucket(max(k, 1), self.K_BUCKETS)
+        K = min(K, self.shard_capacity)
+        starts, dfs, weights = self.plan(queries)
+
+        key = (K, starts.shape[1], starts.shape[2])
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = _sharded_search_fn(
+                self.mesh, self.shard_capacity, K, self.config.device.posting_block
+            )
+            self._fns[key] = fn
+
+        plan_spec = NamedSharding(self.mesh, P("seg", "dp", None))
+        starts = jax.device_put(starts, plan_spec)
+        dfs = jax.device_put(dfs, plan_spec)
+        weights = jax.device_put(weights, plan_spec)
+        vals, idx, found = fn(self.post_doc, self.post_score, starts, dfs, weights)
+        vals, idx, found = np.asarray(vals), np.asarray(idx), np.asarray(found)
+
+        out = []
+        for qi in range(nq):
+            keep = vals[qi] > 0.0
+            keep[min(k, K):] = False
+            out.append(
+                QueryResult(
+                    scores=vals[qi][keep][:k],
+                    doc_slots=idx[qi][keep][:k],
+                    found=int(found[qi]),
+                )
+            )
+        return out
+
+    # ---------------- result mapping ----------------
+
+    def locate(self, doc_slot: int) -> Tuple[int, int]:
+        """Global sharded doc slot -> (segment index, local docId)."""
+        si, local = divmod(int(doc_slot), self.shard_capacity)
+        lo, _hi = self.shard_seg_ranges[si]
+        bases = self.shard_doc_bases[si]
+        j = int(np.searchsorted(np.asarray(bases), local, "right") - 1)
+        return lo + j, local - bases[j]
+
+    def doc_info(self, doc_slot: int) -> Tuple[str, str, int]:
+        seg_idx, doc_id = self.locate(doc_slot)
+        return self.seg_names[seg_idx], self.segments[seg_idx].cord_uids[doc_id], doc_id

@@ -7,12 +7,16 @@ dryrun_multichip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The environment may pre-set JAX_PLATFORMS to the TPU backend (and a
+# sitecustomize can re-add it); tests always run on the virtual CPU mesh
+# unless NEXTSEARCH_TEST_TPU=1 opts into real hardware. jax.config.update
+# wins over both as long as no backend has been initialized yet.
+if os.environ.get("NEXTSEARCH_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,77 @@
+"""Autocomplete parity tests (reference: src/api_autocomplete.cpp)."""
+
+import pytest
+
+from nextsearch_tpu.models.autocomplete import AutocompleteIndex, split_last_token
+
+
+@pytest.fixture(scope="module")
+def ac():
+    idx = AutocompleteIndex()
+    idx.build(
+        {
+            "covid": 500,
+            "coronavirus": 300,
+            "corona": 300,  # tie with coronavirus -> term asc
+            "cough": 100,
+            "cov": 90,
+            "vaccine": 400,
+            "vaccination": 50,
+            "x": 7,  # len < 2 -> excluded
+            "zz9": 1,
+        },
+        10,
+    )
+    return idx
+
+
+def test_split_last_token():
+    assert split_last_token("hello wor") == ("hello ", "wor")
+    assert split_last_token("covid ") == ("", "covid")  # trailing space dropped
+    assert split_last_token("a b, c") == ("a b, ", "c")
+    assert split_last_token("...") == ("", "")
+    assert split_last_token("one-two") == ("one-", "two")
+
+
+def test_prefix_ranking_score_desc_term_asc(ac):
+    # cov* -> covid(500), corona?? no: corona doesn't start with cov
+    assert ac.suggest_query("cov", 10) == ["covid", "cov"]
+    # co* -> covid500, corona300, coronavirus300 (tie: term asc), cough100, cov90
+    assert ac.suggest_query("co", 10) == [
+        "covid", "corona", "coronavirus", "cough", "cov",
+    ]
+
+
+def test_limit_truncation(ac):
+    assert ac.suggest_query("co", 2) == ["covid", "corona"]
+
+
+def test_multiword_base_preserved(ac):
+    assert ac.suggest_query("mRNA vac", 2) == ["mRNA vaccine", "mRNA vaccination"]
+    # normalization lowercases the prefix but base keeps original case
+    assert ac.suggest_query("The COV", 1) == ["The covid"]
+
+
+def test_no_match_and_empty(ac):
+    assert ac.suggest_query("qqq", 5) == []
+    assert ac.suggest_query("   ", 5) == []
+    assert ac.suggest_query("", 5) == []
+
+
+def test_short_terms_excluded(ac):
+    assert "x" not in ac.terms
+    assert ac.suggest_query("x", 5) == []
+
+
+def test_batched_matches_single(ac):
+    inputs = ["co", "vac", "qqq", "mRNA vac", ""]
+    batched = ac.suggest_batch(inputs, 5)
+    singles = [ac.suggest_query(i, 5) for i in inputs]
+    assert batched == singles
+
+
+def test_empty_index():
+    idx = AutocompleteIndex()
+    idx.build({}, 10)
+    assert idx.empty()
+    assert idx.suggest_query("co", 5) == []

@@ -1,0 +1,85 @@
+"""Sharded (dp, seg) mesh search parity vs oracle and single-device engine."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nextsearch_tpu.index.builder import build_segment_arrays
+from nextsearch_tpu.index.oracle import oracle_search
+from nextsearch_tpu.index.segment import DeviceIndex
+from nextsearch_tpu.parallel.mesh import make_mesh
+from nextsearch_tpu.parallel.sharded import ShardedIndex
+
+from conftest import make_synthetic_docs
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def segs():
+    return [
+        build_segment_arrays(make_synthetic_docs(60, 200, seed=10)),
+        build_segment_arrays(make_synthetic_docs(90, 200, seed=11, avg_len=40)),
+        build_segment_arrays(make_synthetic_docs(40, 200, seed=12, avg_len=80)),
+        build_segment_arrays(make_synthetic_docs(75, 200, seed=13)),
+        build_segment_arrays(make_synthetic_docs(25, 200, seed=14)),
+    ]
+
+
+QUERIES = [
+    [("w0000", 1.0)],
+    [("w0001", 1.0), ("w0005", 1.0)],
+    [("w0002", 1.0), ("w0013", 0.42), ("w0190", 0.6)],
+    [("nosuchterm", 1.0)],
+    [("w0199", 1.0)],
+    [("w0003", 0.9), ("w0004", 0.8)],
+]
+
+
+@pytest.mark.parametrize("dp,seg", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_oracle(segs, dp, seg):
+    mesh = make_mesh(dp=dp, seg=seg)
+    si = ShardedIndex(segs, mesh)
+    # shard ranges must partition [0, n_segs)
+    covered = []
+    for lo, hi in si.shard_seg_ranges:
+        covered.extend(range(lo, hi))
+    assert covered == list(range(len(segs)))
+
+    oracle_segs = [s.to_oracle_segment() for s in segs]
+    results = si.search_batch(QUERIES, k=10)
+    for terms, res in zip(QUERIES, results):
+        hits, total_found = oracle_search(oracle_segs, terms, k=10)
+        assert res.found == total_found, terms
+        assert len(res.scores) == len(hits), terms
+        for (o_score, o_seg, o_doc), d_score, d_slot in zip(hits, res.scores, res.doc_slots):
+            assert si.locate(int(d_slot)) == (o_seg, o_doc), terms
+            assert np.float32(d_score) == np.float32(o_score), terms
+
+
+def test_sharded_matches_single_device(segs):
+    mesh = make_mesh(dp=2, seg=4)
+    si = ShardedIndex(segs, mesh)
+    di = DeviceIndex(segs)
+    rs = si.search_batch(QUERIES, k=10)
+    rd = di.search_batch(QUERIES, k=10)
+    for a, b in zip(rs, rd):
+        assert a.found == b.found
+        assert np.array_equal(a.scores, b.scores)
+        # same (segment, doc) despite different global slot layouts
+        assert [si.locate(int(x)) for x in a.doc_slots] == [
+            di.locate(int(x)) for x in b.doc_slots
+        ]
+
+
+def test_more_shards_than_segments():
+    segs = [build_segment_arrays(make_synthetic_docs(30, 100, seed=20))]
+    mesh = make_mesh(dp=1, seg=8)
+    si = ShardedIndex(segs, mesh)
+    res = si.search_batch([[("w0000", 1.0)]], k=10)[0]
+    oracle_hits, found = oracle_search([segs[0].to_oracle_segment()], [("w0000", 1.0)], k=10)
+    assert res.found == found
+    assert len(res.scores) == len(oracle_hits)
