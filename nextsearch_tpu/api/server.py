@@ -1,0 +1,416 @@
+"""HTTP/JSON API server — the reference's route surface on stdlib http.server.
+
+Routes (parity with src/api_server.cpp:91-365):
+  OPTIONS .*            CORS preflight, 204
+  GET  /api/health      {ok, segments}
+  GET  /api/search      BM25 search with timing fields + LRU cache semantics
+  GET  /api/suggest     autocomplete
+  GET  /api/ai_overview Azure OpenAI overview of search results
+  GET  /api/ai_summary  Azure OpenAI abstract summary by cord_uid
+  GET  /api/stats       counters + hit rates + last-10 feedback
+  POST /api/add_document  503-disabled by default (reference parity); set
+                          NEXTSEARCH_ENABLE_ADD_DOCUMENT=1 for the real
+                          upload -> build -> publish pipeline
+  POST /api/reload      reload index from disk
+  POST /api/feedback    validated feedback intake
+
+Error semantics match the reference: missing q -> 400 {"error":"missing q
+param"}; malformed int params -> 500 {"error":"internal server error"} (the
+reference's std::stoi throws into the exception handler); unconfigured Azure
+-> 503 with the reference's message.
+
+Concurrent /api/search requests are coalesced into batched device launches
+by api/batching.SearchBatcher instead of serializing behind a mutex.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..engine import Engine
+from ..utils.envloader import load_env_file
+from .ai import AzureOpenAIConfig, generate_ai_overview, generate_ai_summary
+from .batching import SearchBatcher
+from .feedback import FeedbackManager, validate_and_add
+from .stats import StatsTracker
+
+_STOI_RE = re.compile(r"^\s*[+-]?\d+")
+
+
+def stoi(s: str) -> int:
+    """std::stoi semantics: parse the leading integer, throw otherwise."""
+    m = _STOI_RE.match(s)
+    if not m:
+        raise ValueError(f"stoi: no conversion: {s!r}")
+    return int(m.group(0))
+
+
+class ServerContext:
+    """Shared state across handler threads."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        stats: StatsTracker,
+        feedback: FeedbackManager,
+        azure: AzureOpenAIConfig,
+        config: EngineConfig = DEFAULT_CONFIG,
+        transport=None,
+        enable_add_document: bool = False,
+    ):
+        self.engine = engine
+        self.stats = stats
+        self.feedback = feedback
+        self.azure = azure
+        self.config = config
+        self.transport = transport
+        self.enable_add_document = enable_add_document
+        self.batcher = SearchBatcher(engine, config.batching)
+
+
+class ApiHandler(BaseHTTPRequestHandler):
+    ctx: ServerContext  # injected by make_server
+    protocol_version = "HTTP/1.1"
+
+    # ---------------- plumbing ----------------
+
+    def log_message(self, fmt, *args):  # reference svr.set_logger
+        pass  # handled in _respond
+
+    def _cors(self):
+        # parity with src/api_http.cpp enable_cors
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+        self.send_header(
+            "Access-Control-Allow-Headers",
+            "Content-Type, Accept, Origin, X-Requested-With, Authorization",
+        )
+        self.send_header("Access-Control-Max-Age", "600")
+
+    def _respond(self, status: int, payload, extra_headers=None):
+        body = (
+            json.dumps(payload, indent=2).encode("utf-8")
+            if payload is not None
+            else b""
+        )
+        self.send_response(status)
+        self._cors()
+        if payload is not None:
+            self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        if extra_headers:
+            for k, v in extra_headers.items():
+                self.send_header(k, v)
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+        print(
+            f"[http] {self.command} {urlparse(self.path).path} -> {status}",
+            file=sys.stderr,
+        )
+
+    def _params(self):
+        q = parse_qs(urlparse(self.path).query, keep_blank_values=True)
+        return {k: v[0] for k, v in q.items()}
+
+    def _body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        return self.rfile.read(length) if length else b""
+
+    def _route(self):
+        return urlparse(self.path).path
+
+    # ---------------- methods ----------------
+
+    def do_OPTIONS(self):
+        # Request headers/method echoes REPLACE the defaults (the reference's
+        # httplib set_header overwrites; src/api_server.cpp:92-103).
+        headers = {
+            "Access-Control-Allow-Origin": "*",
+            "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
+            "Access-Control-Allow-Headers": (
+                "Content-Type, Accept, Origin, X-Requested-With, Authorization"
+            ),
+            "Access-Control-Max-Age": "600",
+        }
+        acrh = self.headers.get("Access-Control-Request-Headers")
+        if acrh:
+            headers["Access-Control-Allow-Headers"] = acrh
+        acrm = self.headers.get("Access-Control-Request-Method")
+        if acrm:
+            headers["Access-Control-Allow-Methods"] = acrm + ", OPTIONS"
+        self.send_response(204)
+        for k, v in headers.items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self):
+        try:
+            path = self._route()
+            if path == "/api/health":
+                return self._handle_health()
+            if path == "/api/search":
+                return self._handle_search()
+            if path == "/api/suggest":
+                return self._handle_suggest()
+            if path == "/api/ai_overview":
+                return self._handle_ai_overview()
+            if path == "/api/ai_summary":
+                return self._handle_ai_summary()
+            if path == "/api/stats":
+                return self._handle_stats()
+            return self._respond(404, {"error": "not found"})
+        except BrokenPipeError:
+            pass
+        except Exception as e:
+            print(
+                f"[exception] {self.command} {self.path} : {e}", file=sys.stderr
+            )
+            self._respond(500, {"error": "internal server error"})
+
+    def do_POST(self):
+        try:
+            path = self._route()
+            if path == "/api/reload":
+                return self._handle_reload()
+            if path == "/api/feedback":
+                return self._handle_feedback()
+            if path == "/api/add_document":
+                return self._handle_add_document()
+            return self._respond(404, {"error": "not found"})
+        except BrokenPipeError:
+            pass
+        except Exception as e:
+            print(
+                f"[exception] {self.command} {self.path} : {e}", file=sys.stderr
+            )
+            self._respond(500, {"error": "internal server error"})
+
+    # ---------------- handlers ----------------
+
+    def _handle_health(self):
+        self._respond(
+            200, {"ok": True, "segments": len(self.ctx.engine.seg_names)}
+        )
+
+    def _handle_search(self):
+        total_t0 = time.perf_counter()
+        params = self._params()
+        if "q" not in params:
+            return self._respond(400, {"error": "missing q param"})
+        q = params["q"]
+        k = stoi(params["k"]) if "k" in params else 10
+
+        search_t0 = time.perf_counter()
+        j = self.ctx.batcher.search(q, k)
+        search_ms = (time.perf_counter() - search_t0) * 1000.0
+
+        from_cache = bool(j.get("from_cache"))
+        self.ctx.stats.increment_searches()
+        if from_cache:
+            self.ctx.stats.increment_search_cache_hits()
+            j["search_time_ms"] = 0.0
+            j["cache_lookup_ms"] = search_ms
+            j["total_time_ms"] = (time.perf_counter() - total_t0) * 1000.0
+            j["cached"] = True
+            j.pop("from_cache", None)
+            print(
+                f'[search] q="{q}" k={k} CACHED cache_lookup={search_ms:.3f}ms',
+                file=sys.stderr,
+            )
+        else:
+            j["search_time_ms"] = search_ms
+            j["total_time_ms"] = (time.perf_counter() - total_t0) * 1000.0
+            j["cached"] = False
+            print(
+                f'[search] q="{q}" k={k} search={search_ms:.3f}ms', file=sys.stderr
+            )
+        self._respond(200, j)
+
+    def _handle_suggest(self):
+        params = self._params()
+        if "q" not in params:
+            return self._respond(400, {"error": "missing q param"})
+        q = params["q"]
+        k = stoi(params["k"]) if "k" in params else 5
+        self._respond(200, self.ctx.engine.suggest(q, k))
+
+    def _handle_reload(self):
+        ok = self.ctx.engine.reload()
+        self._respond(
+            200, {"reloaded": ok, "segments": len(self.ctx.engine.seg_names)}
+        )
+
+    def _handle_stats(self):
+        self._respond(200, self.ctx.stats.get_stats_json(self.ctx.feedback))
+
+    def _handle_feedback(self):
+        status, payload = validate_and_add(self.ctx.feedback, self._body())
+        self._respond(status, payload)
+
+    def _handle_ai_overview(self):
+        if not self.ctx.azure.enabled:
+            return self._respond(
+                503,
+                {
+                    "error": "Azure OpenAI not configured. Please set "
+                    "AZURE_OPENAI_ENDPOINT, AZURE_OPENAI_API_KEY, and "
+                    "AZURE_OPENAI_MODEL in .env file"
+                },
+            )
+        params = self._params()
+        if "q" not in params:
+            return self._respond(400, {"error": "missing q param"})
+        query = params["q"]
+        k = stoi(params["k"]) if "k" in params else 10
+
+        # Retry/backoff loop for a parallel /api/search filling the cache
+        # (reference src/api_server.cpp:243-269).
+        search_results = None
+        for retry in range(10):
+            search_results = self.ctx.engine.search(query, k)
+            if search_results.get("from_cache"):
+                break
+            if search_results.get("results"):
+                break
+            if retry < 9:
+                time.sleep(0.05)
+        if not search_results or not search_results.get("results"):
+            return self._respond(
+                404,
+                {"error": "No search results found for the query", "query": query},
+            )
+
+        ai = generate_ai_overview(
+            self.ctx.azure, query, k, search_results,
+            engine=self.ctx.engine, stats=self.ctx.stats,
+            is_authorized=False, transport=self.ctx.transport,
+        )
+        response = {"query": query}
+        if ai.get("success"):
+            response["overview"] = ai.get("overview")
+            response["model"] = ai.get("model")
+            if "usage" in ai:
+                response["usage"] = ai["usage"]
+            return self._respond(200, response)
+        response["error"] = ai.get("error", "Unknown error")
+        if "details" in ai:
+            response["details"] = ai["details"]
+        return self._respond(500, response)
+
+    def _handle_ai_summary(self):
+        if not self.ctx.azure.enabled:
+            return self._respond(
+                503,
+                {
+                    "error": "Azure OpenAI not configured. Please set "
+                    "AZURE_OPENAI_ENDPOINT, AZURE_OPENAI_API_KEY, and "
+                    "AZURE_OPENAI_MODEL in .env file"
+                },
+            )
+        params = self._params()
+        if "cord_uid" not in params:
+            return self._respond(400, {"error": "missing cord_uid param"})
+        cord_uid = params["cord_uid"]
+
+        ai = generate_ai_summary(
+            self.ctx.azure, cord_uid,
+            engine=self.ctx.engine, stats=self.ctx.stats,
+            is_authorized=False, transport=self.ctx.transport,
+        )
+        if ai.get("success"):
+            response = {"cord_uid": ai.get("cord_uid"), "summary": ai.get("summary")}
+            if "cached" in ai:
+                response["cached"] = ai["cached"]
+            return self._respond(200, response)
+        # reference quirk: any error carrying cord_uid -> 404, else 500
+        status = 404 if "cord_uid" in ai else 500
+        response = {"cord_uid": cord_uid, "error": ai.get("error", "Unknown error")}
+        if "details" in ai:
+            response["details"] = ai["details"]
+        return self._respond(status, response)
+
+    def _handle_add_document(self):
+        if not self.ctx.enable_add_document:
+            # reference src/api_add_document.cpp:536-541 (hard-disabled)
+            return self._respond(
+                503,
+                {"error": '"Add Document" is disabled for the current version'},
+            )
+        from .add_document import handle_add_document
+
+        status, payload = handle_add_document(self.ctx, self.headers, self._body())
+        return self._respond(status, payload)
+
+
+def make_server(ctx: ServerContext, host: str = "0.0.0.0", port: int = 8080):
+    handler = type("BoundApiHandler", (ApiHandler,), {"ctx": ctx})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(
+            "Usage: python -m nextsearch_tpu.api.server <INDEX_DIR> [port]\n"
+            "Example: python -m nextsearch_tpu.api.server ./index 8080",
+            file=sys.stderr,
+        )
+        return 1
+    index_dir = Path(argv[0])
+    port = int(argv[1]) if len(argv) > 1 else 8080
+
+    import os
+
+    engine = Engine(index_dir)
+    if not engine.reload():
+        print(f"Failed to load index segments from: {index_dir}", file=sys.stderr)
+        return 1
+
+    env_vars = load_env_file(".env")
+    azure = AzureOpenAIConfig(
+        endpoint=env_vars.get("AZURE_OPENAI_ENDPOINT", ""),
+        api_key=env_vars.get("AZURE_OPENAI_API_KEY", ""),
+        model=env_vars.get("AZURE_OPENAI_MODEL", ""),
+    )
+    stats = StatsTracker()
+    if not Path("stats.json").exists() and env_vars.get("AI_API_CALLS_LIMIT"):
+        limit = int(env_vars["AI_API_CALLS_LIMIT"])
+        stats.set_ai_api_calls_limit(limit)
+        print(f"[stats] AI API calls limit set to: {limit} (from .env)")
+    if azure.enabled:
+        print(f"[azure] Azure OpenAI enabled with model: {azure.model}")
+    else:
+        print(
+            "[azure] Azure OpenAI not configured "
+            "(AI overview endpoint will return error)"
+        )
+    feedback = FeedbackManager("feedback.json")
+    ctx = ServerContext(
+        engine, stats, feedback, azure,
+        enable_add_document=os.environ.get("NEXTSEARCH_ENABLE_ADD_DOCUMENT") == "1",
+    )
+    server = make_server(ctx, port=port)
+    print(f"API running on http://127.0.0.1:{port}")
+    print("Try: /api/search?q=mycoplasma+pneumonia&k=10")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.save_caches()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

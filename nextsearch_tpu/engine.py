@@ -1,0 +1,279 @@
+"""Engine: index lifecycle + query orchestration (the reference's Engine).
+
+Mirrors src/api_engine.cpp semantics:
+  - reload(): manifest (or segments/ scan) -> load segments -> device index;
+    autocomplete built from df summed across segment lexicons; metadata map;
+    optional semantic embeddings (EMBEDDINGS_PATH env or candidate files);
+    caches loaded from JSON (:50-162)
+  - search(): k clamped 1..100, "query|K" cache key, tokenize + stoplist,
+    optional semantic expansion (3/5/0.55/0.6/40), BM25 over all segments,
+    global top-K, JSON rendering with on-demand metadata, write-through LRU
+    cache (:369-542)
+  - suggest(): limit clamped 1..10, last-token completion (:165-187)
+
+TPU-native differences: the scoring loop is one batched device kernel
+(ops/bm25.py) over HBM-resident posting arrays; concurrent API requests are
+scored in one launch via search_batch() (the request-batching queue in
+api/batching.py replaces the reference's engine-wide mutex); a (dp, seg)
+mesh shards segments across chips (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .api.caches import LRUCache, make_cache_key
+from .config import DEFAULT_CONFIG, EngineConfig
+from .index.metadata import MetadataStore
+from .index.segment import DeviceIndex
+from .index.segmentio import discover_segments, load_segment
+from .models.autocomplete import AutocompleteIndex
+from .models.semantic import SemanticIndex
+from .utils.textutil import filter_terms, tokenize
+
+EMBEDDING_CANDIDATES = (
+    "embeddings.vec",
+    "embeddings.txt",
+    "glove.txt",
+    "vectors.txt",
+)
+
+
+class Engine:
+    def __init__(
+        self,
+        index_dir: str | os.PathLike = ".",
+        config: EngineConfig = DEFAULT_CONFIG,
+        mesh=None,
+        cache_dir: str | os.PathLike = ".",
+    ):
+        self.index_dir = Path(index_dir)
+        self.config = config
+        self.mesh = mesh
+        self.mtx = threading.RLock()
+
+        self.seg_names: List[str] = []
+        self.index = None  # DeviceIndex | ShardedIndex
+        self.ac = AutocompleteIndex()
+        self.sem = SemanticIndex()
+        self.metadata: Optional[MetadataStore] = None
+
+        cache_dir = Path(cache_dir)
+        cc = config.cache
+        self.cache = LRUCache(
+            cc.search_capacity, cache_dir / "search_cache.json",
+            cc.save_interval, tag="cache",
+        )
+        self.ai_overview_cache = LRUCache(
+            cc.ai_overview_capacity, cache_dir / "ai_overview_cache.json",
+            cc.save_interval, tag="cache",
+        )
+        self.ai_summary_cache = LRUCache(
+            cc.ai_summary_capacity, cache_dir / "ai_summary_cache.json",
+            cc.save_interval, tag="cache",
+        )
+
+    # ---------------- lifecycle ----------------
+
+    @property
+    def segments(self):
+        return self.index.segments if self.index is not None else []
+
+    def make_cache_key(self, query: str, k: int) -> str:
+        return make_cache_key(query, k)
+
+    def reload(self) -> bool:
+        with self.mtx:
+            seg_names = discover_segments(self.index_dir)
+            if not seg_names:
+                return False
+
+            loaded = []
+            for name in seg_names:
+                segdir = self.index_dir / "segments" / name
+                try:
+                    loaded.append(
+                        load_segment(
+                            segdir,
+                            k1=self.config.bm25.k1,
+                            b=self.config.bm25.b,
+                        )
+                    )
+                except (OSError, ValueError, struct_error) as e:
+                    print(f"Failed to load segment: {segdir} ({e})", file=sys.stderr)
+                    return False
+
+            if self.mesh is not None:
+                from .parallel.sharded import ShardedIndex
+
+                self.index = ShardedIndex(
+                    loaded, self.mesh, seg_names, self.config
+                )
+            else:
+                self.index = DeviceIndex(loaded, seg_names, self.config)
+            self.seg_names = seg_names
+
+            # Autocomplete: df summed across segment lexicons (:92-108).
+            term_to_score: Dict[str, int] = {}
+            for seg in loaded:
+                for i, t in enumerate(seg.terms):
+                    term_to_score[t] = term_to_score.get(t, 0) + int(seg.term_df[i])
+            self.ac.build(term_to_score, self.config.autocomplete.max_candidates)
+
+            # Lazy metadata offsets (:111-113).
+            self.metadata = MetadataStore(self.index_dir / "metadata.csv")
+            print(
+                f"[metadata] map_size={len(self.metadata)}", file=sys.stderr
+            )
+
+            # Semantic embeddings (:116-153).
+            self.sem = SemanticIndex()
+            needed = set(term_to_score)
+            emb_path = os.environ.get("EMBEDDINGS_PATH")
+            if not emb_path:
+                for cand in EMBEDDING_CANDIDATES:
+                    p = self.index_dir / cand
+                    if p.exists():
+                        emb_path = str(p)
+                        break
+            if emb_path and Path(emb_path).exists():
+                ok = self.sem.load_from_text(emb_path, needed)
+                if ok:
+                    print(
+                        f"[reload] semantic embeddings loaded: "
+                        f"{len(self.sem.terms)} terms, dim={self.sem.dim} "
+                        f"from {emb_path}",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(
+                        f"[reload] embeddings file found but no usable vectors "
+                        f"loaded: {emb_path} (semantic search disabled)",
+                        file=sys.stderr,
+                    )
+
+            self.cache.load()
+            self.ai_overview_cache.load()
+            self.ai_summary_cache.load()
+            return True
+
+    def save_caches(self) -> None:
+        """Shutdown persistence (reference Engine destructor)."""
+        self.cache.save()
+        self.ai_overview_cache.save()
+        self.ai_summary_cache.save()
+
+    # ---------------- queries ----------------
+
+    def _weighted_terms(self, base_terms: List[str]) -> List[Tuple[str, float]]:
+        if self.sem.enabled:
+            e = self.config.expansion
+            return self.sem.expand(
+                base_terms,
+                per_term=e.per_term,
+                global_topk=e.global_topk,
+                min_sim=e.min_sim,
+                alpha=e.alpha,
+                max_total_terms=e.max_total_terms,
+            )
+        return [(t, 1.0) for t in base_terms]
+
+    def search(self, query: str, k: int) -> dict:
+        return self.search_batch([(query, k)])[0]
+
+    def search_batch(self, requests: Sequence[Tuple[str, int]]) -> List[dict]:
+        """Search many (query, k) in one device launch; cache per request."""
+        bm = self.config.bm25
+        out: List[Optional[dict]] = [None] * len(requests)
+        pending: List[Tuple[int, str, int, List[Tuple[str, float]]]] = []
+
+        with self.mtx:
+            for i, (query, k) in enumerate(requests):
+                K = max(bm.k_min, min(int(k), bm.k_max))
+                cached = self.cache.get(make_cache_key(query, K))
+                if cached is not None:
+                    out[i] = cached
+                    continue
+
+                base_terms = filter_terms(tokenize(query))
+                res = {
+                    "query": query,
+                    "k": K,
+                    "segments": len(self.seg_names),
+                    "results": [],
+                }
+                if not base_terms or self.index is None or not self.seg_names:
+                    out[i] = res  # early return shape: no "found", not cached
+                    continue
+                qterms_w = self._weighted_terms(base_terms)
+                if not qterms_w:
+                    out[i] = res
+                    continue
+                pending.append((i, query, K, qterms_w))
+
+            if pending:
+                kmax = max(p[2] for p in pending)
+                results = self.index.search_batch(
+                    [p[3] for p in pending], k=kmax
+                )
+                for (i, query, K, _), qres in zip(pending, results):
+                    res = {
+                        "query": query,
+                        "k": K,
+                        "segments": len(self.seg_names),
+                        "results": [],
+                        "found": int(qres.found),
+                    }
+                    for score, slot in zip(
+                        qres.scores[:K], qres.doc_slots[:K]
+                    ):
+                        seg_name, cord_uid, doc_id = self.index.doc_info(int(slot))
+                        r = {
+                            "score": float(score),
+                            "segment": seg_name,
+                            "docId": doc_id,
+                            "cord_uid": cord_uid,
+                        }
+                        meta = (
+                            self.metadata.fetch(cord_uid)
+                            if self.metadata is not None
+                            else None
+                        )
+                        if meta is not None:
+                            if meta.title:
+                                r["title"] = meta.title
+                            url = meta.url
+                            semi = url.find(";")
+                            if semi >= 0:
+                                url = url[:semi]
+                            if url:
+                                r["url"] = url
+                            if meta.publish_time:
+                                r["publish_time"] = meta.publish_time
+                            if meta.author:
+                                r["author"] = meta.author
+                        res["results"].append(r)
+                    self.cache.put(make_cache_key(query, K), res)
+                    out[i] = dict(res)  # shallow copy: callers add timing keys
+
+        return [x for x in out]  # type: ignore[return-value]
+
+    def suggest(self, user_input: str, limit: int) -> dict:
+        ac_cfg = self.config.autocomplete
+        L = max(ac_cfg.limit_min, min(int(limit), ac_cfg.limit_max))
+        out = {"query": user_input, "limit": L, "suggestions": []}
+        with self.mtx:
+            if self.ac.empty():
+                return out
+            out["suggestions"] = self.ac.suggest_query(user_input, L)
+        return out
+
+
+# struct.error alias used in reload's except clause
+from struct import error as struct_error  # noqa: E402

@@ -231,8 +231,9 @@ class ShardedIndex:
         starts = jax.device_put(starts, plan_spec)
         dfs = jax.device_put(dfs, plan_spec)
         weights = jax.device_put(weights, plan_spec)
-        vals, idx, found = fn(self.post_doc, self.post_score, starts, dfs, weights)
-        vals, idx, found = np.asarray(vals), np.asarray(idx), np.asarray(found)
+        vals, idx, found = jax.device_get(
+            fn(self.post_doc, self.post_score, starts, dfs, weights)
+        )
 
         out = []
         for qi in range(nq):
