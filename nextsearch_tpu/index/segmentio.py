@@ -147,11 +147,19 @@ def write_segment(
     segdir: str | os.PathLike,
     barrels: bool = True,
     write_forward: bool = True,
+    stages: str = "all",
 ) -> None:
-    """Write a SegmentArrays as a reference-format segment directory."""
+    """Write a SegmentArrays as a reference-format segment directory.
+
+    stages: "all" (everything), "forward" (docs/stats/forward/terms only —
+    the forwardindex CLI stage), or "inverted" (lexicon+postings only — the
+    lexicon CLI stage).
+    """
     segdir = Path(segdir)
     segdir.mkdir(parents=True, exist_ok=True)
     T = seg.num_terms
+    do_fwd = stages in ("all", "forward")
+    do_inv = stages in ("all", "inverted")
 
     # Legacy first-encounter termId order (terms.bin / barrel assignment).
     legacy_ids = seg.legacy_ids
@@ -164,6 +172,18 @@ def write_segment(
         legacy_terms[lid] = seg.terms[si]
         sorted_idx_of_legacy[lid] = si
 
+    if do_fwd:
+        _write_forward_stage(seg, segdir, legacy_ids, legacy_terms, write_forward)
+    if not do_inv:
+        return
+
+    if barrels:
+        _write_barrels_stage(seg, segdir, sorted_idx_of_legacy)
+    else:
+        _write_legacy_stage(seg, segdir, sorted_idx_of_legacy)
+
+
+def _write_forward_stage(seg, segdir, legacy_ids, legacy_terms, write_forward):
     with open(segdir / "docs.bin", "wb") as f:
         _w_u32(f, seg.N)
         titles = seg.titles or [""] * seg.N
@@ -179,7 +199,7 @@ def write_segment(
         _w_f32(f, seg.avgdl)
 
     with open(segdir / "terms.bin", "wb") as f:
-        _w_u32(f, T)
+        _w_u32(f, len(legacy_terms))
         for t in legacy_terms:
             _w_str(f, t or "")
 
@@ -205,7 +225,10 @@ def write_segment(
                 f.write(pairs.astype("<u4").tobytes())
                 pos += c
 
-    if barrels:
+
+def _write_barrels_stage(seg, segdir, sorted_idx_of_legacy):
+    T = seg.num_terms
+    if True:
         terms_per_barrel = max(1, (T + BARREL_COUNT - 1) // BARREL_COUNT)
         with open(segdir / "barrels.bin", "wb") as f:
             _w_u32(f, BARREL_COUNT)
@@ -243,7 +266,11 @@ def write_segment(
             with open(lex_barrel_path(segdir, b), "r+b") as f:
                 f.seek(0)
                 _w_u32(f, counts_b[b])
-    else:
+
+
+def _write_legacy_stage(seg, segdir, sorted_idx_of_legacy):
+    T = seg.num_terms
+    if True:
         # Legacy single lexicon.bin/inverted.bin.
         with open(segdir / "lexicon.bin", "wb") as lf, open(
             segdir / "inverted.bin", "wb"
@@ -360,6 +387,76 @@ def load_segment(
     if with_scores:
         seg.post_score = eager_scores(seg, k1=k1, b=b)
     return seg
+
+
+def load_forward_stage(segdir: str | os.PathLike) -> SegmentArrays:
+    """Rebuild SegmentArrays by inverting forward.bin (the lexicon CLI stage).
+
+    Mirrors src/lexicon.cpp:16-73: reads terms.bin + forward.bin (+ docs/stats
+    for doc metadata) and produces term-major postings sorted by docId.
+    """
+    segdir = Path(segdir)
+
+    r = _Reader(segdir / "stats.bin")
+    N = r.u32()
+    avgdl = r.f32()
+
+    r = _Reader(segdir / "docs.bin")
+    n = r.u32()
+    cord_uids, titles, relpaths = [], [], []
+    doc_len = np.zeros(n, np.int32)
+    for i in range(n):
+        cord_uids.append(r.str_())
+        titles.append(r.str_())
+        relpaths.append(r.str_())
+        doc_len[i] = r.u32()
+
+    r = _Reader(segdir / "terms.bin")
+    T = r.u32()
+    legacy_terms = [r.str_() for _ in range(T)]
+
+    r = _Reader(segdir / "forward.bin")
+    ndocs = r.u32()
+    tid_parts, tf_parts, doc_parts = [], [], []
+    for doc_id in range(ndocs):
+        cnt = r.u32()
+        pairs = np.frombuffer(r.data, dtype="<u4", count=2 * cnt, offset=r.pos)
+        r.pos += 8 * cnt
+        tid_parts.append(pairs[0::2].astype(np.int64))
+        tf_parts.append(pairs[1::2].astype(np.int32))
+        doc_parts.append(np.full(cnt, doc_id, np.int32))
+
+    all_tids = np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
+    all_tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32)
+    all_docs = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int32)
+    keep = all_tids < T  # lexicon.cpp:69 skips out-of-range termIds
+    all_tids, all_tfs, all_docs = all_tids[keep], all_tfs[keep], all_docs[keep]
+
+    sort_order = np.argsort(np.asarray(legacy_terms, dtype=object), kind="stable")
+    terms = [legacy_terms[i] for i in sort_order]
+    rank = np.empty(T, np.int64)
+    rank[sort_order] = np.arange(T)
+
+    post_rank = rank[all_tids]
+    order = np.argsort(post_rank, kind="stable")
+    term_df = np.bincount(post_rank, minlength=T).astype(np.int32)
+    term_offsets = np.zeros(T + 1, np.int64)
+    np.cumsum(term_df, out=term_offsets[1:])
+
+    return SegmentArrays(
+        terms=terms,
+        term_df=term_df,
+        term_offsets=term_offsets,
+        post_doc=all_docs[order].astype(np.int32),
+        post_tf=all_tfs[order].astype(np.int32),
+        doc_len=doc_len,
+        N=N,
+        avgdl=avgdl,
+        cord_uids=cord_uids,
+        titles=titles,
+        relpaths=relpaths,
+        legacy_ids=np.asarray(sort_order, np.int32),
+    )
 
 
 def discover_segments(index_dir: str | os.PathLike) -> List[str]:
