@@ -112,7 +112,7 @@ def main():
     vocab = int(os.environ.get("NEXTSEARCH_BENCH_VOCAB", 50_000))
     batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 64))
     secs = float(os.environ.get("NEXTSEARCH_BENCH_SECS", 10))
-    mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "exact")
+    mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "fused")
 
     from nextsearch_tpu.config import DeviceConfig, EngineConfig
     from nextsearch_tpu.index.segment import DeviceIndex
@@ -125,9 +125,7 @@ def main():
         file=sys.stderr,
     )
 
-    cfg = EngineConfig(
-        device=DeviceConfig(exact_accumulation=(mode == "exact"))
-    )
+    cfg = EngineConfig(device=DeviceConfig(mode=mode))
     di = DeviceIndex([seg], config=cfg)
 
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)

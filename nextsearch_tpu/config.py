@@ -62,10 +62,18 @@ class DeviceConfig:
     posting_block: int = 2048
     # Pad doc axis of per-segment score vectors to a multiple of this.
     doc_pad: int = 128
-    # Accumulate per-term contributions sequentially (bit-exact vs the C++
-    # engine's term-order f32 accumulation) or in one fused scatter (faster,
-    # identical top-k sets in practice, ULP-level score differences possible).
-    exact_accumulation: bool = True
+    # Execution mode:
+    #   "fused"  one scatter-add over all (query, term) chunks + exact f32
+    #            rescore of the top candidates (default; ~1000x faster than
+    #            "exact" at scale, reported scores still bit-exact)
+    #   "exact"  sequential per-term-slot scatters — the C++ engine's f32
+    #            accumulation order end to end (parity oracle mode)
+    #   "fast"   one scatter, no rescore (scores may differ in the last ULP)
+    mode: str = "fused"
+    # Candidate margin for the fused rescore pass (actual K2 = max(2K, this)).
+    rescore_margin: int = 32
+    # Fixed chunk-count buckets for the fused/fast scatter (per batch).
+    chunk_buckets: Tuple[int, ...] = (1024, 4096, 16384, 65536)
     # Mesh axis names: dp shards the query batch, seg shards index segments.
     mesh_axes: Tuple[str, str] = ("dp", "seg")
 

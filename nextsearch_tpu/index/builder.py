@@ -106,13 +106,27 @@ def build_segment_arrays(
     k1: float = 1.2,
     b: float = 0.75,
     with_scores: bool = True,
+    use_native: Optional[bool] = None,
 ) -> SegmentArrays:
     """Build a segment from an iterable of documents.
 
     Each doc dict needs "cord_uid" and either "text" (tokenized here) or
     "tokens" (pre-tokenized, unfiltered); "title"/"relpath" are optional.
     Documents producing zero kept tokens are skipped (ForwardIndex.cpp:153).
+
+    use_native: True/False forces the C++ builder (nextsearch_tpu.native) or
+    the Python path; None auto-selects native when the library is available.
+    Both produce identical arrays (tests/test_native.py).
     """
+    if use_native is not False:
+        from .. import native
+
+        if native.available():
+            try:
+                return _build_native(docs, k1, b, with_scores)
+            except (OSError, AssertionError):
+                if use_native:
+                    raise
     term_to_legacy: Dict[str, int] = {}
     legacy_terms: List[str] = []
 
@@ -205,6 +219,54 @@ def build_segment_arrays(
         titles=titles,
         relpaths=relpaths,
         legacy_ids=np.asarray(sort_order, np.int32),
+    )
+    if with_scores:
+        seg.post_score = eager_scores(seg, k1=k1, b=b)
+    return seg
+
+
+def _build_native(docs, k1, b, with_scores) -> SegmentArrays:
+    """C++ fast path of build_segment_arrays (identical output)."""
+    from .. import native
+
+    builder = native.NativeForwardBuilder()
+    cord_uids: List[str] = []
+    titles: List[str] = []
+    relpaths: List[str] = []
+    try:
+        for doc in docs:
+            text = doc.get("text")
+            if text is None:
+                text = " ".join(doc.get("tokens", ()))
+            dl = builder.add_doc(text)
+            if dl == 0:
+                continue
+            cord_uids.append(doc["cord_uid"])
+            titles.append(doc.get("title", ""))
+            relpaths.append(doc.get("relpath", ""))
+        (
+            terms, legacy_ids, term_df, term_offsets,
+            post_doc, post_tf, doc_len, total_len,
+        ) = builder.finish()
+    finally:
+        builder.close()
+
+    N = len(cord_uids)
+    assert N == doc_len.shape[0]
+    avgdl = float(F32(total_len) / F32(N)) if N else 0.0
+    seg = SegmentArrays(
+        terms=terms,
+        term_df=term_df if terms else np.empty(0, np.int32),
+        term_offsets=term_offsets,
+        post_doc=post_doc if terms else np.empty(0, np.int32),
+        post_tf=post_tf if terms else np.empty(0, np.int32),
+        doc_len=doc_len[:N],
+        N=N,
+        avgdl=avgdl,
+        cord_uids=cord_uids,
+        titles=titles,
+        relpaths=relpaths,
+        legacy_ids=legacy_ids if terms else np.empty(0, np.int32),
     )
     if with_scores:
         seg.post_score = eager_scores(seg, k1=k1, b=b)

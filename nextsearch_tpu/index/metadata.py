@@ -55,6 +55,14 @@ def load_metadata_uid_meta(
     except ValueError:
         return uid_to_meta
 
+    from .. import native
+
+    if native.available():
+        for uid, off, ln in native.scan_csv_offsets_native(data, uid_i):
+            if uid not in uid_to_meta:
+                uid_to_meta[uid] = MetaInfo(off, ln)
+        return uid_to_meta
+
     pos = nl + 1
     end = len(data)
     while pos < end:

@@ -164,7 +164,7 @@ class DeviceIndex:
         Pair with search_batch_gather(); keeping several launches in flight
         hides the host<->device round-trip latency (serving pipeline).
         """
-        from ..ops.bm25 import bm25_topk_exact, bm25_topk_fast
+        from ..ops.bm25 import bm25_topk_exact, bm25_topk_fast, bm25_topk_fused
 
         nq = len(queries)
         if nq == 0 or self.n_docs == 0:
@@ -174,13 +174,14 @@ class DeviceIndex:
         K = min(K, self.n_slots)
         starts, dfs, weights = self.plan(queries)
         block = self.config.device.posting_block
+        mode = self.config.device.mode
 
-        if self.config.device.exact_accumulation:
+        if mode == "exact":
             vals, idx, found = bm25_topk_exact(
                 self.post_doc, self.post_score, starts, dfs, weights,
                 n_slots=self.n_slots, K=K, block=block,
             )
-        else:
+        elif mode == "fast":
             chunk_start, chunk_len, chunk_q, chunk_w = self._chunk_plan(
                 starts, dfs, weights, block
             )
@@ -188,6 +189,17 @@ class DeviceIndex:
                 self.post_doc, self.post_score,
                 chunk_start, chunk_len, chunk_q, chunk_w,
                 n_slots=self.n_slots, K=K, Q=starts.shape[0], block=block,
+            )
+        else:  # fused (default)
+            chunk_start, chunk_len, chunk_q, chunk_w = self._chunk_plan(
+                starts, dfs, weights, block
+            )
+            K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
+            vals, idx, found = bm25_topk_fused(
+                self.post_doc, self.post_score,
+                starts, dfs, weights,
+                chunk_start, chunk_len, chunk_q, chunk_w,
+                n_slots=self.n_slots, K=K, K2=K2, block=block,
             )
         for arr in (vals, idx, found):
             arr.copy_to_host_async()
@@ -226,34 +238,36 @@ class DeviceIndex:
         return self.search_batch_gather(self.search_batch_async(queries, k))
 
     def _chunk_plan(self, starts, dfs, weights, block):
-        """Flatten (query, slot) pairs into fixed-size posting chunks."""
+        """Flatten (query, slot) pairs into fixed-size posting chunks.
+
+        Vectorized host planning; the chunk count is padded to a bucket from
+        config.device.chunk_buckets so the kernel keeps one static shape.
+        """
         Qb, T = starts.shape
-        cs: List[int] = []
-        cl: List[int] = []
-        cq: List[int] = []
-        cw: List[float] = []
-        for qi in range(Qb):
-            for ti in range(T):
-                df = int(dfs[qi, ti])
-                if df == 0:
-                    continue
-                s = int(starts[qi, ti])
-                w = float(weights[qi, ti])
-                for off in range(0, df, block):
-                    cs.append(s + off)
-                    cl.append(min(block, df - off))
-                    cq.append(qi)
-                    cw.append(w)
-        C = _round_up(max(len(cs), 1), 16)
+        qi, ti = np.nonzero(dfs)
+        df = dfs[qi, ti].astype(np.int64)
+        reps = (df + block - 1) // block
+        total = int(reps.sum())
+
+        buckets = self.config.device.chunk_buckets
+        C = _bucket(max(total, 1), buckets)
+        if total > C:  # beyond the largest bucket: round up (rare)
+            C = int(_round_up(total, buckets[0]))
+
         chunk_start = np.zeros(C, np.int32)
         chunk_len = np.zeros(C, np.int32)
         chunk_q = np.full(C, Qb, np.int32)  # out-of-range row -> dropped
         chunk_w = np.zeros(C, np.float32)
-        n = len(cs)
-        chunk_start[:n] = cs
-        chunk_len[:n] = cl
-        chunk_q[:n] = cq
-        chunk_w[:n] = cw
+        if total:
+            cum = np.cumsum(reps)
+            owner = np.searchsorted(cum, np.arange(total), "right")
+            within = np.arange(total) - (cum[owner] - reps[owner])
+            s_rep = starts[qi, ti].astype(np.int64)[owner]
+            df_rep = df[owner]
+            chunk_start[:total] = s_rep + within * block
+            chunk_len[:total] = np.minimum(block, df_rep - within * block)
+            chunk_q[:total] = qi[owner]
+            chunk_w[:total] = weights[qi, ti][owner]
         return chunk_start, chunk_len, chunk_q, chunk_w
 
     # ---------------- result mapping ----------------

@@ -108,6 +108,95 @@ def bm25_topk_fast(
     return vals, idx_out.astype(jnp.int32), found
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_slots", "K", "K2", "block", "bs_steps")
+)
+def bm25_topk_fused(
+    post_doc: jax.Array,  # int32 [P]
+    post_score: jax.Array,  # f32 [P]
+    starts: jax.Array,  # int32 [Q, T] (rescore pass)
+    dfs: jax.Array,  # int32 [Q, T]
+    weights: jax.Array,  # f32 [Q, T]
+    chunk_start: jax.Array,  # int32 [C] (scatter pass)
+    chunk_len: jax.Array,  # int32 [C]
+    chunk_q: jax.Array,  # int32 [C] (Q = padding -> dropped)
+    chunk_w: jax.Array,  # f32 [C]
+    *,
+    n_slots: int,
+    K: int,
+    K2: int,
+    block: int = 2048,
+    bs_steps: int = 24,
+):
+    """Single-launch BM25 top-k: fused scatter + exact candidate rescore.
+
+    Pass 1 accumulates all (query, term) posting chunks in ONE scatter-add
+    into dense per-query scores — ~1000x faster than per-term sequential
+    scatters, but XLA may reorder the f32 adds. Pass 2 therefore exactly
+    rescores the top-K2 candidates: a vectorized binary search finds each
+    (term slot, candidate) posting, and contributions are re-accumulated in
+    term-slot order (the C++ engine's order, src/api_engine.cpp:449-481), so
+    reported scores are bit-exact. Candidates are finally re-ranked by
+    (exact score desc, doc slot asc) — the framework's canonical tie order.
+
+    `found` (matched-doc count) is exact in any order: contributions are all
+    positive, so the scatter result is > 0 iff the doc matched.
+
+    K2 > K guards the candidate boundary against ULP-level reordering in
+    pass 1. Returns (vals f32 [Q, K], idx int32 [Q, K], found int32 [Q]).
+    """
+    Q, T = starts.shape
+    C = chunk_start.shape[0]
+    P = post_doc.shape[0]
+
+    # ---- pass 1: fused scatter over fixed-size chunks ----
+    offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    valid = offs < chunk_len[:, None]
+    idx = jnp.clip(chunk_start[:, None] + offs, 0, max(P - 1, 0))
+    doc = jnp.where(valid, post_doc[idx], n_slots)
+    contrib = jnp.where(valid, chunk_w[:, None] * post_score[idx], jnp.float32(0.0))
+    scores = jnp.zeros((Q, n_slots), jnp.float32)
+    qrow = jnp.broadcast_to(chunk_q[:, None], (C, block))
+    scores = scores.at[qrow, doc].add(contrib, mode="drop")
+
+    found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+    k2 = min(K2, n_slots)
+    fvals, cand = lax.top_k(scores, k2)  # cand: [Q, k2] doc slots
+
+    # ---- pass 2: exact rescore of candidates, term-slot order ----
+    # lower_bound of cand in post_doc[start : start+df) per (q, t, c).
+    s = starts[:, :, None].astype(jnp.int32)  # [Q, T, 1]
+    d = dfs[:, :, None]
+    w = weights[:, :, None]
+    c = cand[:, None, :]  # [Q, 1, k2]
+    lo = jnp.zeros((Q, T, k2), jnp.int32)
+    hi = jnp.broadcast_to(d, (Q, T, k2))
+
+    def bs_step(_i, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
+        go_right = v < c  # lower_bound: advance lo past smaller docs
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
+    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
+    hit = (lo < d) & (post_doc[pos] == c) & (w != 0.0)
+    term_contrib = jnp.where(hit, w * post_score[pos], jnp.float32(0.0))
+
+    def acc_step(t, acc):
+        return acc + lax.dynamic_index_in_dim(term_contrib, t, axis=1, keepdims=False)
+
+    exact = lax.fori_loop(0, T, acc_step, jnp.zeros((Q, k2), jnp.float32))
+
+    # ---- canonical re-rank: (score desc, doc slot asc) ----
+    neg = -exact
+    sort_doc = jnp.where(exact > 0, cand, jnp.int32(2**30))  # dead slots last
+    neg = jnp.where(exact > 0, neg, jnp.float32(jnp.inf))
+    skey, sdoc, sval = lax.sort((neg, sort_doc, exact), num_keys=2)
+    return sval[:, :K], sdoc[:, :K].astype(jnp.int32), found
+
+
 def score_only_exact(post_doc, post_score, starts, dfs, weights, *, n_slots, block=4096):
     """Exact-mode dense scores [Q, n_slots] without top-k (shard-local use)."""
     Q, T = starts.shape

@@ -36,8 +36,10 @@ def multi_seg():
     ]
 
 
-def _check_parity(segs, exact: bool, k: int = 10):
-    cfg = EngineConfig(device=DeviceConfig(exact_accumulation=exact, posting_block=64))
+def _check_parity(segs, mode: str, k: int = 10):
+    cfg = EngineConfig(
+        device=DeviceConfig(mode=mode, posting_block=64, chunk_buckets=(64, 256, 1024))
+    )
     di = DeviceIndex(segs, config=cfg)
     oracle_segs = [s.to_oracle_segment() for s in segs]
     results = di.search_batch(_queries(), k=k)
@@ -48,26 +50,24 @@ def _check_parity(segs, exact: bool, k: int = 10):
         for (o_score, o_seg, o_doc), d_score, d_slot in zip(hits, res.scores, res.doc_slots):
             seg_idx, doc_id = di.locate(int(d_slot))
             assert (seg_idx, doc_id) == (o_seg, o_doc), terms
-            if exact:
+            if mode in ("exact", "fused"):
                 assert np.float32(d_score) == np.float32(o_score), terms
             else:
                 np.testing.assert_allclose(d_score, o_score, rtol=1e-5)
 
 
-def test_single_segment_exact(single_seg):
-    _check_parity(single_seg, exact=True)
+@pytest.mark.parametrize("mode", ["exact", "fused", "fast"])
+def test_single_segment_modes(single_seg, mode):
+    _check_parity(single_seg, mode)
 
 
-def test_single_segment_fast(single_seg):
-    _check_parity(single_seg, exact=False)
+@pytest.mark.parametrize("mode", ["exact", "fused", "fast"])
+def test_multi_segment_modes(multi_seg, mode):
+    _check_parity(multi_seg, mode)
 
 
-def test_multi_segment_exact(multi_seg):
-    _check_parity(multi_seg, exact=True)
-
-
-def test_multi_segment_fast(multi_seg):
-    _check_parity(multi_seg, exact=False)
+def test_fused_k100(multi_seg):
+    _check_parity(multi_seg, "fused", k=100)
 
 
 def test_k_larger_than_matches(single_seg):
