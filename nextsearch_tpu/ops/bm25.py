@@ -108,6 +108,68 @@ def bm25_topk_fast(
     return vals, idx_out.astype(jnp.int32), found
 
 
+def scatter_scores(
+    post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
+    *, Q, n_slots, block,
+):
+    """Pass 1: fused scatter-add of all posting chunks -> dense [Q, n_slots]."""
+    C = chunk_start.shape[0]
+    P = post_doc.shape[0]
+    offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    valid = offs < chunk_len[:, None]
+    idx = jnp.clip(chunk_start[:, None] + offs, 0, max(P - 1, 0))
+    doc = jnp.where(valid, post_doc[idx], n_slots)
+    contrib = jnp.where(valid, chunk_w[:, None] * post_score[idx], jnp.float32(0.0))
+    scores = jnp.zeros((Q, n_slots), jnp.float32)
+    qrow = jnp.broadcast_to(chunk_q[:, None], (C, block))
+    return scores.at[qrow, doc].add(contrib, mode="drop")
+
+
+def exact_rescore(
+    post_doc, post_score, starts, dfs, weights, cand, *, bs_steps=24
+):
+    """Pass 2: bit-exact term-slot-order rescore of candidate doc slots.
+
+    Vectorized lower_bound over each (query, term slot)'s doc-sorted posting
+    range finds the candidate's posting; contributions accumulate in slot
+    order, reproducing the C++ engine's f32 sum (src/api_engine.cpp:449-481).
+    """
+    Q, T = starts.shape
+    k2 = cand.shape[1]
+    P = post_doc.shape[0]
+    s = starts[:, :, None].astype(jnp.int32)
+    d = dfs[:, :, None]
+    w = weights[:, :, None]
+    c = cand[:, None, :]
+    lo = jnp.zeros((Q, T, k2), jnp.int32)
+    hi = jnp.broadcast_to(d, (Q, T, k2))
+
+    def bs_step(_i, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
+        go_right = v < c  # lower_bound: advance lo past smaller docs
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
+    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
+    hit = (lo < d) & (post_doc[pos] == c) & (w != 0.0)
+    term_contrib = jnp.where(hit, w * post_score[pos], jnp.float32(0.0))
+
+    def acc_step(t, acc):
+        return acc + lax.dynamic_index_in_dim(term_contrib, t, axis=1, keepdims=False)
+
+    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, k2), jnp.float32))
+
+
+def canonical_sort(scores, docs):
+    """Order candidates by (score desc, doc slot asc); dead slots last."""
+    neg = jnp.where(scores > 0, -scores, jnp.float32(jnp.inf))
+    sdoc = jnp.where(scores > 0, docs, jnp.int32(2**30))
+    _k, out_doc, out_val = lax.sort((neg, sdoc, scores), num_keys=2)
+    return out_val, out_doc
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_slots", "K", "K2", "block", "bs_steps")
 )
@@ -146,54 +208,17 @@ def bm25_topk_fused(
     pass 1. Returns (vals f32 [Q, K], idx int32 [Q, K], found int32 [Q]).
     """
     Q, T = starts.shape
-    C = chunk_start.shape[0]
-    P = post_doc.shape[0]
-
-    # ---- pass 1: fused scatter over fixed-size chunks ----
-    offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
-    valid = offs < chunk_len[:, None]
-    idx = jnp.clip(chunk_start[:, None] + offs, 0, max(P - 1, 0))
-    doc = jnp.where(valid, post_doc[idx], n_slots)
-    contrib = jnp.where(valid, chunk_w[:, None] * post_score[idx], jnp.float32(0.0))
-    scores = jnp.zeros((Q, n_slots), jnp.float32)
-    qrow = jnp.broadcast_to(chunk_q[:, None], (C, block))
-    scores = scores.at[qrow, doc].add(contrib, mode="drop")
-
+    scores = scatter_scores(
+        post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
+        Q=Q, n_slots=n_slots, block=block,
+    )
     found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
     k2 = min(K2, n_slots)
-    fvals, cand = lax.top_k(scores, k2)  # cand: [Q, k2] doc slots
-
-    # ---- pass 2: exact rescore of candidates, term-slot order ----
-    # lower_bound of cand in post_doc[start : start+df) per (q, t, c).
-    s = starts[:, :, None].astype(jnp.int32)  # [Q, T, 1]
-    d = dfs[:, :, None]
-    w = weights[:, :, None]
-    c = cand[:, None, :]  # [Q, 1, k2]
-    lo = jnp.zeros((Q, T, k2), jnp.int32)
-    hi = jnp.broadcast_to(d, (Q, T, k2))
-
-    def bs_step(_i, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
-        go_right = v < c  # lower_bound: advance lo past smaller docs
-        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
-
-    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
-    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
-    hit = (lo < d) & (post_doc[pos] == c) & (w != 0.0)
-    term_contrib = jnp.where(hit, w * post_score[pos], jnp.float32(0.0))
-
-    def acc_step(t, acc):
-        return acc + lax.dynamic_index_in_dim(term_contrib, t, axis=1, keepdims=False)
-
-    exact = lax.fori_loop(0, T, acc_step, jnp.zeros((Q, k2), jnp.float32))
-
-    # ---- canonical re-rank: (score desc, doc slot asc) ----
-    neg = -exact
-    sort_doc = jnp.where(exact > 0, cand, jnp.int32(2**30))  # dead slots last
-    neg = jnp.where(exact > 0, neg, jnp.float32(jnp.inf))
-    skey, sdoc, sval = lax.sort((neg, sort_doc, exact), num_keys=2)
+    _fvals, cand = lax.top_k(scores, k2)  # cand: [Q, k2] doc slots
+    exact = exact_rescore(
+        post_doc, post_score, starts, dfs, weights, cand, bs_steps=bs_steps
+    )
+    sval, sdoc = canonical_sort(exact, cand)
     return sval[:, :K], sdoc[:, :K].astype(jnp.int32), found
 
 

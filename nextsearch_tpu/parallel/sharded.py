@@ -32,33 +32,59 @@ from ..index.segment import QueryResult, WeightedTerm, _bucket, _round_up
 from ..ops.bm25 import score_only_exact
 
 
-def _sharded_search_fn(mesh: Mesh, n_slots: int, K: int, block: int):
-    """Build the jit'd shard_map search step for a given mesh/static shapes."""
+def _sharded_search_fn(
+    mesh: Mesh, n_slots: int, K: int, block: int, mode: str = "fused", K2: int = 32
+):
+    """Build the jit'd shard_map search step for a given mesh/static shapes.
 
-    def local_step(post_doc, post_score, starts, dfs, weights):
-        # Block shapes: post_* [1, P_shard], starts/dfs/weights [1, Qd, T]
+    Each shard scores its local postings (fused scatter by default), takes a
+    local top-K2, exactly rescores those candidates, and the K2-candidate
+    lists are merged across the seg axis with an all_gather + canonical sort.
+    """
+    from ..ops.bm25 import canonical_sort, exact_rescore, scatter_scores
+
+    def local_step(post_doc, post_score, starts, dfs, weights, cs, cl, cq, cw):
+        # Block shapes: post_* [1, P_shard], plans [1, Qd, T] / [1, C]
         post_doc = post_doc[0]
         post_score = post_score[0]
         starts, dfs, weights = starts[0], dfs[0], weights[0]
-        scores = score_only_exact(
-            post_doc, post_score, starts, dfs, weights, n_slots=n_slots, block=block
-        )  # [Qd, n_slots]
-        vals, idx = lax.top_k(scores, K)
-        shard_id = lax.axis_index("seg")
-        gidx = idx.astype(jnp.int32) + shard_id * n_slots
+        Qd = starts.shape[0]
+        if mode == "exact":
+            scores = score_only_exact(
+                post_doc, post_score, starts, dfs, weights,
+                n_slots=n_slots, block=block,
+            )
+            k2 = min(K, n_slots)
+            vals, idx = lax.top_k(scores, k2)
+        else:
+            scores = scatter_scores(
+                post_doc, post_score, cs[0, 0], cl[0, 0], cq[0, 0], cw[0, 0],
+                Q=Qd, n_slots=n_slots, block=block,
+            )
+            k2 = min(K2, n_slots)
+            _fv, idx = lax.top_k(scores, k2)
+            exact = exact_rescore(
+                post_doc, post_score, starts, dfs, weights, idx.astype(jnp.int32)
+            )
+            vals, idx = canonical_sort(exact, idx.astype(jnp.int32))
         found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
 
-        # Merge across the seg axis: gather all shards' candidates, re-top-K.
-        all_vals = lax.all_gather(vals, "seg", axis=0)  # [S, Qd, K]
+        shard_id = lax.axis_index("seg")
+        gidx = jnp.where(
+            vals > 0, idx.astype(jnp.int32) + shard_id * n_slots, jnp.int32(2**30)
+        )
+
+        # Merge across the seg axis: gather all shards' candidates, re-rank
+        # canonically by (score desc, global slot asc).
+        all_vals = lax.all_gather(vals, "seg", axis=0)  # [S, Qd, k2]
         all_idx = lax.all_gather(gidx, "seg", axis=0)
         S = all_vals.shape[0]
-        qd = all_vals.shape[1]
-        cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qd, S * K)
-        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qd, S * K)
-        mvals, mpos = lax.top_k(cat_vals, K)  # ties -> earliest shard ✓
-        midx = jnp.take_along_axis(cat_idx, mpos, axis=1)
+        cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(Qd, S * k2)
+        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(Qd, S * k2)
+        mvals, midx = canonical_sort(cat_vals, cat_idx)
         total_found = lax.psum(found, "seg")
-        return mvals[None], midx[None], total_found[None]
+        k_out = min(K, S * k2)
+        return mvals[None, :, :k_out], midx[None, :, :k_out], total_found[None]
 
     from jax import shard_map
 
@@ -71,13 +97,19 @@ def _sharded_search_fn(mesh: Mesh, n_slots: int, K: int, block: int):
             P("seg", "dp", None),  # starts  [S, Q, T]
             P("seg", "dp", None),
             P("seg", "dp", None),
+            P("seg", "dp", None),  # chunk_start [S, DP, C] (local q rows)
+            P("seg", "dp", None),
+            P("seg", "dp", None),
+            P("seg", "dp", None),
         ),
         out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
         check_vma=False,
     )
 
-    def step(post_doc, post_score, starts, dfs, weights):
-        vals, idx, found = fn(post_doc, post_score, starts, dfs, weights)
+    def step(post_doc, post_score, starts, dfs, weights, cs, cl, cq, cw):
+        vals, idx, found = fn(
+            post_doc, post_score, starts, dfs, weights, cs, cl, cq, cw
+        )
         return vals[0], idx[0], found[0]
 
     return jax.jit(step)
@@ -207,6 +239,48 @@ class ShardedIndex:
                     weights[si, qi, ti] = w
         return starts, dfs, weights
 
+    def _chunk_plan(self, starts, dfs, weights, block):
+        """Per-(shard, dp-group) chunk arrays [S, DP, C] with LOCAL q rows."""
+        S, Qb, T = starts.shape
+        DP = self.dp
+        Qd = Qb // DP
+        buckets = self.config.device.chunk_buckets
+
+        per = []
+        total_max = 1
+        for si in range(S):
+            for g in range(DP):
+                sub_df = dfs[si, g * Qd : (g + 1) * Qd]
+                qi, ti = np.nonzero(sub_df)
+                df = sub_df[qi, ti].astype(np.int64)
+                reps = (df + block - 1) // block
+                per.append((si, g, qi, ti, df, reps))
+                total_max = max(total_max, int(reps.sum()))
+        C = _bucket(total_max, buckets)
+        if total_max > C:
+            C = int(_round_up(total_max, buckets[0]))
+
+        cs = np.zeros((S, DP, C), np.int32)
+        cl = np.zeros((S, DP, C), np.int32)
+        cq = np.full((S, DP, C), Qd, np.int32)  # out of local range -> drop
+        cw = np.zeros((S, DP, C), np.float32)
+        for si, g, qi, ti, df, reps in per:
+            total = int(reps.sum())
+            if not total:
+                continue
+            cum = np.cumsum(reps)
+            owner = np.searchsorted(cum, np.arange(total), "right")
+            within = np.arange(total) - (cum[owner] - reps[owner])
+            sub_starts = starts[si, g * Qd : (g + 1) * Qd]
+            sub_w = weights[si, g * Qd : (g + 1) * Qd]
+            s_rep = sub_starts[qi, ti].astype(np.int64)[owner]
+            df_rep = df[owner]
+            cs[si, g, :total] = s_rep + within * block
+            cl[si, g, :total] = np.minimum(block, df_rep - within * block)
+            cq[si, g, :total] = qi[owner]
+            cw[si, g, :total] = sub_w[qi, ti][owner]
+        return cs, cl, cq, cw
+
     # ---------------- execution ----------------
 
     def search_batch(
@@ -217,13 +291,19 @@ class ShardedIndex:
             return [QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)] * nq
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.shard_capacity)
+        mode = self.config.device.mode
+        block = self.config.device.posting_block
         starts, dfs, weights = self.plan(queries)
+        cs, cl, cq, cw = self._chunk_plan(starts, dfs, weights, block)
+        K2 = min(
+            max(2 * K, self.config.device.rescore_margin), self.shard_capacity
+        )
 
-        key = (K, starts.shape[1], starts.shape[2])
+        key = (K, K2, mode, starts.shape[1], starts.shape[2], cs.shape[2])
         fn = self._fns.get(key)
         if fn is None:
             fn = _sharded_search_fn(
-                self.mesh, self.shard_capacity, K, self.config.device.posting_block
+                self.mesh, self.shard_capacity, K, block, mode=mode, K2=K2
             )
             self._fns[key] = fn
 
@@ -231,8 +311,11 @@ class ShardedIndex:
         starts = jax.device_put(starts, plan_spec)
         dfs = jax.device_put(dfs, plan_spec)
         weights = jax.device_put(weights, plan_spec)
+        cs, cl, cq, cw = (
+            jax.device_put(x, plan_spec) for x in (cs, cl, cq, cw)
+        )
         vals, idx, found = jax.device_get(
-            fn(self.post_doc, self.post_score, starts, dfs, weights)
+            fn(self.post_doc, self.post_score, starts, dfs, weights, cs, cl, cq, cw)
         )
 
         out = []

@@ -1,0 +1,84 @@
+"""Hybrid BM25 + dense rerank tests (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+from nextsearch_tpu.index.builder import build_segment_arrays
+from nextsearch_tpu.index.segment import DeviceIndex
+from nextsearch_tpu.models.hybrid import HybridIndex
+from nextsearch_tpu.models.semantic import SemanticIndex
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # Two topic clusters; doc d2 is lexically weaker but semantically closer.
+    docs = [
+        {"cord_uid": "d0", "text": "covid covid vaccine trial"},
+        {"cord_uid": "d1", "text": "covid banana smoothie recipe"},
+        {"cord_uid": "d2", "text": "covid corona virus outbreak"},
+        {"cord_uid": "d3", "text": "banana apple fruit salad"},
+    ]
+    seg = build_segment_arrays(docs)
+    di = DeviceIndex([seg])
+
+    rng = np.random.default_rng(11)
+    base_med = rng.normal(size=16).astype(np.float32)
+    base_food = rng.normal(size=16).astype(np.float32)
+
+    def near(v, eps=0.15):
+        return v + eps * rng.normal(size=16).astype(np.float32)
+
+    terms = ["covid", "corona", "virus", "vaccine", "trial", "outbreak",
+             "banana", "apple", "fruit", "smoothie", "recipe", "salad"]
+    vecs = np.stack([
+        base_med, near(base_med), near(base_med), near(base_med),
+        near(base_med), near(base_med),
+        base_food, near(base_food), near(base_food), near(base_food),
+        near(base_food), near(base_food),
+    ])
+    sem = SemanticIndex()
+    assert sem.load_from_arrays(terms, vecs)
+    return di, sem
+
+
+def test_rerank_promotes_semantic_match(setup):
+    di, sem = setup
+    # beta=0: pure dense rerank of BM25 candidates
+    hy = HybridIndex(di, sem, beta=0.0)
+    q = [[("covid", 1.0), ("virus", 1.0)]]
+    bm = di.search_batch(q, k=4)[0]
+    hres = hy.search_batch(q, k=4, candidates=4)[0]
+    assert hres.found == bm.found
+    assert set(hres.doc_slots.tolist()) == set(bm.doc_slots.tolist())
+    # d1 (banana smoothie) must sink below the medical docs under dense rerank
+    order = hres.doc_slots.tolist()
+    assert order.index(1) > order.index(2)
+
+
+def test_beta_one_matches_bm25_ranking(setup):
+    di, sem = setup
+    hy = HybridIndex(di, sem, beta=1.0)
+    q = [[("covid", 1.0)]]
+    bm = di.search_batch(q, k=3)[0]
+    hres = hy.search_batch(q, k=3, candidates=4)[0]
+    assert hres.doc_slots.tolist() == bm.doc_slots.tolist()
+    # hybrid score = bm25 / max_bm25 when beta=1
+    np.testing.assert_allclose(
+        hres.scores, bm.scores / bm.scores.max(), rtol=1e-6
+    )
+
+
+def test_hybrid_scores_sorted_and_bounded(setup):
+    di, sem = setup
+    hy = HybridIndex(di, sem, beta=0.5)
+    res = hy.search_batch([[("covid", 1.0), ("banana", 1.0)]], k=4)[0]
+    s = res.scores
+    assert np.all(np.diff(s) <= 0)
+    assert np.all(s <= 1.0 + 1e-6) and np.all(s >= 0)
+
+
+def test_no_candidates(setup):
+    di, sem = setup
+    hy = HybridIndex(di, sem, beta=0.5)
+    res = hy.search_batch([[("zzz", 1.0)]], k=4)[0]
+    assert res.found == 0 and len(res.scores) == 0

@@ -39,10 +39,18 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("dp,seg", [(1, 8), (2, 4), (4, 2)])
-def test_sharded_matches_oracle(segs, dp, seg):
+@pytest.mark.parametrize(
+    "dp,seg,mode",
+    [(1, 8, "fused"), (2, 4, "fused"), (4, 2, "fused"), (2, 4, "exact")],
+)
+def test_sharded_matches_oracle(segs, dp, seg, mode):
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg = EngineConfig(
+        device=DeviceConfig(mode=mode, posting_block=64, chunk_buckets=(64, 256))
+    )
     mesh = make_mesh(dp=dp, seg=seg)
-    si = ShardedIndex(segs, mesh)
+    si = ShardedIndex(segs, mesh, config=cfg)
     # shard ranges must partition [0, n_segs)
     covered = []
     for lo, hi in si.shard_seg_ranges:
