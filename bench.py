@@ -125,7 +125,10 @@ def main():
         file=sys.stderr,
     )
 
-    cfg = EngineConfig(device=DeviceConfig(mode=mode))
+    # Pin a single chunk-budget bucket: every batch then hits one compiled
+    # shape (a fresh bucket costs a full XLA compile on the tunneled TPU).
+    chunks = int(os.environ.get("NEXTSEARCH_BENCH_CHUNKS", 16384))
+    cfg = EngineConfig(device=DeviceConfig(mode=mode, chunk_buckets=(chunks,)))
     di = DeviceIndex([seg], config=cfg)
 
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)

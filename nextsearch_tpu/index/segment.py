@@ -191,15 +191,12 @@ class DeviceIndex:
                 n_slots=self.n_slots, K=K, Q=starts.shape[0], block=block,
             )
         else:  # fused (default)
-            chunk_start, chunk_len, chunk_q, chunk_w = self._chunk_plan(
-                starts, dfs, weights, block
-            )
             K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
+            C = self._chunk_budget(dfs, block)
             vals, idx, found = bm25_topk_fused(
                 self.post_doc, self.post_score,
                 starts, dfs, weights,
-                chunk_start, chunk_len, chunk_q, chunk_w,
-                n_slots=self.n_slots, K=K, K2=K2, block=block,
+                n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             )
         for arr in (vals, idx, found):
             arr.copy_to_host_async()
@@ -236,6 +233,15 @@ class DeviceIndex:
     ) -> List[QueryResult]:
         """Run one batched BM25 top-k kernel for all queries (blocking)."""
         return self.search_batch_gather(self.search_batch_async(queries, k))
+
+    def _chunk_budget(self, dfs, block) -> int:
+        """Static chunk count C for this batch (device expansion never drops)."""
+        total = int(np.sum((dfs.astype(np.int64) + block - 1) // block))
+        buckets = self.config.device.chunk_buckets
+        C = _bucket(max(total, 1), buckets)
+        if total > C:
+            C = int(_round_up(total, buckets[0]))
+        return C
 
     def _chunk_plan(self, starts, dfs, weights, block):
         """Flatten (query, slot) pairs into fixed-size posting chunks.

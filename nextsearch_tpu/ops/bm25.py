@@ -108,6 +108,36 @@ def bm25_topk_fast(
     return vals, idx_out.astype(jnp.int32), found
 
 
+def expand_chunks(starts, dfs, weights, *, C, block):
+    """Expand (query, term-slot) ranges into C fixed-size chunks ON DEVICE.
+
+    Keeps per-batch host->device traffic to the [Q, T] plan arrays (~KBs);
+    the chunk table (start, len, owning query, weight) is derived with a
+    cumsum + searchsorted. The host picks C (a static bucket) from the same
+    dfs, so no chunk is ever dropped. Slots with df=0 produce no chunks.
+    """
+    Q, T = starts.shape
+    s_flat = starts.reshape(-1)
+    df_flat = dfs.reshape(-1)
+    w_flat = weights.reshape(-1)
+    S = Q * T
+    reps = (df_flat + (block - 1)) // block  # [S]
+    cum = jnp.cumsum(reps)
+    total = cum[-1]
+    cidx = lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+    owner = jnp.searchsorted(cum, cidx, side="right").astype(jnp.int32)
+    ownerc = jnp.clip(owner, 0, S - 1)
+    within = cidx - (cum[ownerc] - reps[ownerc])
+    live = cidx < total
+    chunk_start = s_flat[ownerc] + within * block
+    chunk_len = jnp.where(
+        live, jnp.minimum(block, df_flat[ownerc] - within * block), 0
+    )
+    chunk_q = jnp.where(live, ownerc // T, Q)  # Q = out of range -> dropped
+    chunk_w = w_flat[ownerc]
+    return chunk_start, chunk_len, chunk_q.astype(jnp.int32), chunk_w
+
+
 def scatter_scores(
     post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
     *, Q, n_slots, block,
@@ -171,22 +201,19 @@ def canonical_sort(scores, docs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_slots", "K", "K2", "block", "bs_steps")
+    jax.jit, static_argnames=("n_slots", "K", "K2", "C", "block", "bs_steps")
 )
 def bm25_topk_fused(
     post_doc: jax.Array,  # int32 [P]
     post_score: jax.Array,  # f32 [P]
-    starts: jax.Array,  # int32 [Q, T] (rescore pass)
+    starts: jax.Array,  # int32 [Q, T]
     dfs: jax.Array,  # int32 [Q, T]
     weights: jax.Array,  # f32 [Q, T]
-    chunk_start: jax.Array,  # int32 [C] (scatter pass)
-    chunk_len: jax.Array,  # int32 [C]
-    chunk_q: jax.Array,  # int32 [C] (Q = padding -> dropped)
-    chunk_w: jax.Array,  # f32 [C]
     *,
     n_slots: int,
     K: int,
     K2: int,
+    C: int,
     block: int = 2048,
     bs_steps: int = 24,
 ):
@@ -208,6 +235,9 @@ def bm25_topk_fused(
     pass 1. Returns (vals f32 [Q, K], idx int32 [Q, K], found int32 [Q]).
     """
     Q, T = starts.shape
+    chunk_start, chunk_len, chunk_q, chunk_w = expand_chunks(
+        starts, dfs, weights, C=C, block=block
+    )
     scores = scatter_scores(
         post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
         Q=Q, n_slots=n_slots, block=block,

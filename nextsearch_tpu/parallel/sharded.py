@@ -33,18 +33,30 @@ from ..ops.bm25 import score_only_exact
 
 
 def _sharded_search_fn(
-    mesh: Mesh, n_slots: int, K: int, block: int, mode: str = "fused", K2: int = 32
+    mesh: Mesh,
+    n_slots: int,
+    K: int,
+    block: int,
+    mode: str = "fused",
+    K2: int = 32,
+    C: int = 1024,
 ):
     """Build the jit'd shard_map search step for a given mesh/static shapes.
 
-    Each shard scores its local postings (fused scatter by default), takes a
-    local top-K2, exactly rescores those candidates, and the K2-candidate
-    lists are merged across the seg axis with an all_gather + canonical sort.
+    Each shard expands its (query, term) plan into posting chunks on device,
+    scores them with the fused scatter, takes a local top-K2, exactly
+    rescores those candidates, and the K2-candidate lists are merged across
+    the seg axis with an all_gather + canonical sort.
     """
-    from ..ops.bm25 import canonical_sort, exact_rescore, scatter_scores
+    from ..ops.bm25 import (
+        canonical_sort,
+        exact_rescore,
+        expand_chunks,
+        scatter_scores,
+    )
 
-    def local_step(post_doc, post_score, starts, dfs, weights, cs, cl, cq, cw):
-        # Block shapes: post_* [1, P_shard], plans [1, Qd, T] / [1, C]
+    def local_step(post_doc, post_score, starts, dfs, weights):
+        # Block shapes: post_* [1, P_shard], plans [1, Qd, T]
         post_doc = post_doc[0]
         post_score = post_score[0]
         starts, dfs, weights = starts[0], dfs[0], weights[0]
@@ -57,8 +69,9 @@ def _sharded_search_fn(
             k2 = min(K, n_slots)
             vals, idx = lax.top_k(scores, k2)
         else:
+            cs, cl, cq, cw = expand_chunks(starts, dfs, weights, C=C, block=block)
             scores = scatter_scores(
-                post_doc, post_score, cs[0, 0], cl[0, 0], cq[0, 0], cw[0, 0],
+                post_doc, post_score, cs, cl, cq, cw,
                 Q=Qd, n_slots=n_slots, block=block,
             )
             k2 = min(K2, n_slots)
@@ -97,19 +110,13 @@ def _sharded_search_fn(
             P("seg", "dp", None),  # starts  [S, Q, T]
             P("seg", "dp", None),
             P("seg", "dp", None),
-            P("seg", "dp", None),  # chunk_start [S, DP, C] (local q rows)
-            P("seg", "dp", None),
-            P("seg", "dp", None),
-            P("seg", "dp", None),
         ),
         out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
         check_vma=False,
     )
 
-    def step(post_doc, post_score, starts, dfs, weights, cs, cl, cq, cw):
-        vals, idx, found = fn(
-            post_doc, post_score, starts, dfs, weights, cs, cl, cq, cw
-        )
+    def step(post_doc, post_score, starts, dfs, weights):
+        vals, idx, found = fn(post_doc, post_score, starts, dfs, weights)
         return vals[0], idx[0], found[0]
 
     return jax.jit(step)
@@ -239,47 +246,19 @@ class ShardedIndex:
                     weights[si, qi, ti] = w
         return starts, dfs, weights
 
-    def _chunk_plan(self, starts, dfs, weights, block):
-        """Per-(shard, dp-group) chunk arrays [S, DP, C] with LOCAL q rows."""
-        S, Qb, T = starts.shape
+    def _chunk_budget(self, dfs, block) -> int:
+        """Static per-device chunk count: max over (shard, dp-group) totals."""
+        S, Qb, T = dfs.shape
         DP = self.dp
         Qd = Qb // DP
+        reps = (dfs.astype(np.int64) + block - 1) // block
+        reps = reps.reshape(S, DP, Qd * T).sum(axis=2)
+        total_max = max(int(reps.max(initial=0)), 1)
         buckets = self.config.device.chunk_buckets
-
-        per = []
-        total_max = 1
-        for si in range(S):
-            for g in range(DP):
-                sub_df = dfs[si, g * Qd : (g + 1) * Qd]
-                qi, ti = np.nonzero(sub_df)
-                df = sub_df[qi, ti].astype(np.int64)
-                reps = (df + block - 1) // block
-                per.append((si, g, qi, ti, df, reps))
-                total_max = max(total_max, int(reps.sum()))
         C = _bucket(total_max, buckets)
         if total_max > C:
             C = int(_round_up(total_max, buckets[0]))
-
-        cs = np.zeros((S, DP, C), np.int32)
-        cl = np.zeros((S, DP, C), np.int32)
-        cq = np.full((S, DP, C), Qd, np.int32)  # out of local range -> drop
-        cw = np.zeros((S, DP, C), np.float32)
-        for si, g, qi, ti, df, reps in per:
-            total = int(reps.sum())
-            if not total:
-                continue
-            cum = np.cumsum(reps)
-            owner = np.searchsorted(cum, np.arange(total), "right")
-            within = np.arange(total) - (cum[owner] - reps[owner])
-            sub_starts = starts[si, g * Qd : (g + 1) * Qd]
-            sub_w = weights[si, g * Qd : (g + 1) * Qd]
-            s_rep = sub_starts[qi, ti].astype(np.int64)[owner]
-            df_rep = df[owner]
-            cs[si, g, :total] = s_rep + within * block
-            cl[si, g, :total] = np.minimum(block, df_rep - within * block)
-            cq[si, g, :total] = qi[owner]
-            cw[si, g, :total] = sub_w[qi, ti][owner]
-        return cs, cl, cq, cw
+        return C
 
     # ---------------- execution ----------------
 
@@ -294,16 +273,16 @@ class ShardedIndex:
         mode = self.config.device.mode
         block = self.config.device.posting_block
         starts, dfs, weights = self.plan(queries)
-        cs, cl, cq, cw = self._chunk_plan(starts, dfs, weights, block)
+        C = self._chunk_budget(dfs, block)
         K2 = min(
             max(2 * K, self.config.device.rescore_margin), self.shard_capacity
         )
 
-        key = (K, K2, mode, starts.shape[1], starts.shape[2], cs.shape[2])
+        key = (K, K2, mode, C, starts.shape[1], starts.shape[2])
         fn = self._fns.get(key)
         if fn is None:
             fn = _sharded_search_fn(
-                self.mesh, self.shard_capacity, K, block, mode=mode, K2=K2
+                self.mesh, self.shard_capacity, K, block, mode=mode, K2=K2, C=C
             )
             self._fns[key] = fn
 
@@ -311,11 +290,8 @@ class ShardedIndex:
         starts = jax.device_put(starts, plan_spec)
         dfs = jax.device_put(dfs, plan_spec)
         weights = jax.device_put(weights, plan_spec)
-        cs, cl, cq, cw = (
-            jax.device_put(x, plan_spec) for x in (cs, cl, cq, cw)
-        )
         vals, idx, found = jax.device_get(
-            fn(self.post_doc, self.post_score, starts, dfs, weights, cs, cl, cq, cw)
+            fn(self.post_doc, self.post_score, starts, dfs, weights)
         )
 
         out = []
