@@ -1,0 +1,185 @@
+"""Evaluation harness for the five BASELINE.md configs.
+
+Runs each configuration on synthetic CORD-shaped corpora (no real CORD-19
+data ships in this environment; tools/make_synthetic.py layout), checks
+recall@10 parity against the NumPy oracle where the config demands it, and
+measures throughput. Writes one JSON object per config to EVAL.json.
+
+  1. single segment ~5k docs, single-term BM25 top-10
+  2. multi-term queries + BM25 merge, ~50k docs
+  3. multi-segment (scaled stand-in for ~1M docs), batched top-k with
+     cross-segment merge (set NEXTSEARCH_EVAL_FULL=1 for the real 1M build)
+  4. autocomplete prefix-range + lazy metadata gather at high QPS
+  5. hybrid retrieval: BM25 candidates + dense rerank fused on TPU
+
+Usage: python benchmarks/eval_configs.py [--out EVAL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+
+from bench import build_corpus, sample_queries  # noqa: E402
+from nextsearch_tpu.index.oracle import oracle_search  # noqa: E402
+from nextsearch_tpu.index.segment import DeviceIndex  # noqa: E402
+from nextsearch_tpu.models.autocomplete import AutocompleteIndex  # noqa: E402
+from nextsearch_tpu.models.hybrid import HybridIndex  # noqa: E402
+from nextsearch_tpu.models.semantic import SemanticIndex  # noqa: E402
+
+
+def _recall_check(di, seg, queries, k=10, n_check=20):
+    """Exact recall@k + score parity vs the oracle on a query sample."""
+    oracle_segs = [seg.to_oracle_segment()]
+    sample = queries[:n_check]
+    results = di.search_batch(sample, k=k)
+    for terms, res in zip(sample, results):
+        hits, found = oracle_search(oracle_segs, terms, k=k)
+        assert res.found == found, terms
+        assert len(res.scores) == len(hits), terms
+        for (o_s, _o_seg, o_doc), d_s, d_slot in zip(hits, res.scores, res.doc_slots):
+            assert di.locate(int(d_slot))[1] == o_doc, terms
+            assert np.float32(d_s) == np.float32(o_s), terms
+    return True
+
+
+def _throughput(di, batches, k=10, secs=6.0, depth=4):
+    di.search_batch(batches[0], k=k)  # warm
+    n_done = 0
+    i = 0
+    window = []
+    t0 = time.time()
+    while time.time() - t0 < secs or not n_done:
+        window.append(di.search_batch_async(batches[i % len(batches)], k=k))
+        if len(window) > depth:
+            di.search_batch_gather(window.pop(0))
+            n_done += len(batches[0])
+        i += 1
+    while window:
+        di.search_batch_gather(window.pop(0))
+        n_done += len(batches[0])
+    return n_done / (time.time() - t0)
+
+
+def config1():
+    seg, probs = build_corpus(5_000, 5_000, seed=1)
+    di = DeviceIndex([seg])
+    rng = np.random.default_rng(1)
+    queries = [
+        [(f"t{t:06d}", 1.0)]
+        for t in rng.choice(5_000, size=256, p=probs)
+    ]
+    _recall_check(di, seg, queries)
+    batches = [queries[i : i + 64] for i in range(0, 256, 64)]
+    qps = _throughput(di, batches)
+    return {"config": 1, "docs": 5_000, "parity": True, "qps": round(qps, 1)}
+
+
+def config2():
+    seg, probs = build_corpus(50_000, 30_000, seed=2)
+    di = DeviceIndex([seg])
+    batches = sample_queries(probs, 256, 64, seed=2)
+    queries = [q for b in batches for q in b]
+    _recall_check(di, seg, queries)
+    qps = _throughput(di, batches)
+    return {"config": 2, "docs": 50_000, "parity": True, "qps": round(qps, 1)}
+
+
+def config3():
+    full = os.environ.get("NEXTSEARCH_EVAL_FULL") == "1"
+    n_per_seg = 250_000 if full else 25_000
+    n_segs = 4
+    segs = [build_corpus(n_per_seg, 40_000, seed=10 + i)[0] for i in range(n_segs)]
+    probs = 1.0 / np.arange(1, 40_000 + 1) ** 1.07
+    probs /= probs.sum()
+    di = DeviceIndex(segs)
+    batches = sample_queries(probs, 256, 64, seed=3)
+    # parity across the multi-segment merge
+    oracle_segs = [s.to_oracle_segment() for s in segs]
+    for terms in batches[0][:10]:
+        hits, found = oracle_search(oracle_segs, terms, k=10)
+        res = di.search_batch([terms], k=10)[0]
+        assert res.found == found
+        for (o_s, o_seg, o_doc), d_s, d_slot in zip(hits, res.scores, res.doc_slots):
+            assert di.locate(int(d_slot)) == (o_seg, o_doc)
+            assert np.float32(d_s) == np.float32(o_s)
+    qps = _throughput(di, batches)
+    return {
+        "config": 3, "docs": n_per_seg * n_segs, "segments": n_segs,
+        "parity": True, "qps": round(qps, 1),
+    }
+
+
+def config4():
+    seg, probs = build_corpus(20_000, 30_000, seed=4)
+    ac = AutocompleteIndex()
+    ac.build(
+        {t: int(df) for t, df in zip(seg.terms, seg.term_df)}, 10
+    )
+    rng = np.random.default_rng(4)
+    prefixes = [f"t{rng.integers(0, 9)}" for _ in range(64)]
+    ac.suggest_batch(prefixes, 10)  # warm
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < 5.0:
+        ac.suggest_batch(prefixes, 10)
+        n += len(prefixes)
+    qps = n / (time.time() - t0)
+    return {
+        "config": 4, "terms": len(ac.terms), "qps": round(qps, 1),
+        "target_qps": 1000, "meets_target": qps >= 1000,
+    }
+
+
+def config5():
+    seg, probs = build_corpus(20_000, 10_000, seed=5)
+    di = DeviceIndex([seg])
+    rng = np.random.default_rng(5)
+    dim = 64
+    sem = SemanticIndex()
+    sem.load_from_arrays(
+        seg.terms, rng.normal(size=(len(seg.terms), dim)).astype(np.float32)
+    )
+    hy = HybridIndex(di, sem, beta=0.5)
+    batches = sample_queries(probs, 256, 64, seed=5)
+    hy.search_batch(batches[0], k=10, candidates=100)  # warm
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < 5.0:
+        hy.search_batch(batches[n // 64 % len(batches)], k=10, candidates=100)
+        n += 64
+    qps = n / (time.time() - t0)
+    return {"config": 5, "docs": 20_000, "qps": round(qps, 1)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="EVAL.json")
+    p.add_argument("--configs", default="1,2,3,4,5")
+    args = p.parse_args(argv)
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    results = []
+    for c in (int(x) for x in args.configs.split(",")):
+        t0 = time.time()
+        r = fns[c]()
+        r["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

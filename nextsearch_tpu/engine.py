@@ -35,6 +35,7 @@ from .index.segment import DeviceIndex
 from .index.segmentio import discover_segments, load_segment
 from .models.autocomplete import AutocompleteIndex
 from .models.semantic import SemanticIndex
+from .utils.profiling import GLOBAL_TRACER, device_trace
 from .utils.textutil import filter_terms, tokenize
 
 EMBEDDING_CANDIDATES = (
@@ -94,12 +95,14 @@ class Engine:
             if not seg_names:
                 return False
 
+            from .index.artifacts import load_segment_cached
+
             loaded = []
             for name in seg_names:
                 segdir = self.index_dir / "segments" / name
                 try:
                     loaded.append(
-                        load_segment(
+                        load_segment_cached(
                             segdir,
                             k1=self.config.bm25.k1,
                             b=self.config.bm25.b,
@@ -211,7 +214,8 @@ class Engine:
                 if not base_terms or self.index is None or not self.seg_names:
                     out[i] = res  # early return shape: no "found", not cached
                     continue
-                qterms_w = self._weighted_terms(base_terms)
+                with GLOBAL_TRACER.span("search.expand"):
+                    qterms_w = self._weighted_terms(base_terms)
                 if not qterms_w:
                     out[i] = res
                     continue
@@ -219,9 +223,10 @@ class Engine:
 
             if pending:
                 kmax = max(p[2] for p in pending)
-                results = self.index.search_batch(
-                    [p[3] for p in pending], k=kmax
-                )
+                with GLOBAL_TRACER.span("search.device"), device_trace("search"):
+                    results = self.index.search_batch(
+                        [p[3] for p in pending], k=kmax
+                    )
                 for (i, query, K, _), qres in zip(pending, results):
                     res = {
                         "query": query,
