@@ -72,6 +72,15 @@ class DeviceConfig:
     mode: str = "fused"
     # Candidate margin for the fused rescore pass (actual K2 = max(2K, this)).
     rescore_margin: int = 32
+    # Hybrid posting representation: terms with df >= n_slots * this ratio
+    # get a precomputed DENSE score row; query-time contribution is then one
+    # MXU matmul over the batch's unique heavy rows instead of a scatter of
+    # huge posting lists. 0 disables dense rows.
+    dense_df_ratio: float = 1 / 16
+    # Cap on dense rows (highest-df terms win); bounds HBM cost.
+    dense_max_rows: int = 4096
+    # Unique-heavy-row buckets per batch (static matmul shapes).
+    heavy_buckets: Tuple[int, ...] = (8, 32, 128, 256)
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     chunk_buckets: Tuple[int, ...] = (1024, 4096, 16384, 65536)
     # Mesh axis names: dp shards the query batch, seg shards index segments.

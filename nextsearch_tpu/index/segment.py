@@ -84,16 +84,32 @@ class DeviceIndex:
         self.n_docs = base
         self.n_slots = max(_round_up(base, config.device.doc_pad), config.device.doc_pad)
 
-        # Host lexicons: term -> (global posting start, df) per segment.
-        self.lex: List[Dict[str, Tuple[int, int]]] = []
+        # Host lexicons: term -> (global posting start, df, dense_row_id)
+        # per segment. Terms with df >= dense threshold additionally get a
+        # precomputed dense score row (hybrid posting representation): their
+        # query-time contribution becomes one MXU matmul instead of a
+        # scatter over a huge posting list.
+        dcfg = config.device
+        self.dense_threshold = (
+            max(1, int(self.n_slots * dcfg.dense_df_ratio))
+            if dcfg.dense_df_ratio > 0
+            else (1 << 62)
+        )
+
+        self.lex: List[Dict[str, Tuple[int, int, int]]] = []
         post_doc_parts: List[np.ndarray] = []
         post_score_parts: List[np.ndarray] = []
+        heavy: List[Tuple[int, int, int, int]] = []  # (df, seg_idx, term_i, start)
         pbase = 0
-        for seg, dbase in zip(self.segments, self.doc_bases):
-            lex: Dict[str, Tuple[int, int]] = {}
+        for seg_i, (seg, dbase) in enumerate(zip(self.segments, self.doc_bases)):
+            lex: Dict[str, Tuple[int, int, int]] = {}
             offs = seg.term_offsets
             for i, t in enumerate(seg.terms):
-                lex[t] = (pbase + int(offs[i]), int(seg.term_df[i]))
+                df = int(seg.term_df[i])
+                start = pbase + int(offs[i])
+                lex[t] = (start, df, -1)
+                if df >= self.dense_threshold:
+                    heavy.append((df, seg_i, i, start))
             self.lex.append(lex)
             post_doc_parts.append(seg.post_doc.astype(np.int64) + dbase)
             score = seg.post_score
@@ -102,6 +118,22 @@ class DeviceIndex:
             post_score_parts.append(score)
             pbase += seg.num_postings
         self.n_postings = pbase
+
+        # Highest-df terms win the capped dense-row budget.
+        heavy.sort(reverse=True)
+        heavy = heavy[: dcfg.dense_max_rows]
+        self.n_dense = len(heavy)
+        dense_host = np.zeros((self.n_dense + 1, self.n_slots), np.float32)
+        for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
+            seg = self.segments[seg_i]
+            lo = int(seg.term_offsets[term_i])
+            hi = int(seg.term_offsets[term_i + 1])
+            score = post_score_parts[seg_i]
+            docs = seg.post_doc[lo:hi].astype(np.int64) + self.doc_bases[seg_i]
+            dense_host[row_id, docs] = score[lo:hi]
+            term = seg.terms[term_i]
+            start, dfv, _ = self.lex[seg_i][term]
+            self.lex[seg_i][term] = (start, dfv, row_id)
 
         post_doc = (
             np.concatenate(post_doc_parts).astype(np.int32)
@@ -121,6 +153,7 @@ class DeviceIndex:
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         self.post_doc = put(post_doc)
         self.post_score = put(post_score)
+        self.dense_rows = put(dense_host)
 
     # ---------------- query planning ----------------
 
@@ -132,14 +165,19 @@ class DeviceIndex:
         Slot order is term-major, segment ascending; inactive slots carry
         df=0/weight=0 and are no-ops in the kernel.
         """
-        rows: List[List[Tuple[int, int, float]]] = []
+        starts, dfs, weights, _l, _u, _m = self.plan_full(queries)
+        return starts, dfs, weights
+
+    def plan_full(self, queries: Sequence[Sequence[WeightedTerm]]):
+        """plan() + hybrid split: light dfs and the unique-heavy-row mix."""
+        rows: List[List[Tuple[int, int, float, int]]] = []
         for terms in queries:
-            slots: List[Tuple[int, int, float]] = []
+            slots: List[Tuple[int, int, float, int]] = []
             for term, w in terms:
                 for lex in self.lex:
                     hit = lex.get(term)
                     if hit is not None and hit[1] > 0:
-                        slots.append((hit[0], hit[1], float(w)))
+                        slots.append((hit[0], hit[1], float(w), hit[2]))
             rows.append(slots)
 
         t_max = max((len(r) for r in rows), default=0)
@@ -149,12 +187,31 @@ class DeviceIndex:
         starts = np.zeros((Qb, T), np.int32)
         dfs = np.zeros((Qb, T), np.int32)
         weights = np.zeros((Qb, T), np.float32)
+        light_dfs = np.zeros((Qb, T), np.int32)
+        batch_heavy: Dict[int, int] = {}  # dense row id -> unique index
+        heavy_pairs: List[Tuple[int, int, float]] = []  # (q, u, w)
         for qi, slots in enumerate(rows):
-            for ti, (s, df, w) in enumerate(slots[:T]):
+            for ti, (s, df, w, dense_id) in enumerate(slots[:T]):
                 starts[qi, ti] = s
                 dfs[qi, ti] = df
                 weights[qi, ti] = w
-        return starts, dfs, weights
+                if dense_id < 0:
+                    light_dfs[qi, ti] = df
+                else:
+                    u = batch_heavy.setdefault(dense_id, len(batch_heavy))
+                    heavy_pairs.append((qi, u, w))
+
+        hb = self.config.device.heavy_buckets
+        U = _bucket(max(len(batch_heavy), 1), hb)
+        if len(batch_heavy) > U:
+            U = _round_up(len(batch_heavy), hb[0])
+        unique_heavy = np.full(U, self.n_dense, np.int32)  # pad -> zero row
+        for dense_id, u in batch_heavy.items():
+            unique_heavy[u] = dense_id
+        heavy_mix = np.zeros((Qb, U), np.float32)
+        for qi, u, w in heavy_pairs:
+            heavy_mix[qi, u] += np.float32(w)
+        return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
     # ---------------- execution ----------------
 
@@ -172,7 +229,9 @@ class DeviceIndex:
 
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
-        starts, dfs, weights = self.plan(queries)
+        starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = (
+            self.plan_full(queries)
+        )
         block = self.config.device.posting_block
         mode = self.config.device.mode
 
@@ -192,10 +251,11 @@ class DeviceIndex:
             )
         else:  # fused (default)
             K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
-            C = self._chunk_budget(dfs, block)
+            C = self._chunk_budget(light_dfs, block)
             vals, idx, found = bm25_topk_fused(
-                self.post_doc, self.post_score,
+                self.post_doc, self.post_score, self.dense_rows,
                 starts, dfs, weights,
+                light_dfs, unique_heavy, heavy_mix,
                 n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             )
         for arr in (vals, idx, found):

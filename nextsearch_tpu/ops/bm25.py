@@ -192,6 +192,17 @@ def exact_rescore(
     return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, k2), jnp.float32))
 
 
+def heavy_scores(dense_rows, unique_rows, mix):
+    """Dense-row contribution: gather unique heavy rows, one MXU matmul.
+
+    dense_rows f32 [H+1, n_slots] (row H is all-zero padding), unique_rows
+    int32 [U], mix f32 [Q, U] (sum of query weights per unique row). Returns
+    f32 [Q, n_slots].
+    """
+    d_sub = dense_rows[unique_rows]  # [U, n_slots] contiguous row gather
+    return jnp.dot(mix, d_sub, preferred_element_type=jnp.float32)
+
+
 def canonical_sort(scores, docs):
     """Order candidates by (score desc, doc slot asc); dead slots last."""
     neg = jnp.where(scores > 0, -scores, jnp.float32(jnp.inf))
@@ -206,9 +217,13 @@ def canonical_sort(scores, docs):
 def bm25_topk_fused(
     post_doc: jax.Array,  # int32 [P]
     post_score: jax.Array,  # f32 [P]
-    starts: jax.Array,  # int32 [Q, T]
-    dfs: jax.Array,  # int32 [Q, T]
+    dense_rows: jax.Array,  # f32 [H+1, n_slots] (row H = zero padding)
+    starts: jax.Array,  # int32 [Q, T] ALL term slots (rescore)
+    dfs: jax.Array,  # int32 [Q, T] ALL term slots (rescore)
     weights: jax.Array,  # f32 [Q, T]
+    light_dfs: jax.Array,  # int32 [Q, T] dfs with heavy slots zeroed (scatter)
+    unique_heavy: jax.Array,  # int32 [U] unique dense-row ids this batch
+    heavy_mix: jax.Array,  # f32 [Q, U] summed weights per unique heavy row
     *,
     n_slots: int,
     K: int,
@@ -236,12 +251,13 @@ def bm25_topk_fused(
     """
     Q, T = starts.shape
     chunk_start, chunk_len, chunk_q, chunk_w = expand_chunks(
-        starts, dfs, weights, C=C, block=block
+        starts, light_dfs, weights, C=C, block=block
     )
     scores = scatter_scores(
         post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
         Q=Q, n_slots=n_slots, block=block,
     )
+    scores = scores + heavy_scores(dense_rows, unique_heavy, heavy_mix)
     found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
     k2 = min(K2, n_slots)
     _fvals, cand = lax.top_k(scores, k2)  # cand: [Q, k2] doc slots
