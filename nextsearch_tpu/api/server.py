@@ -252,7 +252,13 @@ class ApiHandler(BaseHTTPRequestHandler):
         )
 
     def _handle_stats(self):
-        self._respond(200, self.ctx.stats.get_stats_json(self.ctx.feedback))
+        stats = self.ctx.stats.get_stats_json(self.ctx.feedback)
+        # extension: ?timings=1 adds framework span timings (engine phases)
+        if self._params().get("timings") == "1":
+            from ..utils.profiling import GLOBAL_TRACER
+
+            stats["engine_timings"] = GLOBAL_TRACER.report()
+        self._respond(200, stats)
 
     def _handle_feedback(self):
         status, payload = validate_and_add(self.ctx.feedback, self._body())

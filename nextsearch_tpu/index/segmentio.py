@@ -389,6 +389,43 @@ def load_segment(
     return seg
 
 
+class SegmentWriter:
+    """Incremental in-memory segment builder (reference SegmentWriter,
+    include/segment_writer.hpp — dead code there, canonical here).
+
+    add_document() streams documents in; write() emits a complete
+    reference-format segment directory (docs/stats/forward/terms + barrels).
+    """
+
+    def __init__(self):
+        self._docs: List[dict] = []
+
+    def add_document(
+        self,
+        cord_uid: str,
+        text: str,
+        title: str = "",
+        relpath: str = "",
+    ) -> None:
+        self._docs.append(
+            {"cord_uid": cord_uid, "text": text, "title": title, "relpath": relpath}
+        )
+
+    @property
+    def num_documents(self) -> int:
+        return len(self._docs)
+
+    def build(self) -> SegmentArrays:
+        from .builder import build_segment_arrays
+
+        return build_segment_arrays(self._docs, with_scores=False)
+
+    def write(self, segdir: str | os.PathLike, barrels: bool = True) -> SegmentArrays:
+        seg = self.build()
+        write_segment(seg, segdir, barrels=barrels)
+        return seg
+
+
 def load_forward_stage(segdir: str | os.PathLike) -> SegmentArrays:
     """Rebuild SegmentArrays by inverting forward.bin (the lexicon CLI stage).
 

@@ -88,3 +88,20 @@ def test_forward_bin_doc_major_sorted(tmp_path, seg):
         pos += 8 * cnt
         total += cnt
     assert total == seg.num_postings
+
+
+def test_segment_writer(tmp_path):
+    from nextsearch_tpu.index.segmentio import SegmentWriter
+
+    w = SegmentWriter()
+    w.add_document("u1", "covid vaccine trial", title="T1")
+    w.add_document("u2", "the of and")  # all stopwords -> dropped at build
+    w.add_document("u3", "vaccine efficacy", relpath="d/3.json")
+    assert w.num_documents == 3
+    seg = w.write(tmp_path / "segw")
+    assert seg.N == 2 and seg.cord_uids == ["u1", "u3"]
+    loaded = load_segment(tmp_path / "segw")
+    assert loaded.terms == seg.terms
+    import numpy as np
+
+    assert np.array_equal(loaded.post_doc, seg.post_doc)
