@@ -210,9 +210,13 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._respond(400, {"error": "missing q param"})
         q = params["q"]
         k = stoi(params["k"]) if "k" in params else 10
+        hybrid = params.get("hybrid") == "1"  # ours: dense rerank opt-in
 
         search_t0 = time.perf_counter()
-        j = self.ctx.batcher.search(q, k)
+        if hybrid:
+            j = self.ctx.engine.search_hybrid(q, k)
+        else:
+            j = self.ctx.batcher.search(q, k)
         search_ms = (time.perf_counter() - search_t0) * 1000.0
 
         from_cache = bool(j.get("from_cache"))

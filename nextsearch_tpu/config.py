@@ -88,6 +88,14 @@ class DeviceConfig:
 
 
 @dataclass(frozen=True)
+class HybridConfig:
+    """Hybrid BM25 + dense rerank (ours; BASELINE config 5)."""
+
+    beta: float = 0.5
+    candidates: int = 100
+
+
+@dataclass(frozen=True)
 class BatchingConfig:
     """Request-batching queue for the API front (replaces the global mutex)."""
 
@@ -104,6 +112,7 @@ class EngineConfig:
     cache: CacheConfig = field(default_factory=CacheConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
     batching: BatchingConfig = field(default_factory=BatchingConfig)
+    hybrid: HybridConfig = field(default_factory=HybridConfig)
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -82,3 +82,42 @@ def test_no_candidates(setup):
     hy = HybridIndex(di, sem, beta=0.5)
     res = hy.search_batch([[("zzz", 1.0)]], k=4)[0]
     assert res.found == 0 and len(res.scores) == 0
+
+
+def test_engine_hybrid_endpoint(tmp_path, monkeypatch):
+    """Engine.search_hybrid: response shape + fallback without embeddings."""
+    import numpy as np
+
+    from nextsearch_tpu.engine import Engine
+    from nextsearch_tpu.index.builder import build_segment_arrays
+    from nextsearch_tpu.index.segmentio import save_manifest, write_segment
+
+    d = tmp_path / "index"
+    (d / "segments").mkdir(parents=True)
+    docs = [
+        {"cord_uid": "h1", "text": "covid vaccine trial"},
+        {"cord_uid": "h2", "text": "covid corona outbreak"},
+    ]
+    write_segment(build_segment_arrays(docs), d / "segments" / "seg_000001")
+    save_manifest(d / "manifest.bin", ["seg_000001"])
+    (d / "metadata.csv").write_text("cord_uid,title\nh1,One\nh2,Two\n")
+    # embeddings file -> semantic + hybrid enabled
+    rng = np.random.default_rng(0)
+    terms = ["covid", "vaccine", "trial", "corona", "outbreak"]
+    lines = [
+        t + " " + " ".join(f"{x:.5f}" for x in rng.normal(size=12))
+        for t in terms
+    ]
+    (d / "embeddings.vec").write_text("\n".join(lines) + "\n")
+
+    e = Engine(d, cache_dir=tmp_path)
+    assert e.reload() and e.sem.enabled
+    j = e.search_hybrid("covid vaccine", 5)
+    assert j["hybrid"] is True and j["found"] == 2
+    assert all("hybrid_score" in r for r in j["results"])
+    # cached second call
+    j2 = e.search_hybrid("covid vaccine", 5)
+    assert j2.get("from_cache") is True
+    # plain search unaffected (separate cache key)
+    j3 = e.search("covid vaccine", 5)
+    assert "hybrid" not in j3
