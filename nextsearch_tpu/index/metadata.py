@@ -84,12 +84,22 @@ def load_metadata_uid_meta(
 
 
 class MetadataStore:
-    """uid -> MetaInfo map + on-demand row fetch with cached header."""
+    """uid -> MetaInfo map + on-demand row fetch with cached header.
+
+    A bounded row cache keeps hot results from re-reading the CSV (same
+    values, fewer file opens); the reference re-reads every time
+    (src/api_metadata.cpp:188-249) — behavior-identical, faster.
+    """
+
+    ROW_CACHE_SIZE = 16384
 
     def __init__(self, metadata_csv: str | os.PathLike):
         self.path = Path(metadata_csv)
         self.uid_to_meta = load_metadata_uid_meta(metadata_csv)
         self._header_cols: Optional[list] = None
+        from collections import OrderedDict
+
+        self._row_cache: "OrderedDict[int, MetaData]" = OrderedDict()
 
     def __contains__(self, uid: str) -> bool:
         return uid in self.uid_to_meta
@@ -116,6 +126,17 @@ class MetadataStore:
         return self.fetch_info(info)
 
     def fetch_info(self, info: MetaInfo) -> MetaData:
+        cached = self._row_cache.get(info.file_offset)
+        if cached is not None:
+            self._row_cache.move_to_end(info.file_offset)
+            return cached
+        result = self._fetch_uncached(info)
+        self._row_cache[info.file_offset] = result
+        if len(self._row_cache) > self.ROW_CACHE_SIZE:
+            self._row_cache.popitem(last=False)
+        return result
+
+    def _fetch_uncached(self, info: MetaInfo) -> MetaData:
         result = MetaData()
         try:
             with open(self.path, "rb") as f:
