@@ -77,8 +77,10 @@ class DeviceConfig:
     # MXU matmul over the batch's unique heavy rows instead of a scatter of
     # huge posting lists. 0 disables dense rows.
     dense_df_ratio: float = 1 / 16
-    # Cap on dense rows (highest-df terms win); bounds HBM cost.
+    # Caps on dense rows (highest-df terms win); bound HBM cost. The byte
+    # cap dominates at large corpora: rows = dense_max_bytes / (4 * n_slots).
     dense_max_rows: int = 4096
+    dense_max_bytes: int = 2 << 30
     # Unique-heavy-row buckets per batch (static matmul shapes).
     heavy_buckets: Tuple[int, ...] = (8, 32, 128, 256)
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).

@@ -24,6 +24,7 @@ import os
 import sys
 import threading
 from pathlib import Path
+from struct import error as struct_error
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -348,7 +349,3 @@ class Engine:
                 return out
             out["suggestions"] = self.ac.suggest_query(user_input, L)
         return out
-
-
-# struct.error alias used in reload's except clause
-from struct import error as struct_error  # noqa: E402

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from pathlib import Path
 from typing import Optional
+from zipfile import BadZipFile as zipfile_error
 
 import numpy as np
 
@@ -147,6 +148,3 @@ def load_segment_cached(
     except OSError:
         pass  # read-only index dirs still work, just without the cache
     return seg
-
-
-from zipfile import BadZipFile as zipfile_error  # noqa: E402

@@ -121,7 +121,11 @@ class DeviceIndex:
 
         # Highest-df terms win the capped dense-row budget.
         heavy.sort(reverse=True)
-        heavy = heavy[: dcfg.dense_max_rows]
+        row_cap = min(
+            dcfg.dense_max_rows,
+            max(0, int(dcfg.dense_max_bytes // (4 * self.n_slots))),
+        )
+        heavy = heavy[:row_cap]
         self.n_dense = len(heavy)
         dense_host = np.zeros((self.n_dense + 1, self.n_slots), np.float32)
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
