@@ -125,10 +125,16 @@ def main():
         file=sys.stderr,
     )
 
-    # Pin a single chunk-budget bucket: every batch then hits one compiled
-    # shape (a fresh bucket costs a full XLA compile on the tunneled TPU).
-    chunks = int(os.environ.get("NEXTSEARCH_BENCH_CHUNKS", 16384))
-    cfg = EngineConfig(device=DeviceConfig(mode=mode, chunk_buckets=(chunks,)))
+    # Pin single buckets: every batch then hits one compiled shape (a fresh
+    # bucket costs a full XLA compile on the tunneled TPU). With dense rows
+    # absorbing heavy terms, light chunks fit 2048 for batch<=64, 4-term
+    # queries.
+    chunks = int(os.environ.get("NEXTSEARCH_BENCH_CHUNKS", 2048))
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode=mode, chunk_buckets=(chunks,), heavy_buckets=(256,)
+        )
+    )
     di = DeviceIndex([seg], config=cfg)
 
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
