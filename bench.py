@@ -110,7 +110,9 @@ def sample_queries(probs, n_queries: int, batch: int, seed: int = 1):
 def main():
     n_docs = int(os.environ.get("NEXTSEARCH_BENCH_DOCS", 100_000))
     vocab = int(os.environ.get("NEXTSEARCH_BENCH_VOCAB", 50_000))
-    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 64))
+    # Large batches amortize the ~25-30ms per-launch overhead of the
+    # tunneled TPU (measured: per-call floor dominates below ~1M elements).
+    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 256))
     secs = float(os.environ.get("NEXTSEARCH_BENCH_SECS", 10))
     mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "fused")
 
@@ -129,7 +131,7 @@ def main():
     # bucket costs a full XLA compile on the tunneled TPU). With dense rows
     # absorbing heavy terms, light chunks fit 2048 for batch<=64, 4-term
     # queries.
-    chunks = int(os.environ.get("NEXTSEARCH_BENCH_CHUNKS", 2048))
+    chunks = int(os.environ.get("NEXTSEARCH_BENCH_CHUNKS", 4096))
     cfg = EngineConfig(
         device=DeviceConfig(
             mode=mode, chunk_buckets=(chunks,), heavy_buckets=(256,)

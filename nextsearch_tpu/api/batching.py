@@ -18,28 +18,28 @@ from typing import List, Tuple
 from ..config import BatchingConfig
 
 
-class SearchBatcher:
-    def __init__(self, engine, config: BatchingConfig):
-        self.engine = engine
+class MicroBatcher:
+    """Generic coalescing dispatcher: many submit() -> one batch_fn call."""
+
+    def __init__(self, batch_fn, config: BatchingConfig, name: str = "batcher"):
+        self.batch_fn = batch_fn
         self.config = config
-        self._q: "queue.Queue[Tuple[Tuple[str, int], Future]]" = queue.Queue()
+        self._q: "queue.Queue[Tuple[object, Future]]" = queue.Queue()
         self._stop = threading.Event()
-        self._thread = threading.Thread(
-            target=self._run, name="search-batcher", daemon=True
-        )
+        self._thread = threading.Thread(target=self._run, name=name, daemon=True)
         self._thread.start()
 
-    def submit(self, query: str, k: int) -> Future:
+    def submit(self, request) -> Future:
         fut: Future = Future()
-        self._q.put(((query, k), fut))
+        self._q.put((request, fut))
         return fut
 
-    def search(self, query: str, k: int) -> dict:
-        return self.submit(query, k).result()
+    def call(self, request):
+        return self.submit(request).result()
 
     def shutdown(self) -> None:
         self._stop.set()
-        self._q.put((("", 0), None))  # wake the dispatcher
+        self._q.put((None, None))  # wake the dispatcher
         self._thread.join(timeout=2)
 
     def _run(self) -> None:
@@ -51,22 +51,56 @@ class SearchBatcher:
                 continue
             if item[1] is None:
                 continue
-            batch: List[Tuple[Tuple[str, int], Future]] = [item]
+            batch: List[Tuple[object, Future]] = [item]
             # Coalesce whatever arrives within the window, up to max_batch.
-            deadline = window_s
             while len(batch) < self.config.max_batch:
                 try:
-                    nxt = self._q.get(timeout=deadline)
+                    nxt = self._q.get(timeout=window_s)
                 except queue.Empty:
                     break
                 if nxt[1] is None:
                     continue
                 batch.append(nxt)
             try:
-                results = self.engine.search_batch([req for req, _ in batch])
+                results = self.batch_fn([req for req, _ in batch])
                 for (_req, fut), res in zip(batch, results):
                     fut.set_result(res)
             except Exception as e:  # propagate to all waiters
                 for _req, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+
+
+class SearchBatcher(MicroBatcher):
+    def __init__(self, engine, config: BatchingConfig):
+        super().__init__(engine.search_batch, config, name="search-batcher")
+        self.engine = engine
+
+    def search(self, query: str, k: int) -> dict:
+        return self.call((query, k))
+
+
+class SuggestBatcher(MicroBatcher):
+    """Coalesce /api/suggest lookups into one prefix-range device launch."""
+
+    def __init__(self, engine, config: BatchingConfig):
+        def batch_fn(requests):
+            with engine.mtx:
+                if engine.ac.empty():
+                    return [[] for _ in requests]
+                # group by limit (kernel L is static); usually one group
+                out = [None] * len(requests)
+                by_limit = {}
+                for i, (q, lim) in enumerate(requests):
+                    by_limit.setdefault(lim, []).append((i, q))
+                for lim, items in by_limit.items():
+                    res = engine.ac.suggest_batch([q for _, q in items], lim)
+                    for (i, _q), r in zip(items, res):
+                        out[i] = r
+                return out
+
+        super().__init__(batch_fn, config, name="suggest-batcher")
+        self.engine = engine
+
+    def suggest(self, user_input: str, limit: int) -> list:
+        return self.call((user_input, limit))

@@ -75,6 +75,9 @@ class ServerContext:
         self.transport = transport
         self.enable_add_document = enable_add_document
         self.batcher = SearchBatcher(engine, config.batching)
+        from .batching import SuggestBatcher
+
+        self.suggest_batcher = SuggestBatcher(engine, config.batching)
 
 
 class ApiHandler(BaseHTTPRequestHandler):
@@ -247,7 +250,12 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._respond(400, {"error": "missing q param"})
         q = params["q"]
         k = stoi(params["k"]) if "k" in params else 5
-        self._respond(200, self.ctx.engine.suggest(q, k))
+        ac_cfg = self.ctx.config.autocomplete
+        L = max(ac_cfg.limit_min, min(int(k), ac_cfg.limit_max))
+        suggestions = self.ctx.suggest_batcher.suggest(q, L)
+        self._respond(
+            200, {"query": q, "limit": L, "suggestions": suggestions}
+        )
 
     def _handle_reload(self):
         ok = self.ctx.engine.reload()
