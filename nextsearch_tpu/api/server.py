@@ -265,11 +265,20 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def _handle_stats(self):
         stats = self.ctx.stats.get_stats_json(self.ctx.feedback)
-        # extension: ?timings=1 adds framework span timings (engine phases)
+        # extension: ?timings=1 adds framework span timings + index info
         if self._params().get("timings") == "1":
             from ..utils.profiling import GLOBAL_TRACER
 
             stats["engine_timings"] = GLOBAL_TRACER.report()
+            idx = self.ctx.engine.index
+            if idx is not None:
+                stats["index"] = {
+                    "segments": len(self.ctx.engine.seg_names),
+                    "docs": idx.n_docs,
+                    "postings": getattr(idx, "n_postings", None),
+                    "dense_rows": getattr(idx, "n_dense", None),
+                    "doc_slots": getattr(idx, "n_slots", None),
+                }
         self._respond(200, stats)
 
     def _handle_feedback(self):
