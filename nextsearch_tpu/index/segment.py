@@ -253,15 +253,25 @@ class DeviceIndex:
                 chunk_start, chunk_len, chunk_q, chunk_w,
                 n_slots=self.n_slots, K=K, Q=starts.shape[0], block=block,
             )
-        else:  # fused (default)
+        else:  # fused (default): transfer-minimal packed launch
+            from ..ops.bm25 import bm25_search_packed
+
             K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
             C = self._chunk_budget(light_dfs, block)
-            vals, idx, found = bm25_topk_fused(
+            Qb, T = starts.shape
+            U = unique_heavy.shape[0]
+            plan_ints = np.stack([starts, dfs, light_dfs])
+            plan_f32 = np.zeros((Qb + 1, T + U), np.float32)
+            plan_f32[:Qb, :T] = weights
+            plan_f32[:Qb, T:] = heavy_mix
+            plan_f32[Qb, T:] = unique_heavy.view(np.float32)
+            out = bm25_search_packed(
                 self.post_doc, self.post_score, self.dense_rows,
-                starts, dfs, weights,
-                light_dfs, unique_heavy, heavy_mix,
+                plan_ints, plan_f32,
                 n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             )
+            out.copy_to_host_async()
+            return ("packed", nq, k, K, out)
         for arr in (vals, idx, found):
             arr.copy_to_host_async()
         return ("pending", nq, k, K, vals, idx, found)
@@ -275,10 +285,17 @@ class DeviceIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
-        _tag, nq, k, K, vals, idx, found = handle
-        # One batched device->host fetch: per-array np.asarray costs a full
-        # relay round trip each under the axon tunnel (~25ms vs ~380ms x3).
-        vals, idx, found = jax.device_get((vals, idx, found))
+        if handle[0] == "packed":
+            _tag, nq, k, K, out = handle
+            out = np.asarray(jax.device_get(out))
+            vals = out[:, :K]
+            idx = out[:, K : 2 * K].view(np.int32)
+            found = out[:, 2 * K].view(np.int32)
+        else:
+            _tag, nq, k, K, vals, idx, found = handle
+            # One batched device->host fetch: per-array np.asarray costs a
+            # full relay round trip each (~25ms vs ~380ms x3).
+            vals, idx, found = jax.device_get((vals, idx, found))
         out: List[QueryResult] = []
         for qi in range(nq):
             keep = vals[qi] > 0.0

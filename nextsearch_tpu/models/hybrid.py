@@ -95,7 +95,16 @@ class HybridIndex:
         handle = self.index.search_batch_async(queries, C)
         if handle[0] == "empty":
             return self.index.search_batch_gather(handle)
-        _tag, _nq, _k, K, vals, idx, found = handle
+        if handle[0] == "packed":
+            import jax.numpy as jnp_
+            from jax import lax as lax_
+
+            _tag, _nq, _k, K, out_arr = handle
+            vals = out_arr[:, :K]
+            idx = lax_.bitcast_convert_type(out_arr[:, K : 2 * K], jnp_.int32)
+            found = lax_.bitcast_convert_type(out_arr[:, 2 * K], jnp_.int32)
+        else:
+            _tag, _nq, _k, K, vals, idx, found = handle
 
         q_emb = np.stack([self.query_embedding(q) for q in queries])
         Qb = vals.shape[0]

@@ -268,6 +268,68 @@ def bm25_topk_fused(
     return sval[:, :K], sdoc[:, :K].astype(jnp.int32), found
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_slots", "K", "K2", "C", "block", "bs_steps")
+)
+def bm25_search_packed(
+    post_doc: jax.Array,  # int32 [P]
+    post_score: jax.Array,  # f32 [P]
+    dense_rows: jax.Array,  # f32 [H+1, n_slots]
+    plan_ints: jax.Array,  # int32 [3, Q, T]: starts / dfs / light_dfs
+    plan_f32: jax.Array,  # f32 [Q+1, T+U]: [weights | heavy_mix] rows,
+    #                       last row [0, :U] = bitcast unique_heavy ids
+    *,
+    n_slots: int,
+    K: int,
+    K2: int,
+    C: int,
+    block: int = 2048,
+    bs_steps: int = 24,
+):
+    """Transfer-minimal variant of bm25_topk_fused.
+
+    The axon relay charges a round trip per host<->device array, so the
+    query plan rides in TWO arrays and the result in ONE packed f32
+    [Q, 2K+1]: columns [vals(K) | bitcast idx(K) | bitcast found(1)].
+    """
+    starts = plan_ints[0]
+    dfs = plan_ints[1]
+    light_dfs = plan_ints[2]
+    Q, T = starts.shape
+    U = plan_f32.shape[1] - T
+    weights = plan_f32[:Q, :T]
+    heavy_mix = plan_f32[:Q, T:]
+    unique_heavy = jax.lax.bitcast_convert_type(
+        plan_f32[Q, T:], jnp.int32
+    )
+
+    chunk_start, chunk_len, chunk_q, chunk_w = expand_chunks(
+        starts, light_dfs, weights, C=C, block=block
+    )
+    scores = scatter_scores(
+        post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
+        Q=Q, n_slots=n_slots, block=block,
+    )
+    scores = scores + heavy_scores(dense_rows, unique_heavy, heavy_mix)
+    found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+    k2 = min(K2, n_slots)
+    _fv, cand = lax.top_k(scores, k2)
+    exact = exact_rescore(
+        post_doc, post_score, starts, dfs, weights, cand.astype(jnp.int32),
+        bs_steps=bs_steps,
+    )
+    sval, sdoc = canonical_sort(exact, cand.astype(jnp.int32))
+    out = jnp.concatenate(
+        [
+            sval[:, :K],
+            lax.bitcast_convert_type(sdoc[:, :K], jnp.float32),
+            lax.bitcast_convert_type(found[:, None], jnp.float32),
+        ],
+        axis=1,
+    )
+    return out
+
+
 def score_only_exact(post_doc, post_score, starts, dfs, weights, *, n_slots, block=4096):
     """Exact-mode dense scores [Q, n_slots] without top-k (shard-local use)."""
     Q, T = starts.shape
