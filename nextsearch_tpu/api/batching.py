@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Tuple
 
@@ -52,10 +53,14 @@ class MicroBatcher:
             if item[1] is None:
                 continue
             batch: List[Tuple[object, Future]] = [item]
-            # Coalesce whatever arrives within the window, up to max_batch.
+            # Coalesce whatever arrives within ONE window, up to max_batch.
+            deadline = time.monotonic() + window_s
             while len(batch) < self.config.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    nxt = self._q.get(timeout=window_s)
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if nxt[1] is None:

@@ -101,9 +101,11 @@ class HybridConfig:
 class BatchingConfig:
     """Request-batching queue for the API front (replaces the global mutex)."""
 
-    max_batch: int = 64
+    # Large batches amortize per-launch overhead (measured ~25-30ms through
+    # the axon relay); the window only adds latency when traffic is sparse.
+    max_batch: int = 256
     # How long the dispatcher waits to coalesce concurrent requests.
-    window_ms: float = 1.0
+    window_ms: float = 2.0
 
 
 @dataclass(frozen=True)
