@@ -124,11 +124,15 @@ class Engine:
             self.seg_names = seg_names
 
             # Autocomplete: df summed across segment lexicons (:92-108).
+            # Built fresh and swapped atomically so concurrent suggests never
+            # observe a half-built table.
             term_to_score: Dict[str, int] = {}
             for seg in loaded:
                 for i, t in enumerate(seg.terms):
                     term_to_score[t] = term_to_score.get(t, 0) + int(seg.term_df[i])
-            self.ac.build(term_to_score, self.config.autocomplete.max_candidates)
+            new_ac = AutocompleteIndex()
+            new_ac.build(term_to_score, self.config.autocomplete.max_candidates)
+            self.ac = new_ac
 
             # Lazy metadata offsets (:111-113).
             self.metadata = MetadataStore(self.index_dir / "metadata.csv")
@@ -197,7 +201,14 @@ class Engine:
         out: List[Optional[dict]] = [None] * len(requests)
         pending: List[Tuple[int, str, int, List[Tuple[str, float]]]] = []
 
+        # Snapshot index state under the lock; the device call and rendering
+        # run without it (reload swaps whole objects atomically, and the LRU
+        # caches carry their own locks), so suggests/reloads aren't blocked
+        # behind device work.
         with self.mtx:
+            index = self.index
+            metadata = self.metadata
+            seg_count = len(self.seg_names)
             for i, (query, k) in enumerate(requests):
                 K = max(bm.k_min, min(int(k), bm.k_max))
                 cached = self.cache.get(make_cache_key(query, K))
@@ -209,10 +220,10 @@ class Engine:
                 res = {
                     "query": query,
                     "k": K,
-                    "segments": len(self.seg_names),
+                    "segments": seg_count,
                     "results": [],
                 }
-                if not base_terms or self.index is None or not self.seg_names:
+                if not base_terms or index is None or not seg_count:
                     out[i] = res  # early return shape: no "found", not cached
                     continue
                 with GLOBAL_TRACER.span("search.expand"):
@@ -222,24 +233,25 @@ class Engine:
                     continue
                 pending.append((i, query, K, qterms_w))
 
+        if True:
             if pending:
                 kmax = max(p[2] for p in pending)
                 with GLOBAL_TRACER.span("search.device"), device_trace("search"):
-                    results = self.index.search_batch(
+                    results = index.search_batch(
                         [p[3] for p in pending], k=kmax
                     )
                 for (i, query, K, _), qres in zip(pending, results):
                     res = {
                         "query": query,
                         "k": K,
-                        "segments": len(self.seg_names),
+                        "segments": seg_count,
                         "results": [],
                         "found": int(qres.found),
                     }
                     for score, slot in zip(
                         qres.scores[:K], qres.doc_slots[:K]
                     ):
-                        seg_name, cord_uid, doc_id = self.index.doc_info(int(slot))
+                        seg_name, cord_uid, doc_id = index.doc_info(int(slot))
                         r = {
                             "score": float(score),
                             "segment": seg_name,
@@ -247,8 +259,8 @@ class Engine:
                             "cord_uid": cord_uid,
                         }
                         meta = (
-                            self.metadata.fetch(cord_uid)
-                            if self.metadata is not None
+                            metadata.fetch(cord_uid)
+                            if metadata is not None
                             else None
                         )
                         if meta is not None:
