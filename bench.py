@@ -128,18 +128,32 @@ def main():
     )
 
     # Pin single buckets: every batch then hits one compiled shape (a fresh
-    # bucket costs a full XLA compile on the tunneled TPU). With dense rows
-    # absorbing heavy terms, light chunks fit 2048 for batch<=64, 4-term
-    # queries.
-    chunks = int(os.environ.get("NEXTSEARCH_BENCH_CHUNKS", 4096))
+    # bucket costs a full XLA compile on the tunneled TPU). The chunk budget
+    # is sized from the ACTUAL workload: gather volume is pure waste beyond
+    # the max live chunks (dense rows absorb the heavy terms).
+    cfg0 = EngineConfig(device=DeviceConfig(mode=mode, heavy_buckets=(256,)))
+    di = DeviceIndex([seg], config=cfg0)
+    batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
+
+    chunks_env = os.environ.get("NEXTSEARCH_BENCH_CHUNKS")
+    if chunks_env:
+        chunks = int(chunks_env)
+    else:
+        block = cfg0.device.posting_block
+        max_live = 1
+        for b in batches:
+            _s, _d, _w, light_dfs, _u, _m = di.plan_full(b)
+            live = int(np.sum((light_dfs.astype(np.int64) + block - 1) // block))
+            max_live = max(max_live, live)
+        chunks = 1 << (max_live - 1).bit_length()  # next pow2
+        print(f"[bench] max live chunks {max_live} -> budget {chunks}",
+              file=sys.stderr)
     cfg = EngineConfig(
         device=DeviceConfig(
             mode=mode, chunk_buckets=(chunks,), heavy_buckets=(256,)
         )
     )
     di = DeviceIndex([seg], config=cfg)
-
-    batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
     depth = int(os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 4))
 
     # Warmup / compile.

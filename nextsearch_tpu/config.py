@@ -84,7 +84,9 @@ class DeviceConfig:
     # Unique-heavy-row buckets per batch (static matmul shapes).
     heavy_buckets: Tuple[int, ...] = (8, 32, 128, 256)
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
-    chunk_buckets: Tuple[int, ...] = (1024, 4096, 16384, 65536)
+    # Gather volume beyond the live chunks is pure waste, so the ladder
+    # starts small; each bucket is one XLA compile (cached persistently).
+    chunk_buckets: Tuple[int, ...] = (256, 1024, 4096, 16384, 65536)
     # Mesh axis names: dp shards the query batch, seg shards index segments.
     mesh_axes: Tuple[str, str] = ("dp", "seg")
 
