@@ -131,7 +131,10 @@ def main():
     # bucket costs a full XLA compile on the tunneled TPU). The chunk budget
     # is sized from the ACTUAL workload: gather volume is pure waste beyond
     # the max live chunks (dense rows absorb the heavy terms).
-    cfg0 = EngineConfig(device=DeviceConfig(mode=mode, heavy_buckets=(256,)))
+    blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 512))
+    cfg0 = EngineConfig(
+        device=DeviceConfig(mode=mode, posting_block=blk, heavy_buckets=(256,))
+    )
     di = DeviceIndex([seg], config=cfg0)
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
 
@@ -150,7 +153,8 @@ def main():
               file=sys.stderr)
     cfg = EngineConfig(
         device=DeviceConfig(
-            mode=mode, chunk_buckets=(chunks,), heavy_buckets=(256,)
+            mode=mode, posting_block=blk, chunk_buckets=(chunks,),
+            heavy_buckets=(256,),
         )
     )
     di = DeviceIndex([seg], config=cfg)

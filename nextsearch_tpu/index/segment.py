@@ -265,10 +265,12 @@ class DeviceIndex:
             plan_f32[:Qb, :T] = weights
             plan_f32[:Qb, T:] = heavy_mix
             plan_f32[Qb, T:] = unique_heavy.view(np.float32)
+            bs_steps = max(2, self.n_slots.bit_length() + 1)
             out = bm25_search_packed(
                 self.post_doc, self.post_score, self.dense_rows,
                 plan_ints, plan_f32,
                 n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
+                bs_steps=bs_steps,
             )
             out.copy_to_host_async()
             return ("packed", nq, k, K, out)

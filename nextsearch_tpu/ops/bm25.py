@@ -203,6 +203,35 @@ def heavy_scores(dense_rows, unique_rows, mix):
     return jnp.dot(mix, d_sub, preferred_element_type=jnp.float32)
 
 
+def tiled_topk(scores, k2: int, tile: int = 2048):
+    """Exact top-k2 over a wide doc axis via tile-max prefiltering.
+
+    If a doc is in the true top-k2, its tile's max is >= the doc's score, so
+    fewer than k2 tiles can beat it outright — the doc's tile is always among
+    the top-k2 tiles by max. Gathering those tiles and running top_k inside
+    them is therefore EXACT while scanning k2*tile instead of n_slots
+    elements (15x less at 1M docs). Returns (vals, doc_slots).
+    """
+    Q, NS = scores.shape
+    if NS % tile != 0 or NS <= k2 * tile:
+        vals, idx = lax.top_k(scores, k2)
+        return vals, idx.astype(jnp.int32)
+    n_tiles = NS // tile
+    tiles = scores.reshape(Q, n_tiles, tile)
+    tile_max = jnp.max(tiles, axis=2)  # [Q, n_tiles]
+    _tv, tidx = lax.top_k(tile_max, k2)  # [Q, k2]
+    # slot-ascending tile order keeps the canonical (doc asc) tie-break of
+    # the flat top_k below
+    tidx = jnp.sort(tidx, axis=1)
+    cand_tiles = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
+    flat = cand_tiles.reshape(Q, k2 * tile)
+    vals, pos = lax.top_k(flat, k2)
+    # map positions back to global doc slots
+    which_tile = pos // tile
+    base = jnp.take_along_axis(tidx, which_tile, axis=1) * tile
+    return vals, (base + pos % tile).astype(jnp.int32)
+
+
 def canonical_sort(scores, docs):
     """Order candidates by (score desc, doc slot asc); dead slots last."""
     neg = jnp.where(scores > 0, -scores, jnp.float32(jnp.inf))
@@ -260,7 +289,7 @@ def bm25_topk_fused(
     scores = scores + heavy_scores(dense_rows, unique_heavy, heavy_mix)
     found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
     k2 = min(K2, n_slots)
-    _fvals, cand = lax.top_k(scores, k2)  # cand: [Q, k2] doc slots
+    _fvals, cand = tiled_topk(scores, k2)  # cand: [Q, k2] doc slots
     exact = exact_rescore(
         post_doc, post_score, starts, dfs, weights, cand, bs_steps=bs_steps
     )
@@ -313,7 +342,7 @@ def bm25_search_packed(
     scores = scores + heavy_scores(dense_rows, unique_heavy, heavy_mix)
     found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
     k2 = min(K2, n_slots)
-    _fv, cand = lax.top_k(scores, k2)
+    _fv, cand = tiled_topk(scores, k2)
     exact = exact_rescore(
         post_doc, post_score, starts, dfs, weights, cand.astype(jnp.int32),
         bs_steps=bs_steps,
