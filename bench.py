@@ -148,7 +148,7 @@ def main():
             _s, _d, _w, light_dfs, _u, _m = di.plan_full(b)
             live = int(np.sum((light_dfs.astype(np.int64) + block - 1) // block))
             max_live = max(max_live, live)
-        chunks = 1 << (max_live - 1).bit_length()  # next pow2
+        chunks = ((max_live + 127) // 128) * 128  # tight static budget
         print(f"[bench] max live chunks {max_live} -> budget {chunks}",
               file=sys.stderr)
     cfg = EngineConfig(

@@ -272,3 +272,20 @@ def test_concurrent_searches_batched(server):
     for q in qs:
         assert results[q]["query"] == q
         assert results[q]["found"] >= 1, q
+
+
+def test_stats_timings_extension(server):
+    r, j = _get(server, "/api/stats?timings=1")
+    assert r.status == 200
+    assert "engine_timings" in j
+    assert j["index"]["segments"] == 2
+    assert j["index"]["docs"] == 3
+    # plain stats unchanged
+    r2, j2 = _get(server, "/api/stats")
+    assert "engine_timings" not in j2 and "index" not in j2
+
+
+def test_search_hybrid_param_without_embeddings_falls_back(server):
+    r, j = _get(server, "/api/search?q=covid&k=3&hybrid=1")
+    assert r.status == 200
+    assert "hybrid" not in j  # no embeddings loaded -> plain BM25 shape
