@@ -61,7 +61,8 @@ class DeviceConfig:
     # Posting gather tile; per-term postings are processed in L-sized windows.
     posting_block: int = 2048
     # Pad doc axis of per-segment score vectors to a multiple of this.
-    doc_pad: int = 128
+    # 2048 keeps n_slots divisible by the tiled_topk tile width.
+    doc_pad: int = 2048
     # Execution mode:
     #   "fused"  one scatter-add over all (query, term) chunks + exact f32
     #            rescore of the top candidates (default; ~1000x faster than
