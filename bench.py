@@ -120,7 +120,26 @@ def main():
     from nextsearch_tpu.index.segment import DeviceIndex
 
     t0 = time.time()
-    seg, probs = build_corpus(n_docs, vocab)
+    # Corpus cache: the 1M-doc build takes ~5 min host-side; artifacts load
+    # in seconds.
+    cache_root = os.environ.get(
+        "NEXTSEARCH_BENCH_CACHE", "/tmp/nextsearch_bench_cache"
+    )
+    seg = None
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.07
+    probs /= probs.sum()
+    cache_dir = os.path.join(cache_root, f"{n_docs}_{vocab}_0")
+    if cache_root != "0":
+        from nextsearch_tpu.index.artifacts import load_artifact, save_artifact
+
+        seg = load_artifact(cache_dir)
+    if seg is None:
+        seg, probs = build_corpus(n_docs, vocab)
+        if cache_root != "0":
+            try:
+                save_artifact(seg, cache_dir)
+            except OSError:
+                pass
     print(
         f"[bench] corpus: {n_docs} docs, {vocab} terms, "
         f"{seg.num_postings} postings ({time.time() - t0:.1f}s)",
