@@ -25,10 +25,10 @@ import numpy as np
 
 # Persistent compilation cache: remote (tunneled) TPU compiles are minutes
 # each; cached reloads are ~1s.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from nextsearch_tpu.utils.compilecache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 def build_corpus(n_docs: int, vocab: int, seed: int = 0):
