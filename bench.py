@@ -184,6 +184,21 @@ def main():
     di.search_batch(batches[0], k=10)
     print(f"[bench] warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # Parity gate: the benchmark refuses to report numbers for a kernel
+    # whose results don't match the oracle bit-for-bit.
+    from nextsearch_tpu.index.oracle import oracle_search
+
+    oracle_segs = [seg.to_oracle_segment()]
+    spot = batches[0][:8]
+    for terms, res in zip(spot, di.search_batch(spot, k=10)):
+        hits, found = oracle_search(oracle_segs, terms, k=10)
+        assert res.found == found, (terms, res.found, found)
+        assert len(res.scores) == len(hits), terms
+        for (o_s, _sg, o_d), d_s, d_slot in zip(hits, res.scores, res.doc_slots):
+            assert di.locate(int(d_slot))[1] == o_d, terms
+            assert np.float32(d_s) == np.float32(o_s), terms
+    print("[bench] parity spot-check: OK (8 queries, exact)", file=sys.stderr)
+
     # Serving pipeline: keep `depth` batched launches in flight so the
     # host<->device round trip is hidden behind compute (and vice versa).
     n_done = 0

@@ -264,7 +264,9 @@ class DeviceIndex:
             plan_f32 = np.zeros((Qb + 1, T + U), np.float32)
             plan_f32[:Qb, :T] = weights
             plan_f32[:Qb, T:] = heavy_mix
-            plan_f32[Qb, T:] = unique_heavy.view(np.float32)
+            # ids as exact f32 values (< 2^24), never bit-packed: denormal
+            # bit patterns get flushed to zero by TPU f32 ops
+            plan_f32[Qb, T:] = unique_heavy.astype(np.float32)
             bs_steps = max(2, self.n_slots.bit_length() + 1)
             out = bm25_search_packed(
                 self.post_doc, self.post_score, self.dense_rows,
@@ -291,8 +293,8 @@ class DeviceIndex:
             _tag, nq, k, K, out = handle
             out = np.asarray(jax.device_get(out))
             vals = out[:, :K]
-            idx = out[:, K : 2 * K].view(np.int32)
-            found = out[:, 2 * K].view(np.int32)
+            idx = out[:, K : 2 * K].astype(np.int32)
+            found = out[:, 2 * K].astype(np.int32)
         else:
             _tag, nq, k, K, vals, idx, found = handle
             # One batched device->host fetch: per-array np.asarray costs a

@@ -97,12 +97,12 @@ class HybridIndex:
             return self.index.search_batch_gather(handle)
         if handle[0] == "packed":
             import jax.numpy as jnp_
-            from jax import lax as lax_
 
             _tag, _nq, _k, K, out_arr = handle
             vals = out_arr[:, :K]
-            idx = lax_.bitcast_convert_type(out_arr[:, K : 2 * K], jnp_.int32)
-            found = lax_.bitcast_convert_type(out_arr[:, 2 * K], jnp_.int32)
+            # ids packed as exact f32 values (TPU flushes denormal bitcasts)
+            idx = out_arr[:, K : 2 * K].astype(jnp_.int32)
+            found = out_arr[:, 2 * K].astype(jnp_.int32)
         else:
             _tag, _nq, _k, K, vals, idx, found = handle
 

@@ -305,8 +305,10 @@ def bm25_search_packed(
     post_score: jax.Array,  # f32 [P]
     dense_rows: jax.Array,  # f32 [H+1, n_slots]
     plan_ints: jax.Array,  # int32 [3, Q, T]: starts / dfs / light_dfs
-    plan_f32: jax.Array,  # f32 [Q+1, T+U]: [weights | heavy_mix] rows,
-    #                       last row [0, :U] = bitcast unique_heavy ids
+    plan_f32: jax.Array,  # f32 [Q+1, T+U]: [weights | heavy_mix] rows; the
+    #                       last row's U columns hold unique_heavy ids as
+    #                       exact f32 VALUES (ids < 2^24; bit-packing would
+    #                       produce denormals that the TPU flushes to zero)
     *,
     n_slots: int,
     K: int,
@@ -328,9 +330,7 @@ def bm25_search_packed(
     U = plan_f32.shape[1] - T
     weights = plan_f32[:Q, :T]
     heavy_mix = plan_f32[:Q, T:]
-    unique_heavy = jax.lax.bitcast_convert_type(
-        plan_f32[Q, T:], jnp.int32
-    )
+    unique_heavy = plan_f32[Q, T:].astype(jnp.int32)
 
     chunk_start, chunk_len, chunk_q, chunk_w = expand_chunks(
         starts, light_dfs, weights, C=C, block=block
@@ -348,11 +348,14 @@ def bm25_search_packed(
         bs_steps=bs_steps,
     )
     sval, sdoc = canonical_sort(exact, cand.astype(jnp.int32))
+    # Pack ints as exact f32 VALUES (doc slots / found < 2^24), NOT bitcasts:
+    # small int32 bit patterns are f32 denormals, and the TPU flushes
+    # denormals to zero in transit.
     out = jnp.concatenate(
         [
             sval[:, :K],
-            lax.bitcast_convert_type(sdoc[:, :K], jnp.float32),
-            lax.bitcast_convert_type(found[:, None], jnp.float32),
+            sdoc[:, :K].astype(jnp.float32),
+            found[:, None].astype(jnp.float32),
         ],
         axis=1,
     )
