@@ -151,8 +151,13 @@ def main():
     # is sized from the ACTUAL workload: gather volume is pure waste beyond
     # the max live chunks (dense rows absorb the heavy terms).
     blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 512))
+    dense_ratio = float(os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 16))
+    dense_bytes = int(os.environ.get("NEXTSEARCH_BENCH_DENSE_BYTES", 2 << 30))
     cfg0 = EngineConfig(
-        device=DeviceConfig(mode=mode, posting_block=blk, heavy_buckets=(256,))
+        device=DeviceConfig(
+            mode=mode, posting_block=blk, heavy_buckets=(256,),
+            dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
+        )
     )
     di = DeviceIndex([seg], config=cfg0)
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
@@ -174,6 +179,7 @@ def main():
         device=DeviceConfig(
             mode=mode, posting_block=blk, chunk_buckets=(chunks,),
             heavy_buckets=(256,),
+            dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
         )
     )
     di = DeviceIndex([seg], config=cfg)
