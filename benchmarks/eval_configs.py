@@ -40,6 +40,29 @@ from nextsearch_tpu.models.hybrid import HybridIndex  # noqa: E402
 from nextsearch_tpu.models.semantic import SemanticIndex  # noqa: E402
 
 
+def _pinned_index(segs, batches, blk=512):
+    """DeviceIndex with a single workload-sized chunk bucket (no mid-loop
+    recompiles; same approach as bench.py)."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg0 = EngineConfig(
+        device=DeviceConfig(posting_block=blk, heavy_buckets=(256,))
+    )
+    di0 = DeviceIndex(segs, config=cfg0)
+    max_live = 1
+    for b in batches:
+        _s, _d, _w, light_dfs, _u, _m = di0.plan_full(b)
+        live = int(np.sum((light_dfs.astype(np.int64) + blk - 1) // blk))
+        max_live = max(max_live, live)
+    chunks = ((max_live + 127) // 128) * 128
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            posting_block=blk, heavy_buckets=(256,), chunk_buckets=(chunks,)
+        )
+    )
+    return DeviceIndex(segs, config=cfg)
+
+
 def _recall_check(di, seg, queries, k=10, n_check=20):
     """Exact recall@k + score parity vs the oracle on a query sample."""
     oracle_segs = [seg.to_oracle_segment()]
@@ -75,22 +98,22 @@ def _throughput(di, batches, k=10, secs=6.0, depth=4):
 
 def config1():
     seg, probs = build_corpus(5_000, 5_000, seed=1)
-    di = DeviceIndex([seg])
     rng = np.random.default_rng(1)
     queries = [
         [(f"t{t:06d}", 1.0)]
         for t in rng.choice(5_000, size=256, p=probs)
     ]
-    _recall_check(di, seg, queries)
     batches = [queries[i : i + 64] for i in range(0, 256, 64)]
+    di = _pinned_index([seg], batches)
+    _recall_check(di, seg, queries)
     qps = _throughput(di, batches)
     return {"config": 1, "docs": 5_000, "parity": True, "qps": round(qps, 1)}
 
 
 def config2():
     seg, probs = build_corpus(50_000, 30_000, seed=2)
-    di = DeviceIndex([seg])
     batches = sample_queries(probs, 256, 64, seed=2)
+    di = _pinned_index([seg], batches)
     queries = [q for b in batches for q in b]
     _recall_check(di, seg, queries)
     qps = _throughput(di, batches)
@@ -104,8 +127,8 @@ def config3():
     segs = [build_corpus(n_per_seg, 40_000, seed=10 + i)[0] for i in range(n_segs)]
     probs = 1.0 / np.arange(1, 40_000 + 1) ** 1.07
     probs /= probs.sum()
-    di = DeviceIndex(segs)
     batches = sample_queries(probs, 256, 64, seed=3)
+    di = _pinned_index(segs, batches)
     # parity across the multi-segment merge
     oracle_segs = [s.to_oracle_segment() for s in segs]
     for terms in batches[0][:10]:
