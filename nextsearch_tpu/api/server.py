@@ -423,6 +423,8 @@ def main(argv=None):
             "(AI overview endpoint will return error)"
         )
     feedback = FeedbackManager("feedback.json")
+    if os.environ.get("NEXTSEARCH_WARMUP", "1") == "1":
+        engine.warmup()
     ctx = ServerContext(
         engine, stats, feedback, azure,
         enable_add_document=os.environ.get("NEXTSEARCH_ENABLE_ADD_DOCUMENT") == "1",

@@ -171,6 +171,37 @@ class Engine:
             self.ai_summary_cache.load()
             return True
 
+    def warmup(self, k_values: Sequence[int] = (10,), n_queries: int = 0) -> int:
+        """Precompile the search kernels for typical shapes (cold-start).
+
+        Runs dummy batches drawn from the loaded lexicon through the batched
+        search path so the first real request doesn't pay XLA compilation
+        (minutes on a tunneled TPU). Returns the number of warmup launches.
+        """
+        if self.index is None or not self.seg_names:
+            return 0
+        import random
+
+        rng = random.Random(0)
+        terms = []
+        for lex in self.index.lex:
+            terms.extend(lex.keys())
+            if len(terms) > 4096:
+                break
+        if not terms:
+            return 0
+        nq = n_queries or self.config.batching.max_batch
+        launches = 0
+        for k in k_values:
+            queries = [
+                [(rng.choice(terms), 1.0) for _ in range(rng.randint(1, 4))]
+                for _ in range(nq)
+            ]
+            self.index.search_batch(queries, k=k)
+            launches += 1
+        print(f"[warmup] compiled {launches} kernel shape(s)", file=sys.stderr)
+        return launches
+
     def save_caches(self) -> None:
         """Shutdown persistence (reference Engine destructor)."""
         self.cache.save()

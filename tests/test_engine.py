@@ -151,3 +151,10 @@ def test_autocomplete_df_summed_across_segments(engine):
     # via suggestion ordering: covid (df 2) ranks above coronavirus (df 1)
     s = engine.suggest("co", 10)["suggestions"]
     assert s.index("covid") < s.index("coronavirus")
+
+
+def test_warmup(engine):
+    assert engine.warmup(k_values=(10,), n_queries=4) == 1
+    # warmup must not pollute caches or results
+    j = engine.search("covid", 10)
+    assert j["found"] == 2 and "from_cache" not in j
