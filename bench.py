@@ -153,9 +153,10 @@ def main():
     blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 512))
     dense_ratio = float(os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 16))
     dense_bytes = int(os.environ.get("NEXTSEARCH_BENCH_DENSE_BYTES", 2 << 30))
+    heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 256))
     cfg0 = EngineConfig(
         device=DeviceConfig(
-            mode=mode, posting_block=blk, heavy_buckets=(256,),
+            mode=mode, posting_block=blk, heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
         )
     )
@@ -178,7 +179,7 @@ def main():
     cfg = EngineConfig(
         device=DeviceConfig(
             mode=mode, posting_block=blk, chunk_buckets=(chunks,),
-            heavy_buckets=(256,),
+            heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
         )
     )
