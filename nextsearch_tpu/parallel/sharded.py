@@ -52,11 +52,17 @@ def _sharded_search_fn(
         canonical_sort,
         exact_rescore,
         expand_chunks,
+        heavy_scores,
         scatter_scores,
+        tiled_topk,
     )
 
-    def local_step(post_doc, post_score, starts, dfs, weights):
-        # Block shapes: post_* [1, P_shard], plans [1, Qd, T]
+    def local_step(
+        post_doc, post_score, dense_rows, starts, dfs, weights,
+        light_dfs, unique_heavy, heavy_mix,
+    ):
+        # Block shapes: post_* [1, P_shard], dense [1, H+1, cap],
+        # plans [1, Qd, T], heavy [1, 1, U] / [1, 1, Qd, U]
         post_doc = post_doc[0]
         post_score = post_score[0]
         starts, dfs, weights = starts[0], dfs[0], weights[0]
@@ -69,13 +75,18 @@ def _sharded_search_fn(
             k2 = min(K, n_slots)
             vals, idx = lax.top_k(scores, k2)
         else:
-            cs, cl, cq, cw = expand_chunks(starts, dfs, weights, C=C, block=block)
+            cs, cl, cq, cw = expand_chunks(
+                starts, light_dfs[0], weights, C=C, block=block
+            )
             scores = scatter_scores(
                 post_doc, post_score, cs, cl, cq, cw,
                 Q=Qd, n_slots=n_slots, block=block,
             )
+            scores = scores + heavy_scores(
+                dense_rows[0], unique_heavy[0, 0], heavy_mix[0, 0]
+            )
             k2 = min(K2, n_slots)
-            _fv, idx = lax.top_k(scores, k2)
+            _fv, idx = tiled_topk(scores, k2)
             exact = exact_rescore(
                 post_doc, post_score, starts, dfs, weights, idx.astype(jnp.int32)
             )
@@ -105,18 +116,26 @@ def _sharded_search_fn(
         local_step,
         mesh=mesh,
         in_specs=(
-            P("seg", None),  # post_doc   [S, P_shard]
-            P("seg", None),  # post_score [S, P_shard]
+            P("seg", None),  # post_doc    [S, P_shard]
+            P("seg", None),  # post_score  [S, P_shard]
+            P("seg", None, None),  # dense_rows [S, H+1, cap]
             P("seg", "dp", None),  # starts  [S, Q, T]
             P("seg", "dp", None),
             P("seg", "dp", None),
+            P("seg", "dp", None),  # light_dfs [S, Q, T]
+            P("seg", "dp", None),  # unique_heavy [S, DP, U]
+            P("seg", "dp", None, None),  # heavy_mix [S, DP, Qd, U]
         ),
         out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
         check_vma=False,
     )
 
-    def step(post_doc, post_score, starts, dfs, weights):
-        vals, idx, found = fn(post_doc, post_score, starts, dfs, weights)
+    def step(post_doc, post_score, dense_rows, starts, dfs, weights,
+             light_dfs, unique_heavy, heavy_mix):
+        vals, idx, found = fn(
+            post_doc, post_score, dense_rows, starts, dfs, weights,
+            light_dfs, unique_heavy, heavy_mix,
+        )
         return vals[0], idx[0], found[0]
 
     return jax.jit(step)
@@ -167,10 +186,11 @@ class ShardedIndex:
         self.shard_seg_ranges = [(cuts[i], cuts[i + 1]) for i in range(S)]
 
         # Per-shard layouts.
+        # lex value: term -> (local posting start, df, dense_row_id or -1)
         self.shard_doc_bases: List[List[int]] = []  # local doc base per segment
         shard_docs: List[int] = []
         shard_posts: List[int] = []
-        self.lex: List[List[dict]] = []  # [shard][segment] term -> (start, df)
+        self.lex: List[List[dict]] = []
         for si, (lo, hi) in enumerate(self.shard_seg_ranges):
             dbase = 0
             pbase = 0
@@ -181,7 +201,7 @@ class ShardedIndex:
                 lex = {}
                 offs = seg.term_offsets
                 for i, t in enumerate(seg.terms):
-                    lex[t] = (pbase + int(offs[i]), int(seg.term_df[i]))
+                    lex[t] = (pbase + int(offs[i]), int(seg.term_df[i]), -1)
                 lexes.append(lex)
                 dbase += seg.N
                 pbase += seg.num_postings
@@ -195,9 +215,11 @@ class ShardedIndex:
         p_capacity = max(max(shard_posts) if shard_posts else 1, 1)
 
         post_doc = np.zeros((S, p_capacity), np.int32)
+        post_score_parts: List[List[np.ndarray]] = []
         post_score = np.zeros((S, p_capacity), np.float32)
         for si, (lo, hi) in enumerate(self.shard_seg_ranges):
             pb = 0
+            scores_here = []
             for j, seg in enumerate(self.segments[lo:hi]):
                 n = seg.num_postings
                 post_doc[si, pb : pb + n] = seg.post_doc + self.shard_doc_bases[si][j]
@@ -205,21 +227,69 @@ class ShardedIndex:
                 if sc is None:
                     sc = eager_scores(seg, k1=config.bm25.k1, b=config.bm25.b)
                 post_score[si, pb : pb + n] = sc
+                scores_here.append(sc)
                 pb += n
+            post_score_parts.append(scores_here)
         # Padding rows: doc slot 0 with score 0 — harmless (df masks them off).
+
+        # Per-shard dense rows for heavy terms (same hybrid representation as
+        # DeviceIndex, padded to a common H so shard blocks match).
+        dcfg = config.device
+        self.dense_threshold = (
+            max(1, int(self.shard_capacity * dcfg.dense_df_ratio))
+            if dcfg.dense_df_ratio > 0
+            else (1 << 62)
+        )
+        per_shard_heavy: List[List[Tuple[int, int, int]]] = []
+        for si, (lo, hi) in enumerate(self.shard_seg_ranges):
+            heavy = []
+            for j, seg in enumerate(self.segments[lo:hi]):
+                for i, t in enumerate(seg.terms):
+                    df = int(seg.term_df[i])
+                    if df >= self.dense_threshold:
+                        heavy.append((df, j, i))
+            heavy.sort(reverse=True)
+            row_cap = min(
+                dcfg.dense_max_rows,
+                max(0, int(dcfg.dense_max_bytes // (4 * self.shard_capacity))),
+            )
+            per_shard_heavy.append(heavy[:row_cap])
+        self.n_dense = max((len(h) for h in per_shard_heavy), default=0)
+        dense_host = np.zeros(
+            (S, self.n_dense + 1, self.shard_capacity), np.float32
+        )
+        for si, heavy in enumerate(per_shard_heavy):
+            lo, _hi = self.shard_seg_ranges[si]
+            for row_id, (_df, j, term_i) in enumerate(heavy):
+                seg = self.segments[lo + j]
+                a = int(seg.term_offsets[term_i])
+                b = int(seg.term_offsets[term_i + 1])
+                docs = seg.post_doc[a:b].astype(np.int64) + self.shard_doc_bases[si][j]
+                dense_host[si, row_id, docs] = post_score_parts[si][j][a:b]
+                term = seg.terms[term_i]
+                start, dfv, _ = self.lex[si][j][term]
+                self.lex[si][j][term] = (start, dfv, row_id)
 
         post_spec = NamedSharding(mesh, P("seg", None))
         self.post_doc = jax.device_put(post_doc, post_spec)
         self.post_score = jax.device_put(post_score, post_spec)
+        self.dense_rows = jax.device_put(
+            dense_host, NamedSharding(mesh, P("seg", None, None))
+        )
         self.n_docs = total_docs
         self._fns = {}
 
     # ---------------- planning ----------------
 
     def plan(self, queries: Sequence[Sequence[WeightedTerm]]):
-        """Per-shard padded term-slot plans: [S, Q, T] arrays."""
+        """Per-shard padded term-slot plans + hybrid split.
+
+        Returns (starts, dfs, weights, light_dfs) of shape [S, Qb, T] plus
+        (unique_heavy [S, DP, U], heavy_mix [S, DP, Qd, U]) with dp-LOCAL
+        query rows (shard_map splits the Qb axis into DP contiguous groups).
+        """
         S = self.n_shards
-        rows: List[List[List[Tuple[int, int, float]]]] = [[] for _ in range(S)]
+        rows: List[List[List[Tuple[int, int, float, int]]]] = [[] for _ in range(S)]
         t_max = 1
         for terms in queries:
             per_shard = [[] for _ in range(S)]
@@ -228,23 +298,55 @@ class ShardedIndex:
                     for lex in self.lex[si]:
                         hit = lex.get(term)
                         if hit is not None and hit[1] > 0:
-                            per_shard[si].append((hit[0], hit[1], float(w)))
+                            per_shard[si].append(
+                                (hit[0], hit[1], float(w), hit[2])
+                            )
             for si in range(S):
                 rows[si].append(per_shard[si])
                 t_max = max(t_max, len(per_shard[si]))
 
         Qb = _round_up(max(len(queries), 1), self.dp)
+        Qd = Qb // self.dp
         T = _bucket(t_max, self.T_BUCKETS)
         starts = np.zeros((S, Qb, T), np.int32)
         dfs = np.zeros((S, Qb, T), np.int32)
         weights = np.zeros((S, Qb, T), np.float32)
+        light_dfs = np.zeros((S, Qb, T), np.int32)
+        heavy_pairs: List[List[Tuple[int, int, int, float]]] = [
+            [] for _ in range(S)
+        ]  # per shard: (group, local_q, dense_id, w)
+        uniq: List[List[Dict[int, int]]] = [
+            [dict() for _ in range(self.dp)] for _ in range(S)
+        ]
         for si in range(S):
             for qi, slots in enumerate(rows[si]):
-                for ti, (s, df, w) in enumerate(slots[:T]):
+                g, lq = divmod(qi, Qd)
+                for ti, (s, df, w, dense_id) in enumerate(slots[:T]):
                     starts[si, qi, ti] = s
                     dfs[si, qi, ti] = df
                     weights[si, qi, ti] = w
-        return starts, dfs, weights
+                    if dense_id < 0:
+                        light_dfs[si, qi, ti] = df
+                    else:
+                        u = uniq[si][g].setdefault(dense_id, len(uniq[si][g]))
+                        heavy_pairs[si].append((g, lq, u, w))
+
+        hb = self.config.device.heavy_buckets
+        u_max = max(
+            (len(m) for per in uniq for m in per), default=1
+        )
+        U = _bucket(max(u_max, 1), hb)
+        if u_max > U:
+            U = _round_up(u_max, hb[0])
+        unique_heavy = np.full((S, self.dp, U), self.n_dense, np.int32)
+        heavy_mix = np.zeros((S, self.dp, Qd, U), np.float32)
+        for si in range(S):
+            for g in range(self.dp):
+                for dense_id, u in uniq[si][g].items():
+                    unique_heavy[si, g, u] = dense_id
+            for g, lq, u, w in heavy_pairs[si]:
+                heavy_mix[si, g, lq, u] += np.float32(w)
+        return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
     def _chunk_budget(self, dfs, block) -> int:
         """Static per-device chunk count: max over (shard, dp-group) totals."""
@@ -272,13 +374,18 @@ class ShardedIndex:
         K = min(K, self.shard_capacity)
         mode = self.config.device.mode
         block = self.config.device.posting_block
-        starts, dfs, weights = self.plan(queries)
-        C = self._chunk_budget(dfs, block)
+        starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = self.plan(
+            queries
+        )
+        C = self._chunk_budget(light_dfs if mode != "exact" else dfs, block)
         K2 = min(
             max(2 * K, self.config.device.rescore_margin), self.shard_capacity
         )
 
-        key = (K, K2, mode, C, starts.shape[1], starts.shape[2])
+        key = (
+            K, K2, mode, C,
+            starts.shape[1], starts.shape[2], unique_heavy.shape[2],
+        )
         fn = self._fns.get(key)
         if fn is None:
             fn = _sharded_search_fn(
@@ -290,8 +397,16 @@ class ShardedIndex:
         starts = jax.device_put(starts, plan_spec)
         dfs = jax.device_put(dfs, plan_spec)
         weights = jax.device_put(weights, plan_spec)
+        light_dfs = jax.device_put(light_dfs, plan_spec)
+        unique_heavy = jax.device_put(unique_heavy, plan_spec)
+        heavy_mix = jax.device_put(
+            heavy_mix, NamedSharding(self.mesh, P("seg", "dp", None, None))
+        )
         vals, idx, found = jax.device_get(
-            fn(self.post_doc, self.post_score, starts, dfs, weights)
+            fn(
+                self.post_doc, self.post_score, self.dense_rows,
+                starts, dfs, weights, light_dfs, unique_heavy, heavy_mix,
+            )
         )
 
         out = []

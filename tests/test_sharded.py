@@ -91,3 +91,28 @@ def test_more_shards_than_segments():
     oracle_hits, found = oracle_search([segs[0].to_oracle_segment()], [("w0000", 1.0)], k=10)
     assert res.found == found
     assert len(res.scores) == len(oracle_hits)
+
+
+def test_sharded_dense_rows_parity(segs):
+    """Force the dense-row (heavy term) path on the sharded kernel."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="fused", posting_block=64, chunk_buckets=(64, 256),
+            dense_df_ratio=0.003,  # threshold ~6 docs -> many heavy terms
+        )
+    )
+    mesh = make_mesh(dp=2, seg=4)
+    si = ShardedIndex(segs, mesh, config=cfg)
+    assert si.n_dense > 0  # the heavy path is actually exercised
+    oracle_segs = [s.to_oracle_segment() for s in segs]
+    for terms, res in zip(QUERIES, si.search_batch(QUERIES, k=10)):
+        hits, total_found = oracle_search(oracle_segs, terms, k=10)
+        assert res.found == total_found, terms
+        assert len(res.scores) == len(hits), terms
+        for (o_score, o_seg, o_doc), d_score, d_slot in zip(
+            hits, res.scores, res.doc_slots
+        ):
+            assert si.locate(int(d_slot)) == (o_seg, o_doc), terms
+            assert np.float32(d_score) == np.float32(o_score), terms
