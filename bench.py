@@ -151,9 +151,9 @@ def main():
     # is sized from the ACTUAL workload: gather volume is pure waste beyond
     # the max live chunks (dense rows absorb the heavy terms).
     blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 512))
-    dense_ratio = float(os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 16))
+    dense_ratio = float(os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 256))
     dense_bytes = int(os.environ.get("NEXTSEARCH_BENCH_DENSE_BYTES", 2 << 30))
-    heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 256))
+    heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
     cfg0 = EngineConfig(
         device=DeviceConfig(
             mode=mode, posting_block=blk, heavy_buckets=(heavy_b,),
