@@ -190,15 +190,20 @@ class Engine:
                 break
         if not terms:
             return 0
-        nq = n_queries or self.config.batching.max_batch
         launches = 0
+        sizes = (
+            [n_queries]
+            if n_queries
+            else sorted({1, 8, self.config.batching.max_batch})
+        )
         for k in k_values:
-            queries = [
-                [(rng.choice(terms), 1.0) for _ in range(rng.randint(1, 4))]
-                for _ in range(nq)
-            ]
-            self.index.search_batch(queries, k=k)
-            launches += 1
+            for nq in sizes:
+                queries = [
+                    [(rng.choice(terms), 1.0) for _ in range(rng.randint(1, 4))]
+                    for _ in range(nq)
+                ]
+                self.index.search_batch(queries, k=k)
+                launches += 1
         print(f"[warmup] compiled {launches} kernel shape(s)", file=sys.stderr)
         return launches
 
