@@ -154,10 +154,12 @@ def main():
     dense_ratio = float(os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 256))
     dense_bytes = int(os.environ.get("NEXTSEARCH_BENCH_DENSE_BYTES", 2 << 30))
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
+    bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16") == "1"
     cfg0 = EngineConfig(
         device=DeviceConfig(
             mode=mode, posting_block=blk, heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
+            scores_bf16=bf16,
         )
     )
     di = DeviceIndex([seg], config=cfg0)
@@ -181,6 +183,7 @@ def main():
             mode=mode, posting_block=blk, chunk_buckets=(chunks,),
             heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
+            scores_bf16=bf16,
         )
     )
     di = DeviceIndex([seg], config=cfg)

@@ -86,6 +86,11 @@ class DeviceConfig:
     dense_max_bytes: int = 2 << 30
     # Unique-heavy-row buckets per batch (static matmul shapes).
     heavy_buckets: Tuple[int, ...] = (8, 32, 128, 256)
+    # bf16 dense score accumulation: halves [Q, n_slots] traffic. Reported
+    # scores stay bit-exact (f32 rescore) and `found` stays exact; only the
+    # K2-candidate preselection sees ~0.4% relative noise (guarded by the
+    # 2K margin).
+    scores_bf16: bool = False
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     # Gather volume beyond the live chunks is pure waste, so the ladder
     # starts small; each bucket is one XLA compile (cached persistently).

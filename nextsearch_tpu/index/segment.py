@@ -273,6 +273,7 @@ class DeviceIndex:
                 plan_ints, plan_f32,
                 n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
                 bs_steps=bs_steps,
+                scores_bf16=self.config.device.scores_bf16,
             )
             out.copy_to_host_async()
             return ("packed", nq, k, K, out)

@@ -140,9 +140,14 @@ def expand_chunks(starts, dfs, weights, *, C, block):
 
 def scatter_scores(
     post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
-    *, Q, n_slots, block,
+    *, Q, n_slots, block, dtype=jnp.float32,
 ):
-    """Pass 1: fused scatter-add of all posting chunks -> dense [Q, n_slots]."""
+    """Pass 1: fused scatter-add of all posting chunks -> dense [Q, n_slots].
+
+    dtype=bfloat16 halves the dense-array traffic; approximate-score error is
+    absorbed by the exact rescore pass, and `found` stays exact (no positive
+    f32 contribution rounds to bf16 zero).
+    """
     C = chunk_start.shape[0]
     P = post_doc.shape[0]
     offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
@@ -150,9 +155,9 @@ def scatter_scores(
     idx = jnp.clip(chunk_start[:, None] + offs, 0, max(P - 1, 0))
     doc = jnp.where(valid, post_doc[idx], n_slots)
     contrib = jnp.where(valid, chunk_w[:, None] * post_score[idx], jnp.float32(0.0))
-    scores = jnp.zeros((Q, n_slots), jnp.float32)
+    scores = jnp.zeros((Q, n_slots), dtype)
     qrow = jnp.broadcast_to(chunk_q[:, None], (C, block))
-    return scores.at[qrow, doc].add(contrib, mode="drop")
+    return scores.at[qrow, doc].add(contrib.astype(dtype), mode="drop")
 
 
 def exact_rescore(
@@ -192,15 +197,16 @@ def exact_rescore(
     return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, k2), jnp.float32))
 
 
-def heavy_scores(dense_rows, unique_rows, mix):
+def heavy_scores(dense_rows, unique_rows, mix, dtype=jnp.float32):
     """Dense-row contribution: gather unique heavy rows, one MXU matmul.
 
     dense_rows f32 [H+1, n_slots] (row H is all-zero padding), unique_rows
     int32 [U], mix f32 [Q, U] (sum of query weights per unique row). Returns
-    f32 [Q, n_slots].
+    [Q, n_slots] in `dtype` (f32 accumulation on the MXU either way).
     """
     d_sub = dense_rows[unique_rows]  # [U, n_slots] contiguous row gather
-    return jnp.dot(mix, d_sub, preferred_element_type=jnp.float32)
+    out = jnp.dot(mix, d_sub, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
 
 
 def tiled_topk(scores, k2: int, tile: int = 2048):
@@ -298,7 +304,8 @@ def bm25_topk_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_slots", "K", "K2", "C", "block", "bs_steps")
+    jax.jit,
+    static_argnames=("n_slots", "K", "K2", "C", "block", "bs_steps", "scores_bf16"),
 )
 def bm25_search_packed(
     post_doc: jax.Array,  # int32 [P]
@@ -316,12 +323,15 @@ def bm25_search_packed(
     C: int,
     block: int = 2048,
     bs_steps: int = 24,
+    scores_bf16: bool = False,
 ):
     """Transfer-minimal variant of bm25_topk_fused.
 
     The axon relay charges a round trip per host<->device array, so the
     query plan rides in TWO arrays and the result in ONE packed f32
-    [Q, 2K+1]: columns [vals(K) | bitcast idx(K) | bitcast found(1)].
+    [Q, 2K+1]: columns [vals(K) | idx(K) | found(1)] as exact f32 values.
+    scores_bf16 halves the dense score-array traffic (reported scores stay
+    bit-exact via the f32 rescore; found stays exact).
     """
     starts = plan_ints[0]
     dfs = plan_ints[1]
@@ -331,15 +341,16 @@ def bm25_search_packed(
     weights = plan_f32[:Q, :T]
     heavy_mix = plan_f32[:Q, T:]
     unique_heavy = plan_f32[Q, T:].astype(jnp.int32)
+    sdtype = jnp.bfloat16 if scores_bf16 else jnp.float32
 
     chunk_start, chunk_len, chunk_q, chunk_w = expand_chunks(
         starts, light_dfs, weights, C=C, block=block
     )
     scores = scatter_scores(
         post_doc, post_score, chunk_start, chunk_len, chunk_q, chunk_w,
-        Q=Q, n_slots=n_slots, block=block,
+        Q=Q, n_slots=n_slots, block=block, dtype=sdtype,
     )
-    scores = scores + heavy_scores(dense_rows, unique_heavy, heavy_mix)
+    scores = scores + heavy_scores(dense_rows, unique_heavy, heavy_mix, dtype=sdtype)
     found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
     k2 = min(K2, n_slots)
     _fv, cand = tiled_topk(scores, k2)

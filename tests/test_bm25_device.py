@@ -100,3 +100,24 @@ def test_empty_index():
     di = DeviceIndex([])
     res = di.search_batch([[("covid", 1.0)]], k=10)
     assert res[0].found == 0
+
+
+def test_fused_bf16_scores_parity(multi_seg):
+    """bf16 score accumulation: reported scores still bit-exact (rescore)."""
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="fused", posting_block=64, chunk_buckets=(64, 256, 1024),
+            scores_bf16=True,
+        )
+    )
+    di = DeviceIndex(multi_seg, config=cfg)
+    oracle_segs = [s.to_oracle_segment() for s in multi_seg]
+    for terms, res in zip(_queries(), di.search_batch(_queries(), k=10)):
+        hits, total_found = oracle_search(oracle_segs, terms, k=10)
+        assert res.found == total_found, terms
+        assert len(res.scores) == len(hits), terms
+        for (o_score, o_seg, o_doc), d_score, d_slot in zip(
+            hits, res.scores, res.doc_slots
+        ):
+            assert di.locate(int(d_slot)) == (o_seg, o_doc), terms
+            assert np.float32(d_score) == np.float32(o_score), terms
