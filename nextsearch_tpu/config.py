@@ -91,6 +91,10 @@ class DeviceConfig:
     # K2-candidate preselection sees ~0.4% relative noise (guarded by the
     # 2K margin).
     scores_bf16: bool = False
+    # Store dense rows in bf16: halves their HBM residency (2x more rows per
+    # dense_max_bytes) and the per-batch matmul read. Same exactness
+    # argument as scores_bf16.
+    dense_rows_bf16: bool = True
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     # Gather volume beyond the live chunks is pure waste, so the ladder
     # starts small; each bucket is one XLA compile (cached persistently).

@@ -121,9 +121,10 @@ class DeviceIndex:
 
         # Highest-df terms win the capped dense-row budget.
         heavy.sort(reverse=True)
+        row_bytes = (2 if dcfg.dense_rows_bf16 else 4) * self.n_slots
         row_cap = min(
             dcfg.dense_max_rows,
-            max(0, int(dcfg.dense_max_bytes // (4 * self.n_slots))),
+            max(0, int(dcfg.dense_max_bytes // row_bytes)),
         )
         heavy = heavy[:row_cap]
         self.n_dense = len(heavy)
@@ -157,6 +158,10 @@ class DeviceIndex:
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         self.post_doc = put(post_doc)
         self.post_score = put(post_score)
+        if dcfg.dense_rows_bf16:
+            import ml_dtypes
+
+            dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
 
     # ---------------- query planning ----------------

@@ -200,12 +200,17 @@ def exact_rescore(
 def heavy_scores(dense_rows, unique_rows, mix, dtype=jnp.float32):
     """Dense-row contribution: gather unique heavy rows, one MXU matmul.
 
-    dense_rows f32 [H+1, n_slots] (row H is all-zero padding), unique_rows
-    int32 [U], mix f32 [Q, U] (sum of query weights per unique row). Returns
-    [Q, n_slots] in `dtype` (f32 accumulation on the MXU either way).
+    dense_rows [H+1, n_slots] f32 or bf16 (row H is all-zero padding),
+    unique_rows int32 [U], mix f32 [Q, U] (summed query weights per unique
+    row). Returns [Q, n_slots] in `dtype`; accumulation is f32 on the MXU.
+    bf16 rows halve HBM residency and matmul read traffic; approximation is
+    absorbed by the exact rescore, and positives stay positive so `found`
+    stays exact.
     """
     d_sub = dense_rows[unique_rows]  # [U, n_slots] contiguous row gather
-    out = jnp.dot(mix, d_sub, preferred_element_type=jnp.float32)
+    out = jnp.dot(
+        mix.astype(d_sub.dtype), d_sub, preferred_element_type=jnp.float32
+    )
     return out.astype(dtype)
 
 

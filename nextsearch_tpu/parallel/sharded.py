@@ -249,9 +249,10 @@ class ShardedIndex:
                     if df >= self.dense_threshold:
                         heavy.append((df, j, i))
             heavy.sort(reverse=True)
+            row_bytes = (2 if dcfg.dense_rows_bf16 else 4) * self.shard_capacity
             row_cap = min(
                 dcfg.dense_max_rows,
-                max(0, int(dcfg.dense_max_bytes // (4 * self.shard_capacity))),
+                max(0, int(dcfg.dense_max_bytes // row_bytes)),
             )
             per_shard_heavy.append(heavy[:row_cap])
         self.n_dense = max((len(h) for h in per_shard_heavy), default=0)
@@ -273,6 +274,10 @@ class ShardedIndex:
         post_spec = NamedSharding(mesh, P("seg", None))
         self.post_doc = jax.device_put(post_doc, post_spec)
         self.post_score = jax.device_put(post_score, post_spec)
+        if dcfg.dense_rows_bf16:
+            import ml_dtypes
+
+            dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = jax.device_put(
             dense_host, NamedSharding(mesh, P("seg", None, None))
         )
