@@ -24,6 +24,7 @@ import zipfile
 from pathlib import Path
 from typing import Optional, Tuple
 
+from ..utils.logging import log
 from ..index.builder import build_segment_arrays
 from ..index.segmentio import discover_segments, save_manifest, seg_name, write_segment
 from ..tools.adddocument import next_seg_id
@@ -100,10 +101,8 @@ def handle_add_document(ctx, headers, body: bytes) -> Tuple[int, dict]:
             write_segment(seg, segdir, barrels=True)
             save_manifest(index_dir / "manifest.bin", list(seg_names) + [new_name])
             reloaded = engine.reload()
-        print(
-            f"[add_document] published {new_name}: {seg.N} docs, "
-            f"{seg.num_terms} terms", file=sys.stderr,
-        )
+        log("add_document", f"published {new_name}: {seg.N} docs, "
+            f"{seg.num_terms} terms")
         return 200, {
             "success": True,
             "segment": new_name,

@@ -17,6 +17,8 @@ import sys
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
+from ..utils.logging import log
+
 Transport = Callable[[str, str, dict, str], str]
 
 
@@ -108,10 +110,10 @@ def default_transport(host: str, path: str, headers: dict, body: str) -> str:
         data = res.read().decode("utf-8", errors="replace")
         if res.status == 200:
             return data
-        print(f"[https_post] Request failed - Status: {res.status}", file=sys.stderr)
+        log("https_post", f"Request failed - Status: {res.status}")
         return ""
     except OSError as e:
-        print(f"[https_post] Exception: {e}", file=sys.stderr)
+        log("https_post", f"Exception: {e}")
         return ""
 
 

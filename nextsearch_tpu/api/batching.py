@@ -90,19 +90,23 @@ class SuggestBatcher(MicroBatcher):
 
     def __init__(self, engine, config: BatchingConfig):
         def batch_fn(requests):
-            with engine.mtx:
-                if engine.ac.empty():
-                    return [[] for _ in requests]
-                # group by limit (kernel L is static); usually one group
-                out = [None] * len(requests)
-                by_limit = {}
-                for i, (q, lim) in enumerate(requests):
-                    by_limit.setdefault(lim, []).append((i, q))
-                for lim, items in by_limit.items():
-                    res = engine.ac.suggest_batch([q for _, q in items], lim)
-                    for (i, _q), r in zip(items, res):
-                        out[i] = r
-                return out
+            # Snapshot the autocomplete table instead of holding engine.mtx
+            # through the device launch: reload() swaps engine.ac atomically
+            # (engine.reload builds new_ac then assigns), so suggests never
+            # serialize behind a slow search/reload.
+            ac = engine.ac
+            if ac.empty():
+                return [[] for _ in requests]
+            # group by limit (kernel L is static); usually one group
+            out = [None] * len(requests)
+            by_limit = {}
+            for i, (q, lim) in enumerate(requests):
+                by_limit.setdefault(lim, []).append((i, q))
+            for lim, items in by_limit.items():
+                res = ac.suggest_batch([q for _, q in items], lim)
+                for (i, _q), r in zip(items, res):
+                    out[i] = r
+            return out
 
         super().__init__(batch_fn, config, name="suggest-batcher")
         self.engine = engine

@@ -20,6 +20,8 @@ from collections import OrderedDict
 from pathlib import Path
 from typing import Any, Optional
 
+from ..utils.logging import log
+
 
 def make_cache_key(query: str, k: int) -> str:
     return f"{query}|{k}"
@@ -86,7 +88,7 @@ class LRUCache:
             tmp.write_text(json.dumps(payload, indent=2), encoding="utf-8")
             tmp.replace(self.persist_path)
         except OSError as e:
-            print(f"[{self.tag}] Error saving cache: {e}", file=sys.stderr)
+            log(self.tag, f"Error saving cache: {e}", level="error")
 
     def save(self) -> None:
         with self._lock:
@@ -99,7 +101,7 @@ class LRUCache:
         try:
             payload = json.loads(self.persist_path.read_text(encoding="utf-8"))
         except (OSError, ValueError) as e:
-            print(f"[{self.tag}] Error loading cache: {e}", file=sys.stderr)
+            log(self.tag, f"Error loading cache: {e}", level="error")
             return 0
         if not isinstance(payload, list):
             return 0

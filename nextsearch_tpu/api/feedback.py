@@ -20,6 +20,8 @@ from collections import deque
 from pathlib import Path
 from typing import Optional, Tuple
 
+from ..utils.logging import log
+
 MAX_FEEDBACK_ENTRIES = 500
 
 
@@ -31,11 +33,8 @@ class FeedbackManager:
         self._entries: deque = deque()
         self._lock = threading.Lock()
         self._load()
-        print(
-            f"[feedback] Initialized with {len(self._entries)} existing "
-            f"entries (max: {MAX_FEEDBACK_ENTRIES})",
-            file=sys.stderr,
-        )
+        log("feedback", f"Initialized with {len(self._entries)} existing "
+            f"entries (max: {MAX_FEEDBACK_ENTRIES})")
 
     def add_feedback(self, feedback_data: dict) -> bool:
         with self._lock:
@@ -54,7 +53,7 @@ class FeedbackManager:
                 self._save_locked()
                 return True
             except (OSError, ValueError) as e:
-                print(f"[feedback] Error adding entry: {e}", file=sys.stderr)
+                log("feedback", f"Error adding entry: {e}")
                 return False
 
     def get_all_feedback(self) -> dict:
@@ -80,7 +79,7 @@ class FeedbackManager:
                 while len(self._entries) > MAX_FEEDBACK_ENTRIES:
                     self._entries.popleft()
         except (OSError, ValueError) as e:
-            print(f"[feedback] Error loading from file: {e}", file=sys.stderr)
+            log("feedback", f"Error loading from file: {e}")
 
     def _save_locked(self) -> None:
         try:
@@ -91,7 +90,7 @@ class FeedbackManager:
             }
             self.feedback_file.write_text(json.dumps(j, indent=2), encoding="utf-8")
         except OSError as e:
-            print(f"[feedback] Error saving to file: {e}", file=sys.stderr)
+            log("feedback", f"Error saving to file: {e}")
 
 
 def validate_and_add(

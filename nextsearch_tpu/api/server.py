@@ -38,6 +38,7 @@ from urllib.parse import parse_qs, urlparse
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..engine import Engine
 from ..utils.envloader import load_env_file
+from ..utils.logging import log
 from .ai import AzureOpenAIConfig, generate_ai_overview, generate_ai_summary
 from .batching import SearchBatcher
 from .feedback import FeedbackManager, validate_and_add
@@ -116,10 +117,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.end_headers()
         if body:
             self.wfile.write(body)
-        print(
-            f"[http] {self.command} {urlparse(self.path).path} -> {status}",
-            file=sys.stderr,
-        )
+        log("http", f"{self.command} {urlparse(self.path).path} -> {status}")
 
     def _params(self):
         q = parse_qs(urlparse(self.path).query, keep_blank_values=True)
@@ -176,9 +174,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             pass
         except Exception as e:
-            print(
-                f"[exception] {self.command} {self.path} : {e}", file=sys.stderr
-            )
+            log("exception", f"{self.command} {self.path} : {e}")
             self._respond(500, {"error": "internal server error"})
 
     def do_POST(self):
@@ -194,9 +190,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             pass
         except Exception as e:
-            print(
-                f"[exception] {self.command} {self.path} : {e}", file=sys.stderr
-            )
+            log("exception", f"{self.command} {self.path} : {e}")
             self._respond(500, {"error": "internal server error"})
 
     # ---------------- handlers ----------------
@@ -231,17 +225,12 @@ class ApiHandler(BaseHTTPRequestHandler):
             j["total_time_ms"] = (time.perf_counter() - total_t0) * 1000.0
             j["cached"] = True
             j.pop("from_cache", None)
-            print(
-                f'[search] q="{q}" k={k} CACHED cache_lookup={search_ms:.3f}ms',
-                file=sys.stderr,
-            )
+            log("search", f'q="{q}" k={k} CACHED cache_lookup={search_ms:.3f}ms')
         else:
             j["search_time_ms"] = search_ms
             j["total_time_ms"] = (time.perf_counter() - total_t0) * 1000.0
             j["cached"] = False
-            print(
-                f'[search] q="{q}" k={k} search={search_ms:.3f}ms', file=sys.stderr
-            )
+            log("search", f'q="{q}" k={k} search={search_ms:.3f}ms')
         self._respond(200, j)
 
     def _handle_suggest(self):
@@ -401,7 +390,7 @@ def main(argv=None):
 
     engine = Engine(index_dir)
     if not engine.reload():
-        print(f"Failed to load index segments from: {index_dir}", file=sys.stderr)
+        log("server", f"Failed to load index segments from: {index_dir}", level="error")
         return 1
 
     env_vars = load_env_file(".env")
@@ -414,14 +403,12 @@ def main(argv=None):
     if not Path("stats.json").exists() and env_vars.get("AI_API_CALLS_LIMIT"):
         limit = int(env_vars["AI_API_CALLS_LIMIT"])
         stats.set_ai_api_calls_limit(limit)
-        print(f"[stats] AI API calls limit set to: {limit} (from .env)")
+        log("stats", f"AI API calls limit set to: {limit} (from .env)")
     if azure.enabled:
-        print(f"[azure] Azure OpenAI enabled with model: {azure.model}")
+        log("azure", f"Azure OpenAI enabled with model: {azure.model}")
     else:
-        print(
-            "[azure] Azure OpenAI not configured "
-            "(AI overview endpoint will return error)"
-        )
+        log("azure", "Azure OpenAI not configured "
+            "(AI overview endpoint will return error)")
     feedback = FeedbackManager("feedback.json")
     if os.environ.get("NEXTSEARCH_WARMUP", "1") == "1":
         engine.warmup()

@@ -21,6 +21,8 @@ import time
 from pathlib import Path
 from typing import Optional
 
+from ..utils.logging import log
+
 _FIELDS = (
     "total_searches",
     "search_cache_hits",
@@ -92,10 +94,7 @@ class StatsTracker:
 
     def _load(self) -> None:
         if not self.stats_file.exists():
-            print(
-                f"[stats] No existing stats file found at: {self.stats_file}",
-                file=sys.stderr,
-            )
+            log("stats", f"No existing stats file found at: {self.stats_file}")
             return
         try:
             j = json.loads(self.stats_file.read_text(encoding="utf-8"))
@@ -103,7 +102,7 @@ class StatsTracker:
                 if f in j:
                     setattr(self, f, int(j[f]))
         except (OSError, ValueError) as e:
-            print(f"[stats] Error loading from file: {e}", file=sys.stderr)
+            log("stats", f"Error loading from file: {e}")
 
     def _save_locked(self) -> None:
         try:
@@ -113,7 +112,7 @@ class StatsTracker:
             )
             self.stats_file.write_text(json.dumps(j, indent=2), encoding="utf-8")
         except OSError as e:
-            print(f"[stats] Error saving to file: {e}", file=sys.stderr)
+            log("stats", f"Error saving to file: {e}")
 
     # ---------------- reporting ----------------
 
@@ -126,7 +125,7 @@ class StatsTracker:
                 if not isinstance(stats, dict):
                     stats = {}
             except (OSError, ValueError) as e:
-                print(f"[stats] Error reading from file: {e}", file=sys.stderr)
+                log("stats", f"Error reading from file: {e}")
                 stats = {}
         if not stats:
             with self._lock:

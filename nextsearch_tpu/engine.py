@@ -36,6 +36,7 @@ from .index.segment import DeviceIndex
 from .index.segmentio import discover_segments, load_segment
 from .models.autocomplete import AutocompleteIndex
 from .models.semantic import SemanticIndex
+from .utils.logging import log
 from .utils.profiling import GLOBAL_TRACER, device_trace
 from .utils.textutil import filter_terms, tokenize
 
@@ -110,7 +111,7 @@ class Engine:
                         )
                     )
                 except (OSError, ValueError, struct_error) as e:
-                    print(f"Failed to load segment: {segdir} ({e})", file=sys.stderr)
+                    log("reload", f"Failed to load segment: {segdir} ({e})", level="error")
                     return False
 
             if self.mesh is not None:
@@ -136,9 +137,7 @@ class Engine:
 
             # Lazy metadata offsets (:111-113).
             self.metadata = MetadataStore(self.index_dir / "metadata.csv")
-            print(
-                f"[metadata] map_size={len(self.metadata)}", file=sys.stderr
-            )
+            log("metadata", f"map_size={len(self.metadata)}")
 
             # Semantic embeddings (:116-153).
             self.sem = SemanticIndex()
@@ -153,18 +152,12 @@ class Engine:
             if emb_path and Path(emb_path).exists():
                 ok = self.sem.load_from_text(emb_path, needed)
                 if ok:
-                    print(
-                        f"[reload] semantic embeddings loaded: "
+                    log("reload", f"semantic embeddings loaded: "
                         f"{len(self.sem.terms)} terms, dim={self.sem.dim} "
-                        f"from {emb_path}",
-                        file=sys.stderr,
-                    )
+                        f"from {emb_path}")
                 else:
-                    print(
-                        f"[reload] embeddings file found but no usable vectors "
-                        f"loaded: {emb_path} (semantic search disabled)",
-                        file=sys.stderr,
-                    )
+                    log("reload", f"embeddings file found but no usable vectors "
+                        f"loaded: {emb_path} (semantic search disabled)")
 
             self.cache.load()
             self.ai_overview_cache.load()
@@ -184,7 +177,7 @@ class Engine:
 
         rng = random.Random(0)
         terms = []
-        for lex in self.index.lex:
+        for lex in self.index.iter_lexicons():
             terms.extend(lex.keys())
             if len(terms) > 4096:
                 break
@@ -204,7 +197,7 @@ class Engine:
                 ]
                 self.index.search_batch(queries, k=k)
                 launches += 1
-        print(f"[warmup] compiled {launches} kernel shape(s)", file=sys.stderr)
+        log("warmup", f"compiled {launches} kernel shape(s)")
         return launches
 
     def save_caches(self) -> None:
@@ -269,52 +262,51 @@ class Engine:
                     continue
                 pending.append((i, query, K, qterms_w))
 
-        if True:
-            if pending:
-                kmax = max(p[2] for p in pending)
-                with GLOBAL_TRACER.span("search.device"), device_trace("search"):
-                    results = index.search_batch(
-                        [p[3] for p in pending], k=kmax
-                    )
-                for (i, query, K, _), qres in zip(pending, results):
-                    res = {
-                        "query": query,
-                        "k": K,
-                        "segments": seg_count,
-                        "results": [],
-                        "found": int(qres.found),
+        if pending:
+            kmax = max(p[2] for p in pending)
+            with GLOBAL_TRACER.span("search.device"), device_trace("search"):
+                results = index.search_batch(
+                    [p[3] for p in pending], k=kmax
+                )
+            for (i, query, K, _), qres in zip(pending, results):
+                res = {
+                    "query": query,
+                    "k": K,
+                    "segments": seg_count,
+                    "results": [],
+                    "found": int(qres.found),
+                }
+                for score, slot in zip(
+                    qres.scores[:K], qres.doc_slots[:K]
+                ):
+                    seg_name, cord_uid, doc_id = index.doc_info(int(slot))
+                    r = {
+                        "score": float(score),
+                        "segment": seg_name,
+                        "docId": doc_id,
+                        "cord_uid": cord_uid,
                     }
-                    for score, slot in zip(
-                        qres.scores[:K], qres.doc_slots[:K]
-                    ):
-                        seg_name, cord_uid, doc_id = index.doc_info(int(slot))
-                        r = {
-                            "score": float(score),
-                            "segment": seg_name,
-                            "docId": doc_id,
-                            "cord_uid": cord_uid,
-                        }
-                        meta = (
-                            metadata.fetch(cord_uid)
-                            if metadata is not None
-                            else None
-                        )
-                        if meta is not None:
-                            if meta.title:
-                                r["title"] = meta.title
-                            url = meta.url
-                            semi = url.find(";")
-                            if semi >= 0:
-                                url = url[:semi]
-                            if url:
-                                r["url"] = url
-                            if meta.publish_time:
-                                r["publish_time"] = meta.publish_time
-                            if meta.author:
-                                r["author"] = meta.author
-                        res["results"].append(r)
-                    self.cache.put(make_cache_key(query, K), res)
-                    out[i] = dict(res)  # shallow copy: callers add timing keys
+                    meta = (
+                        metadata.fetch(cord_uid)
+                        if metadata is not None
+                        else None
+                    )
+                    if meta is not None:
+                        if meta.title:
+                            r["title"] = meta.title
+                        url = meta.url
+                        semi = url.find(";")
+                        if semi >= 0:
+                            url = url[:semi]
+                        if url:
+                            r["url"] = url
+                        if meta.publish_time:
+                            r["publish_time"] = meta.publish_time
+                        if meta.author:
+                            r["author"] = meta.author
+                    res["results"].append(r)
+                self.cache.put(make_cache_key(query, K), res)
+                out[i] = dict(res)  # shallow copy: callers add timing keys
 
         return [x for x in out]  # type: ignore[return-value]
 
@@ -392,8 +384,8 @@ class Engine:
         ac_cfg = self.config.autocomplete
         L = max(ac_cfg.limit_min, min(int(limit), ac_cfg.limit_max))
         out = {"query": user_input, "limit": L, "suggestions": []}
-        with self.mtx:
-            if self.ac.empty():
-                return out
-            out["suggestions"] = self.ac.suggest_query(user_input, L)
+        ac = self.ac  # reload() swaps the table atomically; no lock needed
+        if ac.empty():
+            return out
+        out["suggestions"] = ac.suggest_query(user_input, L)
         return out

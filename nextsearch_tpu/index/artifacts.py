@@ -46,14 +46,24 @@ def _decode_strs(blob: np.ndarray, lens: np.ndarray) -> list:
     return out
 
 
-def save_artifact(seg: SegmentArrays, segdir: str | os.PathLike) -> Path:
-    """Write the segment's canonical arrays as an .npz artifact."""
+def save_artifact(
+    seg: SegmentArrays,
+    segdir: str | os.PathLike,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Path:
+    """Write the segment's canonical arrays as an .npz artifact.
+
+    k1/b are recorded alongside the baked eager post_score so a later load
+    with different BM25 params treats the artifact as stale instead of
+    silently serving scores computed under the old ones.
+    """
     segdir = Path(segdir)
     segdir.mkdir(parents=True, exist_ok=True)
     path = segdir / ARTIFACT_NAME
     post_score = seg.post_score
     if post_score is None:
-        post_score = eager_scores(seg)
+        post_score = eager_scores(seg, k1=k1, b=b)
     terms_blob, terms_lens = _encode_strs(seg.terms)
     uids_blob, uids_lens = _encode_strs(seg.cord_uids)
     titles_blob, titles_lens = _encode_strs(seg.titles or [""] * seg.N)
@@ -62,6 +72,8 @@ def save_artifact(seg: SegmentArrays, segdir: str | os.PathLike) -> Path:
     np.savez(
         tmp,
         version=np.int64(FORMAT_VERSION),
+        bm25_k1=np.float64(k1),
+        bm25_b=np.float64(b),
         N=np.int64(seg.N),
         avgdl=np.float32(seg.avgdl),
         term_df=seg.term_df,
@@ -88,14 +100,21 @@ def save_artifact(seg: SegmentArrays, segdir: str | os.PathLike) -> Path:
     return path
 
 
-def load_artifact(segdir: str | os.PathLike) -> Optional[SegmentArrays]:
-    """Load an .npz artifact; None when absent or incompatible."""
+def load_artifact(
+    segdir: str | os.PathLike, k1: float = 1.2, b: float = 0.75
+) -> Optional[SegmentArrays]:
+    """Load an .npz artifact; None when absent, incompatible, or baked with
+    different BM25 params than requested (post_score would be wrong)."""
     path = Path(segdir) / ARTIFACT_NAME
     if not path.exists():
         return None
     try:
         z = np.load(path)
         if int(z["version"]) != FORMAT_VERSION:
+            return None
+        if "bm25_k1" not in z or "bm25_b" not in z:
+            return None  # pre-param artifact: treat as stale
+        if float(z["bm25_k1"]) != float(k1) or float(z["bm25_b"]) != float(b):
             return None
         terms = _decode_strs(z["terms_blob"], z["terms_lens"])
         return SegmentArrays(
@@ -139,12 +158,12 @@ def load_segment_cached(
     from .segmentio import load_segment
 
     if artifact_fresh(segdir):
-        seg = load_artifact(segdir)
+        seg = load_artifact(segdir, k1=k1, b=b)
         if seg is not None:
             return seg
     seg = load_segment(segdir, with_scores=True, k1=k1, b=b)
     try:
-        save_artifact(seg, segdir)
+        save_artifact(seg, segdir, k1=k1, b=b)
     except OSError:
         pass  # read-only index dirs still work, just without the cache
     return seg

@@ -118,10 +118,16 @@ def build_segment_arrays(
     the Python path; None auto-selects native when the library is available.
     Both produce identical arrays (tests/test_native.py).
     """
+    docs = list(docs)
     if use_native is not False:
         from .. import native
 
-        if native.available():
+        # The native builder tokenizes raw text; pre-tokenized docs must
+        # take the Python path, since re-joining tokens would re-split any
+        # token with non-alphanumeric characters (e.g. 'covid-19') and
+        # break the 'identical arrays' contract.
+        all_text = all(doc.get("text") is not None for doc in docs)
+        if native.available() and all_text:
             try:
                 return _build_native(docs, k1, b, with_scores)
             except (OSError, AssertionError):

@@ -12,6 +12,7 @@ Parity contract (reference: src/api_metadata.cpp):
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Optional, Tuple
@@ -100,6 +101,11 @@ class MetadataStore:
         from collections import OrderedDict
 
         self._row_cache: "OrderedDict[int, MetaData]" = OrderedDict()
+        # fetch() is called concurrently from the search batcher thread and
+        # other HTTP handler threads (hybrid, ai_summary); the OrderedDict
+        # mutations must be serialized or a popitem racing move_to_end
+        # raises KeyError mid-request.
+        self._cache_lock = threading.Lock()
 
     def __contains__(self, uid: str) -> bool:
         return uid in self.uid_to_meta
@@ -126,14 +132,16 @@ class MetadataStore:
         return self.fetch_info(info)
 
     def fetch_info(self, info: MetaInfo) -> MetaData:
-        cached = self._row_cache.get(info.file_offset)
-        if cached is not None:
-            self._row_cache.move_to_end(info.file_offset)
-            return cached
+        with self._cache_lock:
+            cached = self._row_cache.get(info.file_offset)
+            if cached is not None:
+                self._row_cache.move_to_end(info.file_offset)
+                return cached
         result = self._fetch_uncached(info)
-        self._row_cache[info.file_offset] = result
-        if len(self._row_cache) > self.ROW_CACHE_SIZE:
-            self._row_cache.popitem(last=False)
+        with self._cache_lock:
+            self._row_cache[info.file_offset] = result
+            if len(self._row_cache) > self.ROW_CACHE_SIZE:
+                self._row_cache.popitem(last=False)
         return result
 
     def _fetch_uncached(self, info: MetaInfo) -> MetaData:

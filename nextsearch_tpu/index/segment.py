@@ -83,6 +83,15 @@ class DeviceIndex:
             base += seg.N
         self.n_docs = base
         self.n_slots = max(_round_up(base, config.device.doc_pad), config.device.doc_pad)
+        # The fused packed launch transports doc slots / found counts as
+        # exact f32 values (TPU flushes denormal bit-patterns, so bitcast
+        # packing is off the table); f32 is exact only below 2^24.
+        if self.n_slots >= 1 << 24:
+            raise ValueError(
+                f"DeviceIndex supports < 2^24 doc slots per chip "
+                f"(got {self.n_slots}); shard over a mesh (ShardedIndex) "
+                f"for larger corpora"
+            )
 
         # Host lexicons: term -> (global posting start, df, dense_row_id)
         # per segment. Terms with df >= dense threshold additionally get a
@@ -163,6 +172,23 @@ class DeviceIndex:
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
+
+    # ---------------- common index interface ----------------
+    # (shared with parallel.sharded.ShardedIndex so Engine/HybridIndex code
+    #  works against either)
+
+    def iter_lexicons(self):
+        """Yield every per-segment lexicon dict (term -> (start, df, dense))."""
+        return iter(self.lex)
+
+    @property
+    def slot_capacity(self) -> int:
+        """Size of the global doc-slot space (doc_slots index into this)."""
+        return self.n_slots
+
+    def segment_slot_bases(self) -> List[int]:
+        """Global doc-slot base per segment, aligned with self.segments."""
+        return list(self.doc_bases)
 
     # ---------------- query planning ----------------
 

@@ -17,16 +17,21 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..index.builder import SegmentArrays
-from ..index.segment import DeviceIndex, QueryResult, WeightedTerm
+from ..index.segment import QueryResult, WeightedTerm
 from .semantic import SemanticIndex
 
 
 class HybridIndex:
-    """Doc-embedding store + fused rerank over a DeviceIndex's candidates."""
+    """Doc-embedding store + fused rerank over a BM25 index's candidates.
+
+    `index` is a DeviceIndex or a ShardedIndex — anything providing the
+    common index interface (slot_capacity, segment_slot_bases,
+    search_batch_async/gather).
+    """
 
     def __init__(
         self,
-        index: DeviceIndex,
+        index,
         sem: SemanticIndex,
         beta: float = 0.5,
         chunk: int = 262144,
@@ -41,11 +46,14 @@ class HybridIndex:
         d = sem.dim
 
         # Build doc embeddings: scatter tf-weighted term vectors per doc.
-        n_slots = index.n_slots
+        # slot_capacity / segment_slot_bases are the common index interface —
+        # works for both DeviceIndex (contiguous slots) and ShardedIndex
+        # (shard-major global slots).
+        n_slots = index.slot_capacity
         emb_host = sem._emb_host
         doc_emb = np.zeros((n_slots, d), np.float32)
         weight_sum = np.zeros(n_slots, np.float32)
-        for seg, dbase in zip(index.segments, index.doc_bases):
+        for seg, dbase in zip(index.segments, index.segment_slot_bases()):
             rows = np.array(
                 [sem.term_to_row.get(t, -1) for t in seg.terms], np.int64
             )

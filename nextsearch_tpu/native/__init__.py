@@ -17,6 +17,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..utils.logging import log
+
 _HERE = Path(__file__).parent
 _SO = _HERE / "libnextsearch_native.so"
 _lib = None
@@ -38,7 +40,7 @@ def _try_build() -> bool:
         )
         return _SO.exists()
     except (OSError, subprocess.SubprocessError) as e:
-        print(f"[native] build failed, using Python fallback: {e}", file=sys.stderr)
+        log("native", f"build failed, using Python fallback: {e}")
         return False
 
 

@@ -37,6 +37,8 @@ def _sharded_search_fn(
     n_slots: int,
     K: int,
     block: int,
+    T: int,
+    U: int,
     mode: str = "fused",
     K2: int = 32,
     C: int = 1024,
@@ -47,6 +49,12 @@ def _sharded_search_fn(
     scores them with the fused scatter, takes a local top-K2, exactly
     rescores those candidates, and the K2-candidate lists are merged across
     the seg axis with an all_gather + canonical sort.
+
+    The plan arrives packed (transfer-minimal: 2 uploads per batch):
+      plan_ints int32 [S, Qb, 3, T]     starts / dfs / light_dfs
+      plan_f32  f32   [S, Qb, T + 2U]   weights | heavy_mix | unique_heavy
+    unique_heavy ids are carried as exact f32 (< 2^24) in the first row of
+    each dp-group's block (every shard_map block is exactly one dp group).
     """
     from ..ops.bm25 import (
         canonical_sort,
@@ -57,15 +65,15 @@ def _sharded_search_fn(
         tiled_topk,
     )
 
-    def local_step(
-        post_doc, post_score, dense_rows, starts, dfs, weights,
-        light_dfs, unique_heavy, heavy_mix,
-    ):
+    def local_step(post_doc, post_score, dense_rows, plan_ints, plan_f32):
         # Block shapes: post_* [1, P_shard], dense [1, H+1, cap],
-        # plans [1, Qd, T], heavy [1, 1, U] / [1, 1, Qd, U]
+        # plan_ints [1, Qd, 3, T], plan_f32 [1, Qd, T + 2U]
         post_doc = post_doc[0]
         post_score = post_score[0]
-        starts, dfs, weights = starts[0], dfs[0], weights[0]
+        pi = plan_ints[0]
+        pf = plan_f32[0]
+        starts, dfs, light_dfs = pi[:, 0, :], pi[:, 1, :], pi[:, 2, :]
+        weights = pf[:, :T]
         Qd = starts.shape[0]
         if mode == "exact":
             scores = score_only_exact(
@@ -75,15 +83,17 @@ def _sharded_search_fn(
             k2 = min(K, n_slots)
             vals, idx = lax.top_k(scores, k2)
         else:
+            heavy_mix = pf[:, T : T + U]
+            unique_heavy = pf[0, T + U :].astype(jnp.int32)
             cs, cl, cq, cw = expand_chunks(
-                starts, light_dfs[0], weights, C=C, block=block
+                starts, light_dfs, weights, C=C, block=block
             )
             scores = scatter_scores(
                 post_doc, post_score, cs, cl, cq, cw,
                 Q=Qd, n_slots=n_slots, block=block,
             )
             scores = scores + heavy_scores(
-                dense_rows[0], unique_heavy[0, 0], heavy_mix[0, 0]
+                dense_rows[0], unique_heavy, heavy_mix
             )
             k2 = min(K2, n_slots)
             _fv, idx = tiled_topk(scores, k2)
@@ -119,22 +129,16 @@ def _sharded_search_fn(
             P("seg", None),  # post_doc    [S, P_shard]
             P("seg", None),  # post_score  [S, P_shard]
             P("seg", None, None),  # dense_rows [S, H+1, cap]
-            P("seg", "dp", None),  # starts  [S, Q, T]
-            P("seg", "dp", None),
-            P("seg", "dp", None),
-            P("seg", "dp", None),  # light_dfs [S, Q, T]
-            P("seg", "dp", None),  # unique_heavy [S, DP, U]
-            P("seg", "dp", None, None),  # heavy_mix [S, DP, Qd, U]
+            P("seg", "dp", None, None),  # plan_ints [S, Qb, 3, T]
+            P("seg", "dp", None),  # plan_f32 [S, Qb, T + 2U]
         ),
         out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
         check_vma=False,
     )
 
-    def step(post_doc, post_score, dense_rows, starts, dfs, weights,
-             light_dfs, unique_heavy, heavy_mix):
+    def step(post_doc, post_score, dense_rows, plan_ints, plan_f32):
         vals, idx, found = fn(
-            post_doc, post_score, dense_rows, starts, dfs, weights,
-            light_dfs, unique_heavy, heavy_mix,
+            post_doc, post_score, dense_rows, plan_ints, plan_f32
         )
         return vals[0], idx[0], found[0]
 
@@ -284,6 +288,30 @@ class ShardedIndex:
         self.n_docs = total_docs
         self._fns = {}
 
+    # ---------------- common index interface ----------------
+    # (mirrors index.segment.DeviceIndex so Engine/HybridIndex code works
+    #  against either)
+
+    def iter_lexicons(self):
+        """Yield every per-segment lexicon dict across all shards."""
+        for shard_lexes in self.lex:
+            yield from shard_lexes
+
+    @property
+    def slot_capacity(self) -> int:
+        """Size of the global doc-slot space (shard-major layout)."""
+        return self.n_shards * self.shard_capacity
+
+    def segment_slot_bases(self) -> List[int]:
+        """Global doc-slot base per segment, aligned with self.segments."""
+        bases = [0] * len(self.segments)
+        for si, (lo, hi) in enumerate(self.shard_seg_ranges):
+            for j in range(hi - lo):
+                bases[lo + j] = (
+                    si * self.shard_capacity + self.shard_doc_bases[si][j]
+                )
+        return bases
+
     # ---------------- planning ----------------
 
     def plan(self, queries: Sequence[Sequence[WeightedTerm]]):
@@ -369,12 +397,19 @@ class ShardedIndex:
 
     # ---------------- execution ----------------
 
-    def search_batch(
+    def search_batch_async(
         self, queries: Sequence[Sequence[WeightedTerm]], k: int
-    ) -> List[QueryResult]:
+    ):
+        """Launch one sharded batched search; returns an opaque handle.
+
+        Same handle protocol as DeviceIndex.search_batch_async: pair with
+        search_batch_gather(), keep several launches in flight to hide the
+        host<->device round trip. Transfer-minimal: the whole plan ships as
+        TWO packed device_puts; results come back in ONE device_get.
+        """
         nq = len(queries)
         if nq == 0 or self.n_docs == 0:
-            return [QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)] * nq
+            return ("empty", nq)
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.shard_capacity)
         mode = self.config.device.mode
@@ -387,37 +422,57 @@ class ShardedIndex:
             max(2 * K, self.config.device.rescore_margin), self.shard_capacity
         )
 
-        key = (
-            K, K2, mode, C,
-            starts.shape[1], starts.shape[2], unique_heavy.shape[2],
-        )
+        S, Qb, T = starts.shape
+        U = unique_heavy.shape[2]
+        Qd = Qb // self.dp
+        key = (K, K2, mode, C, Qb, T, U)
         fn = self._fns.get(key)
         if fn is None:
             fn = _sharded_search_fn(
-                self.mesh, self.shard_capacity, K, block, mode=mode, K2=K2, C=C
+                self.mesh, self.shard_capacity, K, block, T, U,
+                mode=mode, K2=K2, C=C,
             )
             self._fns[key] = fn
 
-        plan_spec = NamedSharding(self.mesh, P("seg", "dp", None))
-        starts = jax.device_put(starts, plan_spec)
-        dfs = jax.device_put(dfs, plan_spec)
-        weights = jax.device_put(weights, plan_spec)
-        light_dfs = jax.device_put(light_dfs, plan_spec)
-        unique_heavy = jax.device_put(unique_heavy, plan_spec)
-        heavy_mix = jax.device_put(
-            heavy_mix, NamedSharding(self.mesh, P("seg", "dp", None, None))
-        )
-        vals, idx, found = jax.device_get(
-            fn(
-                self.post_doc, self.post_score, self.dense_rows,
-                starts, dfs, weights, light_dfs, unique_heavy, heavy_mix,
+        # Pack: ints [S, Qb, 3, T]; f32 [S, Qb, T + 2U] = weights | per-query
+        # heavy mix | unique heavy ids (exact f32, stored in the first row of
+        # each dp group — a shard_map block is exactly one group).
+        plan_ints = np.stack([starts, dfs, light_dfs], axis=2)
+        plan_f32 = np.zeros((S, Qb, T + 2 * U), np.float32)
+        plan_f32[:, :, :T] = weights
+        plan_f32[:, :, T : T + U] = heavy_mix.reshape(S, Qb, U)
+        for g in range(self.dp):
+            plan_f32[:, g * Qd, T + U :] = unique_heavy[:, g, :].astype(
+                np.float32
             )
-        )
 
+        plan_ints = jax.device_put(
+            plan_ints, NamedSharding(self.mesh, P("seg", "dp", None, None))
+        )
+        plan_f32 = jax.device_put(
+            plan_f32, NamedSharding(self.mesh, P("seg", "dp", None))
+        )
+        vals, idx, found = fn(
+            self.post_doc, self.post_score, self.dense_rows,
+            plan_ints, plan_f32,
+        )
+        for arr in (vals, idx, found):
+            arr.copy_to_host_async()
+        return ("pending", nq, k, K, vals, idx, found)
+
+    def search_batch_gather(self, handle) -> List[QueryResult]:
+        """Fetch + unpack the results of a search_batch_async launch."""
+        if handle[0] == "empty":
+            nq = handle[1]
+            return [
+                QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
+            ] * nq
+        _tag, nq, k, K, vals, idx, found = handle
+        vals, idx, found = jax.device_get((vals, idx, found))
         out = []
         for qi in range(nq):
             keep = vals[qi] > 0.0
-            keep[min(k, K):] = False
+            keep[min(k, vals.shape[1]):] = False
             out.append(
                 QueryResult(
                     scores=vals[qi][keep][:k],
@@ -426,6 +481,11 @@ class ShardedIndex:
                 )
             )
         return out
+
+    def search_batch(
+        self, queries: Sequence[Sequence[WeightedTerm]], k: int
+    ) -> List[QueryResult]:
+        return self.search_batch_gather(self.search_batch_async(queries, k))
 
     # ---------------- result mapping ----------------
 

@@ -79,3 +79,37 @@ def test_unicode_titles_roundtrip(tmp_path):
     save_artifact(seg, tmp_path)
     loaded = load_artifact(tmp_path)
     assert loaded.titles == [d["title"] for d in docs]
+
+
+def test_artifact_stale_on_bm25_param_change(tmp_path):
+    """An artifact baked with one (k1, b) must not serve another's scores."""
+    import numpy as np
+
+    from nextsearch_tpu.index.artifacts import (
+        load_artifact,
+        load_segment_cached,
+        save_artifact,
+    )
+    from nextsearch_tpu.index.builder import build_segment_arrays, eager_scores
+    from nextsearch_tpu.index.segmentio import write_segment
+
+    from conftest import make_synthetic_docs
+
+    seg = build_segment_arrays(
+        make_synthetic_docs(30, 80, seed=42), k1=1.2, b=0.75
+    )
+    segdir = tmp_path / "seg_000001"
+    write_segment(seg, segdir)
+    save_artifact(seg, segdir, k1=1.2, b=0.75)
+
+    # same params -> served from the artifact
+    assert load_artifact(segdir, k1=1.2, b=0.75) is not None
+    # different params -> stale
+    assert load_artifact(segdir, k1=2.0, b=0.4) is None
+    # cached load with new params rebuilds with matching scores
+    seg2 = load_segment_cached(segdir, k1=2.0, b=0.4)
+    np.testing.assert_array_equal(
+        seg2.post_score, eager_scores(seg2, k1=2.0, b=0.4)
+    )
+    # and re-publishes an artifact tagged with the new params
+    assert load_artifact(segdir, k1=2.0, b=0.4) is not None

@@ -116,3 +116,56 @@ def test_sharded_dense_rows_parity(segs):
         ):
             assert si.locate(int(d_slot)) == (o_seg, o_doc), terms
             assert np.float32(d_score) == np.float32(o_score), terms
+
+
+def test_sharded_async_pipeline(segs):
+    """Depth-2 in-flight launches return the same results as blocking calls."""
+    mesh = make_mesh(dp=2, seg=4)
+    si = ShardedIndex(segs, mesh)
+    h1 = si.search_batch_async(QUERIES[:3], k=10)
+    h2 = si.search_batch_async(QUERIES[3:], k=10)
+    got = si.search_batch_gather(h1) + si.search_batch_gather(h2)
+    want = si.search_batch(QUERIES[:3], k=10) + si.search_batch(QUERIES[3:], k=10)
+    for a, b in zip(got, want):
+        assert a.found == b.found
+        assert np.array_equal(a.scores, b.scores)
+        assert np.array_equal(a.doc_slots, b.doc_slots)
+
+
+def test_common_index_interface(segs):
+    """iter_lexicons / slot_capacity / segment_slot_bases agree across index types."""
+    mesh = make_mesh(dp=2, seg=4)
+    si = ShardedIndex(segs, mesh)
+    di = DeviceIndex(segs)
+
+    # every term visible through iter_lexicons on both
+    terms_s = set()
+    for lex in si.iter_lexicons():
+        terms_s.update(lex.keys())
+    terms_d = set()
+    for lex in di.iter_lexicons():
+        terms_d.update(lex.keys())
+    assert terms_s == terms_d
+
+    # slot bases land each segment's doc 0 at the right locate() answer
+    for idx in (si, di):
+        assert idx.slot_capacity > 0
+        bases = idx.segment_slot_bases()
+        assert len(bases) == len(segs)
+        for seg_i, base in enumerate(bases):
+            assert idx.locate(base) == (seg_i, 0)
+
+
+def test_sharded_engine_warmup(tmp_path, segs):
+    """Engine.warmup() must work against a mesh-backed (sharded) index."""
+    from nextsearch_tpu.engine import Engine
+    from nextsearch_tpu.index.segmentio import write_segment
+
+    segdir = tmp_path / "segments"
+    for i, seg in enumerate(segs[:2]):
+        write_segment(seg, segdir / f"seg_{i + 1:06d}")
+    eng = Engine(tmp_path, mesh=make_mesh(dp=2, seg=4), cache_dir=tmp_path)
+    assert eng.reload()
+    assert eng.warmup(n_queries=2) > 0
+    res = eng.search("w0000 w0001", 5)
+    assert res["found"] > 0 and res["results"]
