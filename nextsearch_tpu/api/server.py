@@ -375,10 +375,26 @@ def make_server(ctx: ServerContext, host: str = "0.0.0.0", port: int = 8080):
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+
+    # --mesh dp,seg: serve from a ShardedIndex over a (dp, seg) device mesh
+    # (multi-chip deployment mode; segments shard over the seg axis, query
+    # batches over dp). Without it the engine runs single-device.
+    mesh_shape = None
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        try:
+            dp_s, seg_s = argv[i + 1].split(",")
+            mesh_shape = (int(dp_s), int(seg_s))
+        except (IndexError, ValueError):
+            print("--mesh expects 'dp,seg' (e.g. --mesh 2,4)", file=sys.stderr)
+            return 1
+        del argv[i : i + 2]
+
     if not argv:
         print(
-            "Usage: python -m nextsearch_tpu.api.server <INDEX_DIR> [port]\n"
+            "Usage: python -m nextsearch_tpu.api.server <INDEX_DIR> [port] "
+            "[--mesh dp,seg]\n"
             "Example: python -m nextsearch_tpu.api.server ./index 8080",
             file=sys.stderr,
         )
@@ -388,7 +404,14 @@ def main(argv=None):
 
     import os
 
-    engine = Engine(index_dir)
+    mesh = None
+    if mesh_shape is not None:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=mesh_shape[0], seg=mesh_shape[1])
+        log("server", f"serving over mesh (dp={mesh_shape[0]}, seg={mesh_shape[1]})")
+
+    engine = Engine(index_dir, mesh=mesh)
     if not engine.reload():
         log("server", f"Failed to load index segments from: {index_dir}", level="error")
         return 1

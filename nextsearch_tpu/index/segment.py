@@ -42,6 +42,21 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+_EMPTY_I64 = np.empty(0, np.int64)
+_EMPTY_F32 = np.empty(0, np.float32)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated [0..c) ranges for each c in counts (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return _EMPTY_I64
+    out = np.arange(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
 @dataclass
 class QueryResult:
     """One query's hits as global doc slots (segment/docId via locate())."""
@@ -172,6 +187,34 @@ class DeviceIndex:
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
+        self._build_merged_lex()
+
+    def _build_merged_lex(self) -> None:
+        """Merge per-segment lexicons into one packed table for planning.
+
+        _lex_slices: term -> (offset, count) into _lex_table, whose rows are
+        (global posting start, df, dense_row_id) — one row per (term, segment)
+        occurrence, segments ascending (preserving the canonical term-major/
+        segment-ascending slot order). Querying then costs ONE dict probe per
+        (query, term) plus NumPy gathers, instead of a Python loop over every
+        segment (VERDICT r1 item 7).
+        """
+        occ: Dict[str, List[Tuple[int, int, int]]] = {}
+        for lex in self.lex:
+            for t, v in lex.items():
+                if v[1] > 0:
+                    occ.setdefault(t, []).append(v)
+        n_rows = sum(len(v) for v in occ.values())
+        table = np.zeros((max(n_rows, 1), 3), np.int64)
+        slices: Dict[str, Tuple[int, int]] = {}
+        pos = 0
+        for t, vs in occ.items():
+            slices[t] = (pos, len(vs))
+            for v in vs:
+                table[pos] = v
+                pos += 1
+        self._lex_table = table
+        self._lex_slices = slices
 
     # ---------------- common index interface ----------------
     # (shared with parallel.sharded.ShardedIndex so Engine/HybridIndex code
@@ -204,48 +247,92 @@ class DeviceIndex:
         return starts, dfs, weights
 
     def plan_full(self, queries: Sequence[Sequence[WeightedTerm]]):
-        """plan() + hybrid split: light dfs and the unique-heavy-row mix."""
-        rows: List[List[Tuple[int, int, float, int]]] = []
-        for terms in queries:
-            slots: List[Tuple[int, int, float, int]] = []
-            for term, w in terms:
-                for lex in self.lex:
-                    hit = lex.get(term)
-                    if hit is not None and hit[1] > 0:
-                        slots.append((hit[0], hit[1], float(w), hit[2]))
-            rows.append(slots)
+        """plan() + hybrid split: light dfs and the unique-heavy-row mix.
 
-        t_max = max((len(r) for r in rows), default=0)
+        Vectorized: one _lex_slices probe per (query, term), then NumPy
+        gathers from the merged _lex_table fill the padded plan arrays.
+        """
+        table = self._lex_table
+        slices = self._lex_slices
+
+        # Per query: row indices into the merged table + repeated weights.
+        q_rows: List[np.ndarray] = []
+        q_ws: List[np.ndarray] = []
+        t_max = 0
+        for terms in queries:
+            offs: List[int] = []
+            cnts: List[int] = []
+            ws: List[float] = []
+            for term, w in terms:
+                oc = slices.get(term)
+                if oc is not None:
+                    offs.append(oc[0])
+                    cnts.append(oc[1])
+                    ws.append(w)
+            if offs:
+                cnts_a = np.asarray(cnts, np.int64)
+                rows = np.repeat(
+                    np.asarray(offs, np.int64), cnts_a
+                ) + _ranges(cnts_a)
+                q_rows.append(rows)
+                q_ws.append(
+                    np.repeat(np.asarray(ws, np.float32), cnts_a)
+                )
+                t_max = max(t_max, rows.shape[0])
+            else:
+                q_rows.append(_EMPTY_I64)
+                q_ws.append(_EMPTY_F32)
+
         T = _bucket(max(t_max, 1), self.T_BUCKETS)
-        Qb = _bucket(len(rows), self.Q_BUCKETS)
+        Qb = _bucket(len(queries), self.Q_BUCKETS)
 
         starts = np.zeros((Qb, T), np.int32)
         dfs = np.zeros((Qb, T), np.int32)
         weights = np.zeros((Qb, T), np.float32)
         light_dfs = np.zeros((Qb, T), np.int32)
-        batch_heavy: Dict[int, int] = {}  # dense row id -> unique index
-        heavy_pairs: List[Tuple[int, int, float]] = []  # (q, u, w)
-        for qi, slots in enumerate(rows):
-            for ti, (s, df, w, dense_id) in enumerate(slots[:T]):
-                starts[qi, ti] = s
-                dfs[qi, ti] = df
-                weights[qi, ti] = w
-                if dense_id < 0:
-                    light_dfs[qi, ti] = df
-                else:
-                    u = batch_heavy.setdefault(dense_id, len(batch_heavy))
-                    heavy_pairs.append((qi, u, w))
+        heavy_q: List[np.ndarray] = []
+        heavy_id: List[np.ndarray] = []
+        heavy_w: List[np.ndarray] = []
+        for qi, (rows, ws) in enumerate(zip(q_rows, q_ws)):
+            n = min(rows.shape[0], T)
+            if n == 0:
+                continue
+            rows = rows[:n]
+            ws = ws[:n]
+            ent = table[rows]  # [n, 3]
+            starts[qi, :n] = ent[:, 0]
+            dfs[qi, :n] = ent[:, 1]
+            weights[qi, :n] = ws
+            dense = ent[:, 2]
+            light = dense < 0
+            light_dfs[qi, :n] = np.where(light, ent[:, 1], 0)
+            if not light.all():
+                hm = ~light
+                heavy_q.append(np.full(int(hm.sum()), qi, np.int64))
+                heavy_id.append(dense[hm])
+                heavy_w.append(ws[hm])
 
+        if heavy_id:
+            h_ids = np.concatenate(heavy_id)
+            uniq_ids, inv = np.unique(h_ids, return_inverse=True)
+            n_uniq = uniq_ids.shape[0]
+        else:
+            uniq_ids = _EMPTY_I64
+            inv = _EMPTY_I64
+            n_uniq = 0
         hb = self.config.device.heavy_buckets
-        U = _bucket(max(len(batch_heavy), 1), hb)
-        if len(batch_heavy) > U:
-            U = _round_up(len(batch_heavy), hb[0])
+        U = _bucket(max(n_uniq, 1), hb)
+        if n_uniq > U:
+            U = _round_up(n_uniq, hb[0])
         unique_heavy = np.full(U, self.n_dense, np.int32)  # pad -> zero row
-        for dense_id, u in batch_heavy.items():
-            unique_heavy[u] = dense_id
         heavy_mix = np.zeros((Qb, U), np.float32)
-        for qi, u, w in heavy_pairs:
-            heavy_mix[qi, u] += np.float32(w)
+        if n_uniq:
+            unique_heavy[:n_uniq] = uniq_ids
+            np.add.at(
+                heavy_mix,
+                (np.concatenate(heavy_q), inv),
+                np.concatenate(heavy_w),
+            )
         return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
     # ---------------- execution ----------------

@@ -28,7 +28,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..index.builder import SegmentArrays, eager_scores
-from ..index.segment import QueryResult, WeightedTerm, _bucket, _round_up
+from ..index.segment import (
+    _EMPTY_F32,
+    _EMPTY_I64,
+    QueryResult,
+    WeightedTerm,
+    _bucket,
+    _ranges,
+    _round_up,
+)
 from ..ops.bm25 import score_only_exact
 
 
@@ -287,6 +295,34 @@ class ShardedIndex:
         )
         self.n_docs = total_docs
         self._fns = {}
+        self._build_merged_lex()
+
+    def _build_merged_lex(self) -> None:
+        """Merge all shard lexicons into one packed planning table.
+
+        _lex_slices: term -> (offset, count) into _lex_table rows of
+        (shard, local posting start, df, dense_row_id), ordered (shard asc,
+        segment asc) per term — matching the canonical slot order. Planning
+        then costs one dict probe per (query, term) + NumPy gathers instead
+        of a Python loop over every (shard, segment).
+        """
+        occ: Dict[str, List[Tuple[int, int, int, int]]] = {}
+        for si, shard_lexes in enumerate(self.lex):
+            for lex in shard_lexes:
+                for t, v in lex.items():
+                    if v[1] > 0:
+                        occ.setdefault(t, []).append((si, v[0], v[1], v[2]))
+        n_rows = sum(len(v) for v in occ.values())
+        table = np.zeros((max(n_rows, 1), 4), np.int64)
+        slices: Dict[str, Tuple[int, int]] = {}
+        pos = 0
+        for t, vs in occ.items():
+            slices[t] = (pos, len(vs))
+            for v in vs:
+                table[pos] = v
+                pos += 1
+        self._lex_table = table
+        self._lex_slices = slices
 
     # ---------------- common index interface ----------------
     # (mirrors index.segment.DeviceIndex so Engine/HybridIndex code works
@@ -322,21 +358,42 @@ class ShardedIndex:
         query rows (shard_map splits the Qb axis into DP contiguous groups).
         """
         S = self.n_shards
-        rows: List[List[List[Tuple[int, int, float, int]]]] = [[] for _ in range(S)]
-        t_max = 1
+        table = self._lex_table
+        slices = self._lex_slices
+
+        # Per query: merged-table row indices + repeated weights (one dict
+        # probe per (query, term); rows are (shard, start, df, dense)).
+        q_rows: List[np.ndarray] = []
+        q_ws: List[np.ndarray] = []
         for terms in queries:
-            per_shard = [[] for _ in range(S)]
+            offs: List[int] = []
+            cnts: List[int] = []
+            ws: List[float] = []
             for term, w in terms:
-                for si in range(S):
-                    for lex in self.lex[si]:
-                        hit = lex.get(term)
-                        if hit is not None and hit[1] > 0:
-                            per_shard[si].append(
-                                (hit[0], hit[1], float(w), hit[2])
-                            )
-            for si in range(S):
-                rows[si].append(per_shard[si])
-                t_max = max(t_max, len(per_shard[si]))
+                oc = slices.get(term)
+                if oc is not None:
+                    offs.append(oc[0])
+                    cnts.append(oc[1])
+                    ws.append(w)
+            if offs:
+                cnts_a = np.asarray(cnts, np.int64)
+                q_rows.append(
+                    np.repeat(np.asarray(offs, np.int64), cnts_a)
+                    + _ranges(cnts_a)
+                )
+                q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
+            else:
+                q_rows.append(_EMPTY_I64)
+                q_ws.append(_EMPTY_F32)
+
+        # T = max slots on any (query, shard).
+        t_max = 1
+        q_shards: List[np.ndarray] = []
+        for rows in q_rows:
+            sids = table[rows, 0]
+            q_shards.append(sids)
+            if sids.shape[0]:
+                t_max = max(t_max, int(np.bincount(sids, minlength=S).max()))
 
         Qb = _round_up(max(len(queries), 1), self.dp)
         Qd = Qb // self.dp
@@ -345,40 +402,68 @@ class ShardedIndex:
         dfs = np.zeros((S, Qb, T), np.int32)
         weights = np.zeros((S, Qb, T), np.float32)
         light_dfs = np.zeros((S, Qb, T), np.int32)
-        heavy_pairs: List[List[Tuple[int, int, int, float]]] = [
-            [] for _ in range(S)
-        ]  # per shard: (group, local_q, dense_id, w)
-        uniq: List[List[Dict[int, int]]] = [
-            [dict() for _ in range(self.dp)] for _ in range(S)
-        ]
-        for si in range(S):
-            for qi, slots in enumerate(rows[si]):
-                g, lq = divmod(qi, Qd)
-                for ti, (s, df, w, dense_id) in enumerate(slots[:T]):
-                    starts[si, qi, ti] = s
-                    dfs[si, qi, ti] = df
-                    weights[si, qi, ti] = w
-                    if dense_id < 0:
-                        light_dfs[si, qi, ti] = df
-                    else:
-                        u = uniq[si][g].setdefault(dense_id, len(uniq[si][g]))
-                        heavy_pairs[si].append((g, lq, u, w))
+        hv_si: List[np.ndarray] = []
+        hv_g: List[np.ndarray] = []
+        hv_lq: List[np.ndarray] = []
+        hv_id: List[np.ndarray] = []
+        hv_w: List[np.ndarray] = []
+        for qi, (rows, ws, sids) in enumerate(zip(q_rows, q_ws, q_shards)):
+            if rows.shape[0] == 0:
+                continue
+            g, lq = divmod(qi, Qd)
+            ent = table[rows]
+            for si in np.unique(sids):
+                m = sids == si
+                n = min(int(m.sum()), T)
+                e = ent[m][:n]
+                w = ws[m][:n]
+                starts[si, qi, :n] = e[:, 1]
+                dfs[si, qi, :n] = e[:, 2]
+                weights[si, qi, :n] = w
+                dense = e[:, 3]
+                light = dense < 0
+                light_dfs[si, qi, :n] = np.where(light, e[:, 2], 0)
+                if not light.all():
+                    hm = ~light
+                    cnt = int(hm.sum())
+                    hv_si.append(np.full(cnt, si, np.int64))
+                    hv_g.append(np.full(cnt, g, np.int64))
+                    hv_lq.append(np.full(cnt, lq, np.int64))
+                    hv_id.append(dense[hm])
+                    hv_w.append(w[hm])
 
         hb = self.config.device.heavy_buckets
-        u_max = max(
-            (len(m) for per in uniq for m in per), default=1
-        )
+        if hv_id:
+            h_si = np.concatenate(hv_si)
+            h_g = np.concatenate(hv_g)
+            h_lq = np.concatenate(hv_lq)
+            h_id = np.concatenate(hv_id)
+            h_w = np.concatenate(hv_w)
+            # unique dense ids per (shard, group)
+            key = (h_si * self.dp + h_g) * (self.n_dense + 1) + h_id
+            uniq_key, inv = np.unique(key, return_inverse=True)
+            uk_sg, uk_id = divmod(uniq_key, self.n_dense + 1)
+            # slot index within each (shard, group): rank among that group's
+            # unique keys (uniq_key is sorted, so ranks are positional)
+            grp_start = np.searchsorted(uk_sg, np.unique(uk_sg), "left")
+            starts_per_key = np.repeat(
+                grp_start, np.bincount(np.searchsorted(np.unique(uk_sg), uk_sg))
+            )
+            u_slot = np.arange(uniq_key.shape[0]) - starts_per_key
+            u_max = int(u_slot.max()) + 1
+        else:
+            u_max = 0
         U = _bucket(max(u_max, 1), hb)
         if u_max > U:
             U = _round_up(u_max, hb[0])
         unique_heavy = np.full((S, self.dp, U), self.n_dense, np.int32)
         heavy_mix = np.zeros((S, self.dp, Qd, U), np.float32)
-        for si in range(S):
-            for g in range(self.dp):
-                for dense_id, u in uniq[si][g].items():
-                    unique_heavy[si, g, u] = dense_id
-            for g, lq, u, w in heavy_pairs[si]:
-                heavy_mix[si, g, lq, u] += np.float32(w)
+        if hv_id:
+            uk_s, uk_g = divmod(uk_sg, self.dp)
+            unique_heavy[uk_s, uk_g, u_slot] = uk_id
+            np.add.at(
+                heavy_mix, (h_si, h_g, h_lq, u_slot[inv]), h_w
+            )
         return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
     def _chunk_budget(self, dfs, block) -> int:
