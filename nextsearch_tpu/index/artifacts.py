@@ -24,7 +24,9 @@ import numpy as np
 from .builder import SegmentArrays, eager_scores
 
 ARTIFACT_NAME = "device_arrays.npz"
-FORMAT_VERSION = 1
+# v2: post_score idf uses the platform logf (utils/floatops.py) — v1
+# artifacts carry np.log-rounded scores that differ by 1 ULP on ~20% of terms
+FORMAT_VERSION = 2
 
 
 def _encode_strs(strs) -> tuple[np.ndarray, np.ndarray]:

@@ -289,9 +289,15 @@ def eager_scores(seg: SegmentArrays, k1: float = 1.2, b: float = 0.75) -> np.nda
         return np.empty(0, F32)
     k1 = F32(k1)
     b = F32(b)
-    # IDF per term, broadcast to postings. Exact op order of bm25_idf.
+    # IDF per term, broadcast to postings. Exact op order of bm25_idf,
+    # including the platform logf (std::log(float) in the reference; np.log's
+    # f32 rounding differs on ~20% of inputs — utils/floatops.py).
+    from ..utils.floatops import logf_exact
+
     n_minus_df = (np.uint32(seg.N) - seg.term_df.astype(np.uint32)).astype(F32)
-    idf_t = np.log((n_minus_df + F32(0.5)) / (seg.term_df.astype(F32) + F32(0.5)) + F32(1.0)).astype(F32)
+    idf_t = logf_exact(
+        (n_minus_df + F32(0.5)) / (seg.term_df.astype(F32) + F32(0.5)) + F32(1.0)
+    )
     df_counts = np.diff(seg.term_offsets)
     idf_p = np.repeat(idf_t, df_counts)
 

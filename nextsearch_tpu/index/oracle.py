@@ -23,10 +23,17 @@ F32 = np.float32
 
 
 def oracle_bm25_idf(N: int, df: int) -> np.float32:
-    """f32 BM25 IDF: log(((N - df + 0.5) / (df + 0.5)) + 1) — exact op order."""
+    """f32 BM25 IDF: log(((N - df + 0.5) / (df + 0.5)) + 1) — exact op order.
+
+    The log is the PLATFORM logf (what the C++ engine's std::log(float)
+    resolves to); np.log's float32 rounding differs on ~20% of inputs
+    (utils/floatops.py).
+    """
+    from ..utils.floatops import logf_scalar
+
     num = F32(np.uint32(N) - np.uint32(df)) + F32(0.5)
     den = F32(df) + F32(0.5)
-    return F32(np.log(F32(num / den) + F32(1.0)))
+    return logf_scalar(F32(num / den) + F32(1.0))
 
 
 def oracle_posting_scores(
