@@ -93,16 +93,34 @@ def build_corpus(n_docs: int, vocab: int, seed: int = 0):
 
 
 def sample_queries(probs, n_queries: int, batch: int, seed: int = 1):
-    """Realistic query stream: 1-4 Zipf-sampled terms, distinct queries."""
+    """Realistic query stream: 1-4 Zipf-sampled terms, distinct queries.
+
+    Vectorized inverse-CDF sampling (one searchsorted over the whole
+    stream); per-query duplicate terms are resampled. The per-query
+    r.choice(p=...) loop this replaces costs O(vocab) PER QUERY — ~10 min
+    of host time at 100k queries x 200k vocab.
+    """
     r = np.random.default_rng(seed)
-    vocab = probs.shape[0]
+    cum = np.cumsum(probs)
+    cum[-1] = 1.0
+    n_terms = r.integers(1, 5, size=n_queries)
+    total = int(n_terms.sum())
+    tids = np.searchsorted(cum, r.random(total), side="right")
+    ends = np.cumsum(n_terms)
+    starts_q = ends - n_terms
     batches = []
+    qi = 0
     for _ in range(n_queries // batch):
         qb = []
-        n_terms = r.integers(1, 5, size=batch)
-        for nt in n_terms:
-            tids = r.choice(vocab, size=int(nt), p=probs, replace=False)
-            qb.append([(f"t{t:06d}", 1.0) for t in tids])
+        for _b in range(batch):
+            s, e = starts_q[qi], ends[qi]
+            q = tids[s:e]
+            # resample duplicates (rare): a term repeated in one query
+            # would double-count vs the distinct-term workload
+            while len(set(q.tolist())) != len(q):
+                q = np.searchsorted(cum, r.random(len(q)), side="right")
+            qb.append([(f"t{t:06d}", 1.0) for t in q])
+            qi += 1
         batches.append(qb)
     return batches
 

@@ -44,12 +44,26 @@ def split_last_token(user_input: str) -> tuple[str, str]:
 
 
 class AutocompleteIndex:
-    """Sorted term table + device score vector, built from term->score."""
+    """Sorted term table + device score vector, built from term->score.
+
+    Short prefixes (len <= PRECOMP_LEN) are served from a per-prefix top-k
+    cache built vectorized at load — the TPU-native analog of the reference
+    trie's per-node top-10 (src/api_autocomplete.cpp:58-86): at a 500k-term
+    vocabulary the full-table masked top-k would scan Q x 500k per launch,
+    while short prefixes are exactly the wide ranges. Long prefixes cover
+    narrow sorted-table ranges and go to the windowed device kernel.
+    """
+
+    PRECOMP_LEN = 4
+    WINDOW_BUCKETS = (256, 2048, 16384)
 
     def __init__(self):
         self.terms: List[str] = []
         self._scores_dev = None
+        self._scores_host = None
         self._pad = 0
+        self._pref_starts: Dict[int, np.ndarray] = {}
+        self._pref_cands: Dict[int, np.ndarray] = {}
 
     def build(
         self,
@@ -73,12 +87,47 @@ class AutocompleteIndex:
         scores = np.fromiter(
             (items[t] for t in self.terms), np.int32, count=len(self.terms)
         )
+        self._scores_host = scores
         # pad to a lane multiple with -1 (never ranks above real scores >= 1)
         T = max(128, ((len(scores) + 127) // 128) * 128)
         padded = np.full(T, -1, np.int32)
         padded[: len(scores)] = scores
         self._scores_dev = jnp.asarray(padded)
         self._pad = T
+        self._build_prefix_cache(scores)
+
+    def _build_prefix_cache(self, scores: np.ndarray) -> None:
+        """Vectorized per-prefix top-k for prefix lengths 1..PRECOMP_LEN.
+
+        Terms are sorted, so equal prefixes are contiguous; one lexsort per
+        length orders each group by (score desc, term asc) and the first
+        max_top of each group become its cached candidates.
+        """
+        self._pref_starts = {}
+        self._pref_cands = {}
+        n = len(self.terms)
+        if n == 0:
+            return
+        K = self.max_top
+        idx = np.arange(n, dtype=np.int64)
+        for Lp in range(1, self.PRECOMP_LEN + 1):
+            pref = np.asarray([t[:Lp] for t in self.terms], dtype=object)
+            new_group = np.ones(n, bool)
+            new_group[1:] = pref[1:] != pref[:-1]
+            gid = np.cumsum(new_group) - 1  # [n] group id per term
+            starts = idx[new_group]  # group -> first term index
+            # order within group by (score desc, index asc)
+            order = np.lexsort((idx, -scores, gid))
+            # rank of each ordered element within its group
+            g_of = gid[order]
+            gstart_pos = np.searchsorted(g_of, np.arange(g_of[-1] + 1))
+            rank = np.arange(n) - gstart_pos[g_of]
+            keep = rank < K
+            G = int(g_of[-1]) + 1
+            cands = np.full((G, K), -1, np.int64)
+            cands[g_of[keep], rank[keep]] = order[keep]
+            self._pref_starts[Lp] = starts
+            self._pref_cands[Lp] = cands
 
     def empty(self) -> bool:
         return not self.terms
@@ -90,11 +139,26 @@ class AutocompleteIndex:
         hi = bisect.bisect_left(self.terms, prefix + "\U0010ffff")
         return lo, hi
 
+    def _cached_topk(self, prefix: str, lo: int, L: int) -> Optional[List[int]]:
+        """Precomputed (score desc, term asc) candidates for a short prefix."""
+        starts = self._pref_starts.get(len(prefix))
+        if starts is None:
+            return None
+        g = int(np.searchsorted(starts, lo))
+        if g >= starts.shape[0] or starts[g] != lo:
+            return None  # cache built from a different table; fall through
+        return [int(c) for c in self._pref_cands[len(prefix)][g, :L] if c >= 0]
+
     def suggest_batch(
         self, inputs: Sequence[str], limit: int
     ) -> List[List[str]]:
-        """Batched suggestions for concurrent requests (one device launch)."""
-        from ..ops.prefix import prefix_range_topk
+        """Batched suggestions for concurrent requests.
+
+        Short prefixes resolve from the per-prefix cache without touching
+        the device; longer ones go through ONE windowed device launch (full
+        table only when a range exceeds the largest window bucket).
+        """
+        from ..ops.prefix import prefix_range_topk, prefix_window_topk
 
         L = max(1, min(int(limit), self.max_top if self.terms else 10))
         out: List[Optional[List[str]]] = [None] * len(inputs)
@@ -115,18 +179,29 @@ class AutocompleteIndex:
             if lo >= hi:
                 out[i] = []
                 continue
+            if len(prefix) <= self.PRECOMP_LEN:
+                cand = self._cached_topk(prefix, lo, L)
+                if cand is not None:
+                    out[i] = [base + self.terms[c] for c in cand]
+                    continue
             bases.append(base)
             los.append(lo)
             his.append(hi)
             rows.append(i)
 
         if rows:
-            vals, idx = prefix_range_topk(
-                self._scores_dev,
-                np.asarray(los, np.int32),
-                np.asarray(his, np.int32),
-                L=L,
+            lo_a = np.asarray(los, np.int32)
+            hi_a = np.asarray(his, np.int32)
+            width = int((hi_a - lo_a).max())
+            W = next(
+                (w for w in self.WINDOW_BUCKETS if width <= w), None
             )
+            if W is not None:
+                vals, idx = prefix_window_topk(
+                    self._scores_dev, lo_a, hi_a, L=L, W=W
+                )
+            else:  # a range wider than every bucket: full-table fallback
+                vals, idx = prefix_range_topk(self._scores_dev, lo_a, hi_a, L=L)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
             for j, i in enumerate(rows):

@@ -75,3 +75,56 @@ def test_empty_index():
     idx.build({}, 10)
     assert idx.empty()
     assert idx.suggest_query("co", 5) == []
+
+
+def test_prefix_cache_matches_bruteforce():
+    """Cached (len<=4), windowed, and full-table paths all equal brute force."""
+    import numpy as np
+
+    from nextsearch_tpu.models.autocomplete import AutocompleteIndex
+
+    r = np.random.default_rng(12)
+    # vocabulary with dense shared prefixes at many lengths
+    alphabet = "abcd"
+    terms = set()
+    while len(terms) < 3000:
+        length = int(r.integers(2, 9))
+        terms.add("".join(alphabet[int(c)] for c in r.integers(0, 4, length)))
+    scores = {t: int(r.integers(1, 10_000)) for t in terms}
+
+    ac = AutocompleteIndex()
+    ac.build(scores, max_candidates_per_prefix=10)
+
+    def brute(prefix, L):
+        cand = [(t, s) for t, s in scores.items() if t.startswith(prefix)]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _s in cand[:L]]
+
+    prefixes = ["a", "ab", "abc", "abcd", "abcda", "dcba", "aaaa", "b", "bc"]
+    for p in prefixes:
+        for L in (1, 3, 10):
+            got = ac.suggest_batch([p], L)[0]
+            assert got == brute(p, L), (p, L)
+
+    # batch mixing cached + windowed rows keeps row alignment
+    batch = ["a", "abcda", "zz", "dc", "abcd"]
+    got = ac.suggest_batch(batch, 5)
+    assert got == [brute(p, 5) for p in batch]
+
+
+def test_prefix_cache_wide_vocab_uses_cache(monkeypatch):
+    """Short-prefix lookups never launch a device kernel."""
+    from nextsearch_tpu.models.autocomplete import AutocompleteIndex
+
+    ac = AutocompleteIndex()
+    ac.build({f"term{i:05d}": i + 1 for i in range(5000)})
+
+    import nextsearch_tpu.ops.prefix as prefix_ops
+
+    def boom(*a, **k):
+        raise AssertionError("device kernel must not run for short prefixes")
+
+    monkeypatch.setattr(prefix_ops, "prefix_range_topk", boom)
+    monkeypatch.setattr(prefix_ops, "prefix_window_topk", boom)
+    res = ac.suggest_batch(["te", "term", "t"], 5)
+    assert res[1][:1] == ["term04999"]  # highest score first
