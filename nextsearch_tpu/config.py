@@ -70,6 +70,12 @@ class DeviceConfig:
     #   "exact"  sequential per-term-slot scatters — the C++ engine's f32
     #            accumulation order end to end (parity oracle mode)
     #   "fast"   one scatter, no rescore (scores may differ in the last ULP)
+    #   "sparse" no scatter at all: light terms via sort + segmented sum,
+    #            heavy terms via one fused Pallas matmul that also emits
+    #            per-tile maxima and hit counts; exact rescore reconstructs
+    #            heavy contributions from a dense tf table (the measured
+    #            scatter/found/tile-max costs at 1M docs all disappear —
+    #            see ops/bm25_sparse.py)
     mode: str = "fused"
     # Candidate margin for the fused rescore pass (actual K2 = max(2K, this)).
     rescore_margin: int = 32

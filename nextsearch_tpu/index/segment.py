@@ -97,7 +97,12 @@ class DeviceIndex:
             self.doc_bases.append(base)
             base += seg.N
         self.n_docs = base
-        self.n_slots = max(_round_up(base, config.device.doc_pad), config.device.doc_pad)
+        # sparse mode tiles the doc axis in 2048-doc candidate tiles
+        # (ops/heavy_pallas.TILE); keep n_slots aligned to both.
+        pad = config.device.doc_pad
+        if config.device.mode == "sparse":
+            pad = max(pad, 2048)
+        self.n_slots = max(_round_up(base, pad), pad)
         # The fused packed launch transports doc slots / found counts as
         # exact f32 values (TPU flushes denormal bit-patterns, so bitcast
         # packing is off the table); f32 is exact only below 2^24.
@@ -152,7 +157,17 @@ class DeviceIndex:
         )
         heavy = heavy[:row_cap]
         self.n_dense = len(heavy)
-        dense_host = np.zeros((self.n_dense + 1, self.n_slots), np.float32)
+        # Rows padded to a multiple of 8 past the zero row: MXU-aligned
+        # operand for the fused heavy kernel (ops/heavy_pallas.py).
+        nd1_pad = _round_up(self.n_dense + 1, 8)
+        dense_host = np.zeros((nd1_pad, self.n_slots), np.float32)
+        # Sparse mode additionally keeps per-row tf (int16): the exact
+        # rescore reconstructs heavy contributions from tf instead of a
+        # 21-step binary search (ops/bm25_sparse.exact_rescore_v2).
+        self._sparse = dcfg.mode == "sparse"
+        dense_tf_host = (
+            np.zeros((nd1_pad, self.n_slots), np.int16) if self._sparse else None
+        )
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
             seg = self.segments[seg_i]
             lo = int(seg.term_offsets[term_i])
@@ -160,6 +175,10 @@ class DeviceIndex:
             score = post_score_parts[seg_i]
             docs = seg.post_doc[lo:hi].astype(np.int64) + self.doc_bases[seg_i]
             dense_host[row_id, docs] = score[lo:hi]
+            if dense_tf_host is not None:
+                tfs = seg.post_tf[lo:hi]
+                assert int(tfs.max(initial=0)) < 32768, "tf exceeds int16"
+                dense_tf_host[row_id, docs] = tfs.astype(np.int16)
             term = seg.terms[term_i]
             start, dfv, _ = self.lex[seg_i][term]
             self.lex[seg_i][term] = (start, dfv, row_id)
@@ -187,25 +206,51 @@ class DeviceIndex:
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
+        if dense_tf_host is not None:
+            self.dense_tf = put(dense_tf_host)
+            doc_len_host = np.zeros(self.n_slots, np.float32)
+            for seg, dbase in zip(self.segments, self.doc_bases):
+                doc_len_host[dbase : dbase + seg.N] = seg.doc_len
+            self.doc_len = put(doc_len_host)
+        else:
+            self.dense_tf = None
+            self.doc_len = None
         self._build_merged_lex()
 
     def _build_merged_lex(self) -> None:
         """Merge per-segment lexicons into one packed table for planning.
 
         _lex_slices: term -> (offset, count) into _lex_table, whose rows are
-        (global posting start, df, dense_row_id) — one row per (term, segment)
-        occurrence, segments ascending (preserving the canonical term-major/
-        segment-ascending slot order). Querying then costs ONE dict probe per
-        (query, term) plus NumPy gathers, instead of a Python loop over every
-        segment (VERDICT r1 item 7).
+        (global posting start, df, dense_row_id, idf_bits, avgdl_bits) — one
+        row per (term, segment) occurrence, segments ascending (preserving
+        the canonical term-major/segment-ascending slot order). idf/avgdl
+        are f32 bit patterns (idf via the platform logf, utils/floatops.py)
+        so sparse-mode planning never recomputes them. Querying costs ONE
+        dict probe per (query, term) plus NumPy gathers, instead of a Python
+        loop over every segment (VERDICT r1 item 7).
         """
-        occ: Dict[str, List[Tuple[int, int, int]]] = {}
-        for lex in self.lex:
-            for t, v in lex.items():
-                if v[1] > 0:
-                    occ.setdefault(t, []).append(v)
+        from ..utils.floatops import logf_exact
+
+        occ: Dict[str, List[Tuple[int, int, int, int, int]]] = {}
+        for seg_i, lex in enumerate(self.lex):
+            seg = self.segments[seg_i]
+            avgdl_bits = int(
+                np.float32(seg.avgdl).view(np.uint32)
+            )
+            # vectorized idf for this segment's lexicon, in lex order
+            items = [(t, v) for t, v in lex.items() if v[1] > 0]
+            if items:
+                dfs = np.asarray([v[1] for _t, v in items], np.uint32)
+                num = (np.uint32(seg.N) - dfs).astype(np.float32) + np.float32(0.5)
+                den = dfs.astype(np.float32) + np.float32(0.5)
+                idf = logf_exact(num / den + np.float32(1.0))
+                idf_bits = idf.view(np.uint32)
+                for (t, v), ib in zip(items, idf_bits):
+                    occ.setdefault(t, []).append(
+                        (v[0], v[1], v[2], int(ib), avgdl_bits)
+                    )
         n_rows = sum(len(v) for v in occ.values())
-        table = np.zeros((max(n_rows, 1), 3), np.int64)
+        table = np.zeros((max(n_rows, 1), 5), np.int64)
         slices: Dict[str, Tuple[int, int]] = {}
         pos = 0
         for t, vs in occ.items():
@@ -335,7 +380,93 @@ class DeviceIndex:
             )
         return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
+    def plan_sparse(self, queries: Sequence[Sequence[WeightedTerm]]):
+        """Sparse-mode plan: packed int/f32 plan blocks for
+        ops/bm25_sparse.bm25_search_sparse_packed.
+
+        Returns (plan_ints [3, Qb, T], plan_f32 [3, Qb, T]):
+          ints: starts / light_dfs / slot_dense (n_dense = light)
+          f32:  weights / idf / avgdl (idf from the merged lex table,
+                platform-logf exact)
+        """
+        table = self._lex_table
+        slices = self._lex_slices
+
+        q_rows: List[np.ndarray] = []
+        q_ws: List[np.ndarray] = []
+        t_max = 0
+        for terms in queries:
+            offs: List[int] = []
+            cnts: List[int] = []
+            ws: List[float] = []
+            for term, w in terms:
+                oc = slices.get(term)
+                if oc is not None:
+                    offs.append(oc[0])
+                    cnts.append(oc[1])
+                    ws.append(w)
+            if offs:
+                cnts_a = np.asarray(cnts, np.int64)
+                rows = np.repeat(
+                    np.asarray(offs, np.int64), cnts_a
+                ) + _ranges(cnts_a)
+                q_rows.append(rows)
+                q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
+                t_max = max(t_max, rows.shape[0])
+            else:
+                q_rows.append(_EMPTY_I64)
+                q_ws.append(_EMPTY_F32)
+
+        T = _bucket(max(t_max, 1), self.T_BUCKETS)
+        Qb = _bucket(len(queries), self.Q_BUCKETS)
+        plan_ints = np.zeros((3, Qb, T), np.int32)
+        plan_f32 = np.zeros((3, Qb, T), np.float32)
+        plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
+        for qi, (rows, ws) in enumerate(zip(q_rows, q_ws)):
+            n = min(rows.shape[0], T)
+            if n == 0:
+                continue
+            ent = table[rows[:n]]
+            dense = ent[:, 2]
+            light = dense < 0
+            plan_ints[0, qi, :n] = ent[:, 0]
+            plan_ints[1, qi, :n] = np.where(light, ent[:, 1], 0)
+            plan_ints[2, qi, :n] = np.where(light, self.n_dense, dense)
+            plan_f32[0, qi, :n] = ws[:n]
+            plan_f32[1, qi, :n] = (
+                ent[:, 3].astype(np.uint32).view(np.float32)
+            )
+            plan_f32[2, qi, :n] = (
+                ent[:, 4].astype(np.uint32).view(np.float32)
+            )
+        return plan_ints, plan_f32
+
     # ---------------- execution ----------------
+
+    def _search_sparse_async(self, queries, k: int):
+        """Launch the sparse-light kernel (mode='sparse')."""
+        import jax
+
+        from ..ops.bm25_sparse import bm25_search_sparse_packed
+
+        nq = len(queries)
+        K = _bucket(max(k, 1), self.K_BUCKETS)
+        K = min(K, self.n_slots)
+        plan_ints, plan_f32 = self.plan_sparse(queries)
+        block = self.config.device.posting_block
+        C = self._chunk_budget(plan_ints[1], block)
+        K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
+        bs_steps = max(2, int(self.dense_threshold).bit_length() + 1)
+        out = bm25_search_sparse_packed(
+            self.post_doc, self.post_score, self.dense_rows,
+            self.dense_tf, self.doc_len,
+            plan_ints, plan_f32,
+            n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
+            bs_steps=bs_steps, nd=self.n_dense,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+        out.copy_to_host_async()
+        return ("packed", nq, k, K, out)
 
     def search_batch_async(self, queries: Sequence[Sequence[WeightedTerm]], k: int):
         """Launch one batched BM25 top-k kernel; returns an opaque handle.
@@ -348,6 +479,8 @@ class DeviceIndex:
         nq = len(queries)
         if nq == 0 or self.n_docs == 0:
             return ("empty", nq)
+        if self.config.device.mode == "sparse":
+            return self._search_sparse_async(queries, k)
 
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)

@@ -1,0 +1,325 @@
+"""Sparse-light BM25 execution: no dense scatter, no full-matrix re-reads.
+
+Profiling at 1M docs (benchmarks/profile_1m.py + micro-experiments) showed
+the fused-scatter design spends its time in exactly the places a TPU is
+worst at: XLA scatter-add into [Q, n_slots] (~236ns/update), then re-reading
+the dense score matrix for the matched-doc count and the per-tile max. Sorts
+and gathers of the same volume are launch-floor-free by comparison.
+
+This module replaces the scatter pipeline (reference hot loop:
+/root/reference/src/api_engine.cpp:469-496) with:
+
+  heavy terms   one fused Pallas matmul producing H = mix @ dense_rows plus
+                per-tile maxima and per-tile hit counts in the same VMEM
+                pass (ops/heavy_pallas.py)
+  light terms   posting windows expanded on device, then sort by (q, doc) +
+                segmented f32 sum in term-slot order -> per-(q, doc) totals
+                (stable sort keeps the C++ accumulation order within a doc)
+  found         heavy hit counts (from the kernel) + light-only docs
+                (H == 0 at the light doc), both exact
+  candidates    top-K2 heavy docs from tile maxima UNION top-K2 light docs
+                by (light total + H); a true top-K2 doc is either light-
+                touched (in the light pool) or heavy-only (if > K2 docs had
+                higher H they would also have higher full scores)
+  rescore       bit-exact f32 re-accumulation in term-slot order: light
+                slots via lower_bound binary search over <= threshold-sized
+                posting ranges; heavy slots reconstructed from a dense tf
+                table + host-computed platform-logf idf (the same float op
+                order as index/builder.eager_scores)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .bm25 import canonical_sort, expand_chunks
+from .heavy_pallas import TILE, heavy_fused_pallas, heavy_fused_xla
+
+K1_F32 = jnp.float32(1.2)
+B_F32 = jnp.float32(0.75)
+
+
+def _segmented_cumsum(vals, first):
+    """Inclusive segmented cumsum: resets at each True in `first`."""
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    out, _ = lax.associative_scan(op, (vals, first))
+    return out
+
+
+def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, Q, n_slots):
+    """Flat per-(query, doc) light-term totals via sort + segmented sum.
+
+    Returns (sq, sd, stot, last) sorted by (q, doc): stot at `last` positions
+    is the f32 sum of that (q, doc)'s light contributions accumulated in
+    term-slot order (stable sort preserves expansion order within a group).
+    Invalid/padding entries carry q = Q and sort to the end.
+    """
+    cs, cl, cq, cw = expand_chunks(starts, light_dfs, weights, C=C, block=block)
+    P = post_doc.shape[0]
+    offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    valid = offs < cl[:, None]
+    idx = jnp.clip(cs[:, None] + offs, 0, max(P - 1, 0))
+    doc = jnp.where(valid, post_doc[idx], jnp.int32(n_slots))
+    contrib = jnp.where(valid, cw[:, None] * post_score[idx], jnp.float32(0.0))
+    qrow = jnp.broadcast_to(cq[:, None], (C, block))
+    qrow = jnp.where(valid, qrow, jnp.int32(Q))
+
+    sq, sd, sc = lax.sort(
+        (qrow.reshape(-1), doc.reshape(-1), contrib.reshape(-1)), num_keys=2
+    )
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1]),
+        ]
+    )
+    stot = _segmented_cumsum(sc, first)
+    last = jnp.concatenate(
+        [
+            (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1]),
+            jnp.ones((1,), bool),
+        ]
+    )
+    return sq, sd, stot, last
+
+
+def per_query_counts(sq, indicator, Q):
+    """Sum `indicator` per query over a q-sorted flat array (no scatter)."""
+    cs = jnp.cumsum(indicator.astype(jnp.int32))
+    bounds = jnp.searchsorted(sq, jnp.arange(Q + 1, dtype=jnp.int32))
+    csz = jnp.concatenate([jnp.zeros((1,), jnp.int32), cs])
+    return csz[bounds[1:]] - csz[bounds[:-1]]
+
+
+def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
+    """Top-k2 (score desc, payload asc) per query from a flat list."""
+    n = sq.shape[0]
+    neg = jnp.where(score > 0, -score, jnp.float32(jnp.inf))
+    pay = jnp.where(score > 0, payload, pad_payload)
+    q2, _neg2, pay2, sc2 = lax.sort((sq, neg, pay, score), num_keys=3)
+    pos = jnp.searchsorted(q2, jnp.arange(Q, dtype=jnp.int32))
+    idx = pos[:, None] + lax.broadcasted_iota(jnp.int32, (Q, k2), 1)
+    in_q = idx < jnp.searchsorted(q2, jnp.arange(1, Q + 1, dtype=jnp.int32))[:, None]
+    idx = jnp.clip(idx, 0, n - 1)
+    vals = jnp.where(in_q, sc2[idx], jnp.float32(0.0))
+    docs = jnp.where(in_q, pay2[idx], pad_payload)
+    return vals, docs
+
+
+def heavy_candidates(H, tmax_tq, k2, Q, n_slots):
+    """Top-k2 doc slots per query from per-tile maxima (exact: a top doc's
+    own tile max is >= its score, so its tile is among the top-k2 tiles)."""
+    n_tiles = n_slots // TILE
+    tmax = jnp.transpose(tmax_tq)[:, :n_tiles]  # [Q, n_tiles]
+    kt = min(k2, n_tiles)
+    _tv, tidx = lax.top_k(tmax, kt)
+    tidx = jnp.sort(tidx, axis=1)  # keep canonical doc-asc tie order
+    tiles = H.reshape(Q, n_tiles, TILE)
+    cand_tiles = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
+    flat = cand_tiles.reshape(Q, kt * TILE).astype(jnp.float32)
+    vals, pos = lax.top_k(flat, min(k2, kt * TILE))
+    which = pos // TILE
+    base = jnp.take_along_axis(tidx, which, axis=1) * TILE
+    docs = jnp.where(vals > 0, base + pos % TILE, jnp.int32(2**30))
+    return vals, docs.astype(jnp.int32)
+
+
+def exact_rescore_v2(
+    post_doc,
+    post_score,
+    dense_tf,
+    doc_len,
+    starts,
+    light_dfs,
+    weights,
+    idf,
+    avgdl,
+    slot_dense,
+    cand,
+    *,
+    bs_steps,
+    nd,
+):
+    """Bit-exact term-slot-order rescore of candidates.
+
+    Light slots: vectorized lower_bound over the (<= dense-threshold sized)
+    posting range, contribution = w * post_score[pos] (the host-precomputed
+    eager score). Heavy slots: tf from the dense tf table and the SAME f32
+    op order as index/builder.eager_scores:
+        denom = tf + k1*(1 - b + b*(dl/avgdl)); s = (idf*(tf*(k1+1))) / denom
+    idf arrives from the host (platform logf, utils/floatops.py).
+    """
+    Q, T = starts.shape
+    kc = cand.shape[1]
+    P = post_doc.shape[0]
+    c = cand[:, None, :]  # [Q, 1, kc]
+
+    # ---- light: binary search over each slot's posting range
+    s = starts[:, :, None].astype(jnp.int32)
+    d = light_dfs[:, :, None]
+    lo = jnp.zeros((Q, T, kc), jnp.int32)
+    hi = jnp.broadcast_to(d, (Q, T, kc))
+
+    def bs_step(_i, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
+        go_right = v < c
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
+    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
+    w = weights[:, :, None]
+    hit = (lo < d) & (post_doc[pos] == c) & (w != 0.0)
+    # jnp.abs blocks XLA from contracting `acc + w*score` into an fma,
+    # which would skip the intermediate rounding the C++ engine performs
+    # (all contributions are non-negative, so abs is bit-exact).
+    light_contrib = jnp.where(
+        hit, jnp.abs(w * post_score[pos]), jnp.float32(0.0)
+    )
+
+    # ---- heavy: exact reconstruction from the dense tf table
+    is_heavy = slot_dense[:, :, None] < nd
+    row = jnp.where(is_heavy, slot_dense[:, :, None], nd)  # nd = zero row
+    tf = dense_tf[row, jnp.clip(c, 0, dense_tf.shape[1] - 1)].astype(
+        jnp.float32
+    )  # [Q, T, kc]
+    dl = doc_len[jnp.clip(c, 0, doc_len.shape[0] - 1)]
+    # jnp.abs on the (non-negative) products blocks XLA's fma contraction,
+    # which otherwise skips the intermediate f32 rounding and breaks
+    # bit-parity with the host-side eager_scores (measured: ~7% of values
+    # 1 ULP off without it; optimization_barrier does NOT prevent it).
+    inner = (
+        jnp.float32(1.0) - B_F32 + jnp.abs(B_F32 * (dl / avgdl[:, :, None]))
+    )
+    denom = tf + jnp.abs(K1_F32 * inner)
+    sc = jnp.abs(
+        idf[:, :, None] * jnp.abs(tf * (K1_F32 + jnp.float32(1.0)))
+    ) / denom
+    heavy_contrib = jnp.where(
+        is_heavy & (tf > 0) & (w != 0.0), jnp.abs(w * sc), jnp.float32(0.0)
+    )
+
+    term_contrib = light_contrib + heavy_contrib  # disjoint per slot
+
+    def acc_step(t, acc):
+        return acc + lax.dynamic_index_in_dim(
+            term_contrib, t, axis=1, keepdims=False
+        )
+
+    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
+
+
+def _dedup_sorted(vals, docs):
+    """Kill duplicate docs in a (score desc, doc asc)-sorted candidate list."""
+    dup = jnp.concatenate(
+        [jnp.zeros((vals.shape[0], 1), bool), docs[:, 1:] == docs[:, :-1]],
+        axis=1,
+    ) & (docs < 2**30)
+    vals = jnp.where(dup, jnp.float32(0.0), vals)
+    docs = jnp.where(dup, jnp.int32(2**30), docs)
+    return canonical_sort(vals, docs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "use_pallas"
+    ),
+)
+def bm25_search_sparse_packed(
+    post_doc: jax.Array,  # int32 [P]
+    post_score: jax.Array,  # f32 [P]
+    dense_rows: jax.Array,  # bf16/f32 [ND+1, n_slots] (row ND = zeros)
+    dense_tf: jax.Array,  # int16 [ND+1, n_slots] (row ND = zeros)
+    doc_len: jax.Array,  # f32 [n_slots]
+    plan_ints: jax.Array,  # int32 [3, Q, T]: starts / light_dfs / slot_dense
+    plan_f32: jax.Array,  # f32 [3, Q, T]: weights / idf / avgdl
+    *,
+    n_slots: int,
+    K: int,
+    K2: int,
+    C: int,
+    block: int,
+    bs_steps: int,
+    nd: int,
+    use_pallas: bool = True,
+):
+    """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
+    bm25_search_packed (vals | doc slots | found as exact f32 values)."""
+    starts = plan_ints[0]
+    light_dfs = plan_ints[1]
+    slot_dense = plan_ints[2]
+    weights = plan_f32[0]
+    idf = plan_f32[1]
+    avgdl = plan_f32[2]
+    Q, T = starts.shape
+
+    # mix over the FULL dense table (no per-batch row gather): accumulate
+    # each slot's weight into its dense row id via T one-hot adds. The table
+    # may be row-padded past nd+1 for MXU alignment; padded rows are zeros
+    # and no slot id points at them.
+    nd1 = dense_rows.shape[0]
+    iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
+
+    def mix_step(t, m):
+        sd_t = lax.dynamic_index_in_dim(slot_dense, t, axis=1, keepdims=True)
+        w_t = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
+        return m + jnp.where(sd_t == iota_nd, w_t, jnp.float32(0.0))
+
+    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, nd1), jnp.float32))
+    mix = mix.at[:, nd].set(0.0)  # light/padding slots carry id = nd
+
+    fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
+    H, tmax_tq, cnt_tq = fused(mix, dense_rows)
+    heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
+
+    # ---- light flat totals
+    sq, sd, stot, last = light_totals(
+        post_doc, post_score, starts, light_dfs, weights,
+        C=C, block=block, Q=Q, n_slots=n_slots,
+    )
+    sd_clip = jnp.clip(sd, 0, n_slots - 1)
+    hval = H[jnp.clip(sq, 0, Q - 1), sd_clip].astype(jnp.float32)
+    valid_last = last & (sq < Q)
+    light_only = valid_last & (hval == 0.0)
+    found = heavy_found + per_query_counts(sq, light_only, Q)
+
+    # ---- candidates
+    sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
+    lvals, ldocs = per_query_topk_flat(
+        sq, sel_score, sd, Q, K2, jnp.int32(2**30)
+    )
+    hvals, hdocs = heavy_candidates(H, tmax_tq, K2, Q, n_slots)
+    cand = jnp.concatenate([ldocs, hdocs], axis=1)
+    cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
+
+    # ---- exact rescore + canonical order + dedup
+    safe_cand = jnp.clip(cand, 0, n_slots - 1)
+    exact = exact_rescore_v2(
+        post_doc, post_score, dense_tf, doc_len,
+        starts, light_dfs, weights, idf, avgdl, slot_dense,
+        safe_cand, bs_steps=bs_steps, nd=nd,
+    )
+    exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
+    sval, sdoc = canonical_sort(exact, safe_cand)
+    sval, sdoc = _dedup_sorted(sval, sdoc)
+
+    out = jnp.concatenate(
+        [
+            sval[:, :K],
+            sdoc[:, :K].astype(jnp.float32),
+            found[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return out

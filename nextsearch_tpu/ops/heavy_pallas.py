@@ -1,0 +1,124 @@
+"""Fused heavy-term scoring: matmul + per-tile max + hit counts, one pass.
+
+The hybrid posting representation stores high-df ("heavy") terms as dense
+per-doc score rows so their query-time contribution is one MXU matmul
+(replacing the reference's per-posting disk loop for exactly the terms where
+it is most expensive — src/api_engine.cpp:469-481). Profiling at 1M docs
+showed the matmul itself is cheap but XLA then re-reads the [Q, n_slots]
+output twice (per-tile max for candidate selection ~37ms, matched-doc count
+~5-80ms depending on fusion). This Pallas kernel computes all three in a
+single pass over each output tile while it is still resident in VMEM:
+
+    H[q, d]     = sum_r mix[q, r] * dense[r, d]      (MXU, f32 accumulate)
+    tmax[t, q]  = max_d-in-tile H[q, d]              (VPU epilogue)
+    counts[t, q]= #{d in tile : H[q, d] > 0}         (VPU epilogue)
+
+Grid is one program per 2048-doc tile; mix stays resident, each program
+DMAs its dense tile, and the epilogue costs nothing extra in HBM traffic.
+
+On CPU (tests) the kernel runs in Pallas interpreter mode; `heavy_fused_xla`
+is the reference implementation both are checked against.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TILE = 2048  # docs per candidate tile (also tiled_topk granularity)
+
+
+def _kernel(mix_ref, dense_ref, h_ref, tmax_ref, cnt_ref):
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(0)
+
+    # The tmax/cnt blocks are revisited by every program; rows past n_tiles
+    # are never written per-tile, so initialize the whole block once.
+    @pl.when(t == 0)
+    def _():
+        tmax_ref[:] = jnp.full_like(tmax_ref, -jnp.inf)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    h32 = jnp.dot(
+        mix_ref[:], dense_ref[:], preferred_element_type=jnp.float32
+    )  # [Q, TILE]
+    h_ref[:] = h32.astype(h_ref.dtype)
+    tm = jnp.max(h32, axis=1)  # [Q]
+    ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
+    q = tm.shape[0]
+    tmax_ref[pl.ds(t, 1), :] = tm.reshape(1, q)
+    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+
+
+def heavy_fused_pallas(
+    mix: jax.Array,  # f32 [Q, ND] per-(query, dense row) summed weights
+    dense: jax.Array,  # bf16/f32 [ND, n_slots]
+    *,
+    interpret: bool = False,
+):
+    """Returns (H bf16 [Q, n_slots], tmax f32 [n_tiles_pad, Q],
+    counts f32 [n_tiles_pad, Q]). n_slots must be a multiple of TILE."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, ND = mix.shape
+    n_slots = dense.shape[1]
+    assert n_slots % TILE == 0, (n_slots, TILE)
+    n_tiles = n_slots // TILE
+    tiles_pad = ((n_tiles + 7) // 8) * 8
+
+    grid = (n_tiles,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Q, ND), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ND, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            # whole-array blocks revisited by every program; each writes row t
+            pl.BlockSpec(
+                (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, n_slots), jnp.bfloat16),
+            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mix.astype(dense.dtype), dense)
+    return out
+
+
+def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
+    """Pure-XLA reference for heavy_fused_pallas (and the CPU path)."""
+    Q = mix.shape[0]
+    n_slots = dense.shape[1]
+    n_tiles = n_slots // TILE
+    tiles_pad = ((n_tiles + 7) // 8) * 8
+    h32 = jnp.dot(
+        mix.astype(dense.dtype), dense, preferred_element_type=jnp.float32
+    )
+    tiles = h32.reshape(Q, n_tiles, TILE)
+    tmax = jnp.transpose(jnp.max(tiles, axis=2))  # [n_tiles, Q]
+    cnt = jnp.transpose(jnp.sum((tiles > 0), axis=2).astype(jnp.float32))
+    pad = ((0, tiles_pad - n_tiles), (0, 0))
+    neg = jnp.float32(-jnp.inf)
+    return (
+        h32.astype(jnp.bfloat16),
+        jnp.pad(tmax, pad, constant_values=neg),
+        jnp.pad(cnt, pad),
+    )

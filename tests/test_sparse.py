@@ -1,0 +1,132 @@
+"""Sparse-light execution mode (ops/bm25_sparse.py) parity vs oracle.
+
+Covers: light-only queries, heavy-only (dense rows), mixed, multi-segment,
+padding rows, duplicate candidates from the light/heavy pools, exact found
+counts, and bit-exact scores (incl. the tf-reconstruction heavy rescore).
+"""
+
+import numpy as np
+import pytest
+
+from nextsearch_tpu.config import DeviceConfig, EngineConfig
+from nextsearch_tpu.index.builder import build_segment_arrays
+from nextsearch_tpu.index.oracle import oracle_search
+from nextsearch_tpu.index.segment import DeviceIndex
+
+from conftest import make_synthetic_docs
+
+
+def make_index(segs, dense_ratio=0.02, block=64):
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse",
+            posting_block=block,
+            chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=dense_ratio,
+        )
+    )
+    return DeviceIndex(segs, config=cfg)
+
+
+@pytest.fixture(scope="module")
+def segs():
+    return [
+        build_segment_arrays(make_synthetic_docs(80, 220, seed=60)),
+        build_segment_arrays(make_synthetic_docs(120, 220, seed=61, avg_len=35)),
+        build_segment_arrays(make_synthetic_docs(50, 220, seed=62, avg_len=90)),
+    ]
+
+
+def check_parity(di, segs, queries, k=10):
+    oracle_segs = [s.to_oracle_segment() for s in segs]
+    results = di.search_batch(queries, k=k)
+    for terms, res in zip(queries, results):
+        hits, found = oracle_search(oracle_segs, terms, k=k)
+        assert res.found == found, (terms, res.found, found)
+        assert len(res.scores) == len(hits), (terms, len(res.scores), len(hits))
+        for (o_s, o_seg, o_doc), d_s, d_slot in zip(
+            hits, res.scores, res.doc_slots
+        ):
+            assert di.locate(int(d_slot)) == (o_seg, o_doc), terms
+            assert np.float32(d_s) == np.float32(o_s), (terms, d_s, o_s)
+
+
+def test_sparse_matches_oracle_mixed(segs):
+    di = make_index(segs)
+    assert di.n_dense > 0  # heavy path exercised
+    queries = [
+        [("w0000", 1.0)],                      # heaviest term
+        [("w0150", 1.0)],                      # light term
+        [("w0001", 1.0), ("w0180", 0.7)],      # heavy + light
+        [("w0002", 0.9), ("w0003", 0.8), ("w0160", 0.5)],
+        [("nosuchterm", 1.0)],
+        [("w0005", 1.0), ("w0005", 0.5)],      # duplicate term
+        [("w0199", 1.2)],
+    ]
+    check_parity(di, segs, queries)
+
+
+def test_sparse_light_only(segs):
+    """dense_df_ratio=0 -> everything goes through the sort/segsum path."""
+    di = make_index(segs, dense_ratio=0.0)
+    assert di.n_dense == 0
+    queries = [
+        [("w0000", 1.0), ("w0001", 0.6)],
+        [("w0100", 1.0)],
+        [("w0010", 0.4), ("w0020", 1.1), ("w0030", 0.9), ("w0040", 0.2)],
+    ]
+    check_parity(di, segs, queries)
+
+
+def test_sparse_heavy_only():
+    """All terms dense -> pure fused-matmul candidates."""
+    docs = make_synthetic_docs(150, 30, seed=63)  # tiny vocab -> all heavy
+    seg = build_segment_arrays(docs)
+    di = make_index([seg], dense_ratio=0.001)
+    assert di.n_dense == len([d for d in seg.term_df if d > 0])
+    queries = [
+        [("w0000", 1.0)],
+        [("w0001", 0.8), ("w0002", 0.5)],
+        [("w0029", 1.0), ("w0000", 0.3)],
+    ]
+    check_parity(di, [seg], queries)
+
+
+def test_sparse_fuzz(segs):
+    di = make_index(segs)
+    r = np.random.default_rng(64)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = []
+    for _ in range(60):
+        nt = int(r.integers(1, 5))
+        queries.append(
+            [
+                (words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+                for _ in range(nt)
+            ]
+        )
+    check_parity(di, segs, queries)
+
+
+def test_sparse_pallas_interpret_parity(segs):
+    """The Pallas heavy kernel (interpret mode on CPU) agrees with XLA."""
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.heavy_pallas import (
+        heavy_fused_pallas,
+        heavy_fused_xla,
+    )
+
+    di = make_index(segs)
+    nd1 = di.dense_rows.shape[0]
+    r = np.random.default_rng(65)
+    mix = np.zeros((8, nd1), np.float32)
+    for q in range(8):
+        for _ in range(3):
+            mix[q, r.integers(0, max(di.n_dense, 1))] = r.uniform(0.2, 1.5)
+    mix = jnp.asarray(mix)
+    H1, t1, c1 = heavy_fused_pallas(mix, di.dense_rows, interpret=True)
+    H2, t2, c2 = heavy_fused_xla(mix, di.dense_rows)
+    assert np.array_equal(np.asarray(H1), np.asarray(H2))
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
