@@ -20,6 +20,7 @@ k axes are padded to a small set of static sizes.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -161,13 +162,7 @@ class DeviceIndex:
         # operand for the fused heavy kernel (ops/heavy_pallas.py).
         nd1_pad = _round_up(self.n_dense + 1, 8)
         dense_host = np.zeros((nd1_pad, self.n_slots), np.float32)
-        # Sparse mode additionally keeps per-row tf (int16): the exact
-        # rescore reconstructs heavy contributions from tf instead of a
-        # 21-step binary search (ops/bm25_sparse.exact_rescore_v2).
         self._sparse = dcfg.mode == "sparse"
-        dense_tf_host = (
-            np.zeros((nd1_pad, self.n_slots), np.int16) if self._sparse else None
-        )
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
             seg = self.segments[seg_i]
             lo = int(seg.term_offsets[term_i])
@@ -175,10 +170,6 @@ class DeviceIndex:
             score = post_score_parts[seg_i]
             docs = seg.post_doc[lo:hi].astype(np.int64) + self.doc_bases[seg_i]
             dense_host[row_id, docs] = score[lo:hi]
-            if dense_tf_host is not None:
-                tfs = seg.post_tf[lo:hi]
-                assert int(tfs.max(initial=0)) < 32768, "tf exceeds int16"
-                dense_tf_host[row_id, docs] = tfs.astype(np.int16)
             term = seg.terms[term_i]
             start, dfv, _ = self.lex[seg_i][term]
             self.lex[seg_i][term] = (start, dfv, row_id)
@@ -206,15 +197,12 @@ class DeviceIndex:
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
-        if dense_tf_host is not None:
-            self.dense_tf = put(dense_tf_host)
-            doc_len_host = np.zeros(self.n_slots, np.float32)
-            for seg, dbase in zip(self.segments, self.doc_bases):
-                doc_len_host[dbase : dbase + seg.N] = seg.doc_len
-            self.doc_len = put(doc_len_host)
-        else:
-            self.dense_tf = None
-            self.doc_len = None
+        # Rescore binary-search depth must cover the largest posting range
+        # (sparse mode searches heavy slots over their full df).
+        self._max_df = max(
+            (int(seg.term_df.max(initial=0)) for seg in self.segments),
+            default=1,
+        )
         self._build_merged_lex()
 
     def _build_merged_lex(self) -> None:
@@ -384,10 +372,11 @@ class DeviceIndex:
         """Sparse-mode plan: packed int/f32 plan blocks for
         ops/bm25_sparse.bm25_search_sparse_packed.
 
-        Returns (plan_ints [3, Qb, T], plan_f32 [3, Qb, T]):
-          ints: starts / light_dfs / slot_dense (n_dense = light)
-          f32:  weights / idf / avgdl (idf from the merged lex table,
-                platform-logf exact)
+        Returns (plan_ints [4, Qb, T], plan_f32 [1, Qb, T]):
+          ints: starts / light_dfs (0 for heavy: excluded from chunk
+                expansion) / slot_dense (n_dense = light) / full_dfs
+                (rescore binary-search range, heavy included)
+          f32:  weights
         """
         table = self._lex_table
         slices = self._lex_slices
@@ -419,8 +408,8 @@ class DeviceIndex:
 
         T = _bucket(max(t_max, 1), self.T_BUCKETS)
         Qb = _bucket(len(queries), self.Q_BUCKETS)
-        plan_ints = np.zeros((3, Qb, T), np.int32)
-        plan_f32 = np.zeros((3, Qb, T), np.float32)
+        plan_ints = np.zeros((4, Qb, T), np.int32)
+        plan_f32 = np.zeros((1, Qb, T), np.float32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
         for qi, (rows, ws) in enumerate(zip(q_rows, q_ws)):
             n = min(rows.shape[0], T)
@@ -432,13 +421,8 @@ class DeviceIndex:
             plan_ints[0, qi, :n] = ent[:, 0]
             plan_ints[1, qi, :n] = np.where(light, ent[:, 1], 0)
             plan_ints[2, qi, :n] = np.where(light, self.n_dense, dense)
+            plan_ints[3, qi, :n] = ent[:, 1]
             plan_f32[0, qi, :n] = ws[:n]
-            plan_f32[1, qi, :n] = (
-                ent[:, 3].astype(np.uint32).view(np.float32)
-            )
-            plan_f32[2, qi, :n] = (
-                ent[:, 4].astype(np.uint32).view(np.float32)
-            )
         return plan_ints, plan_f32
 
     # ---------------- execution ----------------
@@ -456,14 +440,18 @@ class DeviceIndex:
         block = self.config.device.posting_block
         C = self._chunk_budget(plan_ints[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
-        bs_steps = max(2, int(self.dense_threshold).bit_length() + 1)
+        # Depth covers the largest posting range: sparse rescore binary-
+        # searches heavy slots over their FULL df (exact_rescore_v2).
+        bs_steps = max(2, int(self._max_df).bit_length() + 1)
         out = bm25_search_sparse_packed(
             self.post_doc, self.post_score, self.dense_rows,
-            self.dense_tf, self.doc_len,
             plan_ints, plan_f32,
             n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=bs_steps, nd=self.n_dense,
-            use_pallas=jax.default_backend() == "tpu",
+            use_pallas=(
+                jax.default_backend() == "tpu"
+                and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
+            ),
         )
         out.copy_to_host_async()
         return ("packed", nq, k, K, out)

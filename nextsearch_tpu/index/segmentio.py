@@ -228,74 +228,72 @@ def _write_forward_stage(seg, segdir, legacy_ids, legacy_terms, write_forward):
 
 def _write_barrels_stage(seg, segdir, sorted_idx_of_legacy):
     T = seg.num_terms
-    if True:
-        terms_per_barrel = max(1, (T + BARREL_COUNT - 1) // BARREL_COUNT)
-        with open(segdir / "barrels.bin", "wb") as f:
-            _w_u32(f, BARREL_COUNT)
-            _w_u32(f, terms_per_barrel)
-        inv_files = [open(inv_barrel_path(segdir, b), "wb") for b in range(BARREL_COUNT)]
-        lex_files = [open(lex_barrel_path(segdir, b), "wb") for b in range(BARREL_COUNT)]
-        offsets = [0] * BARREL_COUNT
-        counts_b = [0] * BARREL_COUNT
-        try:
-            for f in lex_files:
-                _w_u32(f, 0)  # placeholder patched below
-            for lid in range(T):
-                si = int(sorted_idx_of_legacy[lid])
-                lo, hi = int(seg.term_offsets[si]), int(seg.term_offsets[si + 1])
-                df = hi - lo
-                if df == 0:
-                    continue
-                b = barrel_for_term(lid, BARREL_COUNT, terms_per_barrel)
-                counts_b[b] += 1
-                lf = lex_files[b]
-                _w_str(lf, seg.terms[si])
-                _w_u32(lf, lid)
-                _w_u32(lf, df)
-                _w_u64(lf, offsets[b])
-                _w_u32(lf, df)
-                pairs = np.empty(2 * df, np.uint32)
-                pairs[0::2] = seg.post_doc[lo:hi]
-                pairs[1::2] = seg.post_tf[lo:hi]
-                inv_files[b].write(pairs.astype("<u4").tobytes())
-                offsets[b] += df * 8
-        finally:
-            for f in inv_files + lex_files:
-                f.close()
-        for b in range(BARREL_COUNT):
-            with open(lex_barrel_path(segdir, b), "r+b") as f:
-                f.seek(0)
-                _w_u32(f, counts_b[b])
+    terms_per_barrel = max(1, (T + BARREL_COUNT - 1) // BARREL_COUNT)
+    with open(segdir / "barrels.bin", "wb") as f:
+        _w_u32(f, BARREL_COUNT)
+        _w_u32(f, terms_per_barrel)
+    inv_files = [open(inv_barrel_path(segdir, b), "wb") for b in range(BARREL_COUNT)]
+    lex_files = [open(lex_barrel_path(segdir, b), "wb") for b in range(BARREL_COUNT)]
+    offsets = [0] * BARREL_COUNT
+    counts_b = [0] * BARREL_COUNT
+    try:
+        for f in lex_files:
+            _w_u32(f, 0)  # placeholder patched below
+        for lid in range(T):
+            si = int(sorted_idx_of_legacy[lid])
+            lo, hi = int(seg.term_offsets[si]), int(seg.term_offsets[si + 1])
+            df = hi - lo
+            if df == 0:
+                continue
+            b = barrel_for_term(lid, BARREL_COUNT, terms_per_barrel)
+            counts_b[b] += 1
+            lf = lex_files[b]
+            _w_str(lf, seg.terms[si])
+            _w_u32(lf, lid)
+            _w_u32(lf, df)
+            _w_u64(lf, offsets[b])
+            _w_u32(lf, df)
+            pairs = np.empty(2 * df, np.uint32)
+            pairs[0::2] = seg.post_doc[lo:hi]
+            pairs[1::2] = seg.post_tf[lo:hi]
+            inv_files[b].write(pairs.astype("<u4").tobytes())
+            offsets[b] += df * 8
+    finally:
+        for f in inv_files + lex_files:
+            f.close()
+    for b in range(BARREL_COUNT):
+        with open(lex_barrel_path(segdir, b), "r+b") as f:
+            f.seek(0)
+            _w_u32(f, counts_b[b])
 
 
 def _write_legacy_stage(seg, segdir, sorted_idx_of_legacy):
     T = seg.num_terms
-    if True:
-        # Legacy single lexicon.bin/inverted.bin.
-        with open(segdir / "lexicon.bin", "wb") as lf, open(
-            segdir / "inverted.bin", "wb"
-        ) as invf:
-            nonempty = [
-                lid for lid in range(T)
-                if seg.term_offsets[int(sorted_idx_of_legacy[lid]) + 1]
-                > seg.term_offsets[int(sorted_idx_of_legacy[lid])]
-            ]
-            _w_u32(lf, len(nonempty))
-            offset = 0
-            for lid in nonempty:
-                si = int(sorted_idx_of_legacy[lid])
-                lo, hi = int(seg.term_offsets[si]), int(seg.term_offsets[si + 1])
-                df = hi - lo
-                _w_str(lf, seg.terms[si])
-                _w_u32(lf, lid)
-                _w_u32(lf, df)
-                _w_u64(lf, offset)
-                _w_u32(lf, df)
-                pairs = np.empty(2 * df, np.uint32)
-                pairs[0::2] = seg.post_doc[lo:hi]
-                pairs[1::2] = seg.post_tf[lo:hi]
-                invf.write(pairs.astype("<u4").tobytes())
-                offset += df * 8
+    # Legacy single lexicon.bin/inverted.bin.
+    with open(segdir / "lexicon.bin", "wb") as lf, open(
+        segdir / "inverted.bin", "wb"
+    ) as invf:
+        nonempty = [
+            lid for lid in range(T)
+            if seg.term_offsets[int(sorted_idx_of_legacy[lid]) + 1]
+            > seg.term_offsets[int(sorted_idx_of_legacy[lid])]
+        ]
+        _w_u32(lf, len(nonempty))
+        offset = 0
+        for lid in nonempty:
+            si = int(sorted_idx_of_legacy[lid])
+            lo, hi = int(seg.term_offsets[si]), int(seg.term_offsets[si + 1])
+            df = hi - lo
+            _w_str(lf, seg.terms[si])
+            _w_u32(lf, lid)
+            _w_u32(lf, df)
+            _w_u64(lf, offset)
+            _w_u32(lf, df)
+            pairs = np.empty(2 * df, np.uint32)
+            pairs[0::2] = seg.post_doc[lo:hi]
+            pairs[1::2] = seg.post_tf[lo:hi]
+            invf.write(pairs.astype("<u4").tobytes())
+            offset += df * 8
 
 
 # ---------------- segment read ----------------

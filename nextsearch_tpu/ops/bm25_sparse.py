@@ -21,11 +21,11 @@ This module replaces the scatter pipeline (reference hot loop:
                 by (light total + H); a true top-K2 doc is either light-
                 touched (in the light pool) or heavy-only (if > K2 docs had
                 higher H they would also have higher full scores)
-  rescore       bit-exact f32 re-accumulation in term-slot order: light
-                slots via lower_bound binary search over <= threshold-sized
-                posting ranges; heavy slots reconstructed from a dense tf
-                table + host-computed platform-logf idf (the same float op
-                order as index/builder.eager_scores)
+  rescore       bit-exact f32 re-accumulation in term-slot order: one
+                unified lower_bound binary search over every slot's full
+                posting range (depth covers max df), contribution =
+                w * host-precomputed eager score (exact_rescore_v2 — device
+                does only fixed-order f32 add/mul, so parity is portable)
 """
 
 from __future__ import annotations
@@ -38,10 +38,6 @@ from jax import lax
 
 from .bm25 import canonical_sort, expand_chunks
 from .heavy_pallas import TILE, heavy_fused_pallas, heavy_fused_xla
-
-K1_F32 = jnp.float32(1.2)
-B_F32 = jnp.float32(0.75)
-
 
 def _segmented_cumsum(vals, first):
     """Inclusive segmented cumsum: resets at each True in `first`."""
@@ -136,36 +132,34 @@ def heavy_candidates(H, tmax_tq, k2, Q, n_slots):
 def exact_rescore_v2(
     post_doc,
     post_score,
-    dense_tf,
-    doc_len,
     starts,
-    light_dfs,
+    full_dfs,
     weights,
-    idf,
-    avgdl,
-    slot_dense,
     cand,
     *,
     bs_steps,
-    nd,
 ):
     """Bit-exact term-slot-order rescore of candidates.
 
-    Light slots: vectorized lower_bound over the (<= dense-threshold sized)
-    posting range, contribution = w * post_score[pos] (the host-precomputed
-    eager score). Heavy slots: tf from the dense tf table and the SAME f32
-    op order as index/builder.eager_scores:
-        denom = tf + k1*(1 - b + b*(dl/avgdl)); s = (idf*(tf*(k1+1))) / denom
-    idf arrives from the host (platform logf, utils/floatops.py).
+    One unified vectorized lower_bound over each (query, term slot)'s
+    doc-sorted posting range — light AND heavy slots alike — with
+    contribution = w * post_score[pos], the HOST-precomputed eager score
+    (index/builder.eager_scores, platform logf idf). Reusing host f32
+    values means the device only performs adds/multiplies in a fixed
+    order, which is what makes the parity guarantee portable: an earlier
+    variant reconstructed heavy scores on device from a dense tf table
+    and matched on CPU but broke on real TPU silicon (f32 division there
+    is not guaranteed to round like the host's), costing ~1 ULP on heavy
+    terms. bs_steps must cover the LARGEST df in the index
+    (ceil(log2(max_df)) + 1); heavy ranges just take the full depth.
     """
     Q, T = starts.shape
     kc = cand.shape[1]
     P = post_doc.shape[0]
     c = cand[:, None, :]  # [Q, 1, kc]
 
-    # ---- light: binary search over each slot's posting range
     s = starts[:, :, None].astype(jnp.int32)
-    d = light_dfs[:, :, None]
+    d = full_dfs[:, :, None]
     lo = jnp.zeros((Q, T, kc), jnp.int32)
     hi = jnp.broadcast_to(d, (Q, T, kc))
 
@@ -183,33 +177,9 @@ def exact_rescore_v2(
     # jnp.abs blocks XLA from contracting `acc + w*score` into an fma,
     # which would skip the intermediate rounding the C++ engine performs
     # (all contributions are non-negative, so abs is bit-exact).
-    light_contrib = jnp.where(
+    term_contrib = jnp.where(
         hit, jnp.abs(w * post_score[pos]), jnp.float32(0.0)
     )
-
-    # ---- heavy: exact reconstruction from the dense tf table
-    is_heavy = slot_dense[:, :, None] < nd
-    row = jnp.where(is_heavy, slot_dense[:, :, None], nd)  # nd = zero row
-    tf = dense_tf[row, jnp.clip(c, 0, dense_tf.shape[1] - 1)].astype(
-        jnp.float32
-    )  # [Q, T, kc]
-    dl = doc_len[jnp.clip(c, 0, doc_len.shape[0] - 1)]
-    # jnp.abs on the (non-negative) products blocks XLA's fma contraction,
-    # which otherwise skips the intermediate f32 rounding and breaks
-    # bit-parity with the host-side eager_scores (measured: ~7% of values
-    # 1 ULP off without it; optimization_barrier does NOT prevent it).
-    inner = (
-        jnp.float32(1.0) - B_F32 + jnp.abs(B_F32 * (dl / avgdl[:, :, None]))
-    )
-    denom = tf + jnp.abs(K1_F32 * inner)
-    sc = jnp.abs(
-        idf[:, :, None] * jnp.abs(tf * (K1_F32 + jnp.float32(1.0)))
-    ) / denom
-    heavy_contrib = jnp.where(
-        is_heavy & (tf > 0) & (w != 0.0), jnp.abs(w * sc), jnp.float32(0.0)
-    )
-
-    term_contrib = light_contrib + heavy_contrib  # disjoint per slot
 
     def acc_step(t, acc):
         return acc + lax.dynamic_index_in_dim(
@@ -240,10 +210,8 @@ def bm25_search_sparse_packed(
     post_doc: jax.Array,  # int32 [P]
     post_score: jax.Array,  # f32 [P]
     dense_rows: jax.Array,  # bf16/f32 [ND+1, n_slots] (row ND = zeros)
-    dense_tf: jax.Array,  # int16 [ND+1, n_slots] (row ND = zeros)
-    doc_len: jax.Array,  # f32 [n_slots]
-    plan_ints: jax.Array,  # int32 [3, Q, T]: starts / light_dfs / slot_dense
-    plan_f32: jax.Array,  # f32 [3, Q, T]: weights / idf / avgdl
+    plan_ints: jax.Array,  # int32 [4, Q, T]: starts/light_dfs/slot_dense/full_dfs
+    plan_f32: jax.Array,  # f32 [1, Q, T]: weights
     *,
     n_slots: int,
     K: int,
@@ -259,9 +227,8 @@ def bm25_search_sparse_packed(
     starts = plan_ints[0]
     light_dfs = plan_ints[1]
     slot_dense = plan_ints[2]
+    full_dfs = plan_ints[3]
     weights = plan_f32[0]
-    idf = plan_f32[1]
-    avgdl = plan_f32[2]
     Q, T = starts.shape
 
     # mix over the FULL dense table (no per-batch row gather): accumulate
@@ -306,9 +273,8 @@ def bm25_search_sparse_packed(
     # ---- exact rescore + canonical order + dedup
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     exact = exact_rescore_v2(
-        post_doc, post_score, dense_tf, doc_len,
-        starts, light_dfs, weights, idf, avgdl, slot_dense,
-        safe_cand, bs_steps=bs_steps, nd=nd,
+        post_doc, post_score, starts, full_dfs, weights,
+        safe_cand, bs_steps=bs_steps,
     )
     exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
