@@ -26,6 +26,7 @@ by api/batching.SearchBatcher instead of serializing behind a mutex.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 import threading
@@ -391,18 +392,32 @@ def main(argv=None):
             return 1
         del argv[i : i + 2]
 
+    # --mode: device execution mode (config.DeviceConfig.mode). "sparse" is
+    # the scatter-free kernel tuned for 1M+-doc corpora; "fused" (default)
+    # wins at smaller scales. Also honored: NEXTSEARCH_MODE env var.
+    mode = os.environ.get("NEXTSEARCH_MODE")
+    if "--mode" in argv:
+        i = argv.index("--mode")
+        try:
+            mode = argv[i + 1]
+        except IndexError:
+            print("--mode expects one of fused|sparse|exact|fast", file=sys.stderr)
+            return 1
+        del argv[i : i + 2]
+    if mode is not None and mode not in ("fused", "sparse", "exact", "fast"):
+        print(f"unknown --mode '{mode}' (fused|sparse|exact|fast)", file=sys.stderr)
+        return 1
+
     if not argv:
         print(
             "Usage: python -m nextsearch_tpu.api.server <INDEX_DIR> [port] "
-            "[--mesh dp,seg]\n"
+            "[--mesh dp,seg] [--mode fused|sparse|exact|fast]\n"
             "Example: python -m nextsearch_tpu.api.server ./index 8080",
             file=sys.stderr,
         )
         return 1
     index_dir = Path(argv[0])
     port = int(argv[1]) if len(argv) > 1 else 8080
-
-    import os
 
     mesh = None
     if mesh_shape is not None:
@@ -411,7 +426,14 @@ def main(argv=None):
         mesh = make_mesh(dp=mesh_shape[0], seg=mesh_shape[1])
         log("server", f"serving over mesh (dp={mesh_shape[0]}, seg={mesh_shape[1]})")
 
-    engine = Engine(index_dir, mesh=mesh)
+    config = DEFAULT_CONFIG
+    if mode is not None:
+        from dataclasses import replace
+
+        config = replace(config, device=replace(config.device, mode=mode))
+        log("server", f"device execution mode: {mode}")
+
+    engine = Engine(index_dir, mesh=mesh, config=config)
     if not engine.reload():
         log("server", f"Failed to load index segments from: {index_dir}", level="error")
         return 1

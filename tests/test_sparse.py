@@ -2,7 +2,8 @@
 
 Covers: light-only queries, heavy-only (dense rows), mixed, multi-segment,
 padding rows, duplicate candidates from the light/heavy pools, exact found
-counts, and bit-exact scores (incl. the tf-reconstruction heavy rescore).
+counts, and bit-exact scores (unified full-range binary-search rescore),
+plus the HTTP server running in sparse mode end to end.
 """
 
 import numpy as np
@@ -130,3 +131,73 @@ def test_sparse_pallas_interpret_parity(segs):
     assert np.array_equal(np.asarray(H1), np.asarray(H2))
     assert np.array_equal(np.asarray(t1), np.asarray(t2))
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_server_sparse_mode_end_to_end(tmp_path):
+    """/api/search served by a sparse-mode engine matches the fused engine
+    byte-for-byte on scores/found (the --mode server flag's engine path)."""
+    import json as _json
+    import http.client
+    import threading
+
+    from nextsearch_tpu.api.ai import AzureOpenAIConfig
+    from nextsearch_tpu.api.feedback import FeedbackManager
+    from nextsearch_tpu.api.server import ServerContext, make_server
+    from nextsearch_tpu.api.stats import StatsTracker
+    from nextsearch_tpu.engine import Engine
+    from nextsearch_tpu.index.segmentio import save_manifest, write_segment
+
+    d = tmp_path / "index"
+    (d / "segments").mkdir(parents=True)
+    write_segment(
+        build_segment_arrays(make_synthetic_docs(120, 80, seed=77)),
+        d / "segments" / "seg_000001",
+    )
+    save_manifest(d / "manifest.bin", ["seg_000001"])
+
+    def serve(mode, subdir):
+        cfg = EngineConfig(device=DeviceConfig(mode=mode))
+        cache = tmp_path / subdir
+        cache.mkdir()
+        eng = Engine(d, config=cfg, cache_dir=cache)
+        assert eng.reload()
+        ctx = ServerContext(
+            eng,
+            StatsTracker(cache / "stats.json"),
+            FeedbackManager(cache / "feedback.json"),
+            AzureOpenAIConfig("", "", ""),
+        )
+        srv = make_server(ctx, host="127.0.0.1", port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, ctx
+
+    def get(srv, path):
+        conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1])
+        conn.request("GET", path)
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, _json.loads(body)
+
+    s_sparse, c_sparse = serve("sparse", "sparse")
+    s_fused, c_fused = serve("fused", "fused")
+    try:
+        words = [f"w{i:04d}" for i in range(0, 80, 7)]
+        for w in words[:6]:
+            q = f"/api/search?q={w}+{words[-1]}&k=5"
+            st1, r1 = get(s_sparse, q)
+            st2, r2 = get(s_fused, q)
+            assert st1 == st2 == 200
+            assert r1["found"] == r2["found"] > 0
+            assert r1["results"], q  # non-trivial: queries must hit docs
+            assert [x["score"] for x in r1["results"]] == [
+                x["score"] for x in r2["results"]
+            ]
+            assert [x["cord_uid"] for x in r1["results"]] == [
+                x["cord_uid"] for x in r2["results"]
+            ]
+    finally:
+        s_sparse.shutdown()
+        c_sparse.batcher.shutdown()
+        s_fused.shutdown()
+        c_fused.batcher.shutdown()
