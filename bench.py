@@ -15,7 +15,8 @@ against the 10k target (VERDICT r1 weak-5).
 
 Env knobs: NEXTSEARCH_BENCH_DOCS (default 1000000), NEXTSEARCH_BENCH_VOCAB
 (default 200000), NEXTSEARCH_BENCH_BATCH (default 512), NEXTSEARCH_BENCH_SECS
-(default 10), NEXTSEARCH_BENCH_MODE (exact|fast|fused, default fused).
+(default 10), NEXTSEARCH_BENCH_MODE (exact|fast|fused|sparse, default sparse
+— the scatter-free kernel; dense ratio defaults 1/1024 sparse, 1/256 fused).
 """
 
 from __future__ import annotations
@@ -136,7 +137,7 @@ def main():
     # tunneled TPU (measured: per-call floor dominates below ~1M elements).
     batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 512))
     secs = float(os.environ.get("NEXTSEARCH_BENCH_SECS", 10))
-    mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "fused")
+    mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "sparse")
 
     from nextsearch_tpu.config import DeviceConfig, EngineConfig
     from nextsearch_tpu.index.segment import DeviceIndex
@@ -173,8 +174,14 @@ def main():
     # is sized from the ACTUAL workload: gather volume is pure waste beyond
     # the max live chunks (dense rows absorb the heavy terms).
     blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 512))
-    dense_ratio = float(os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 256))
-    dense_bytes = int(os.environ.get("NEXTSEARCH_BENCH_DENSE_BYTES", 2 << 30))
+    dense_ratio = float(
+        os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 1024 if mode == "sparse" else 1 / 256)
+    )
+    dense_bytes = int(
+        os.environ.get(
+            "NEXTSEARCH_BENCH_DENSE_BYTES", 6 << 30 if mode == "sparse" else 2 << 30
+        )
+    )
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
     bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16", "1") == "1"
     cfg0 = EngineConfig(

@@ -54,7 +54,7 @@ from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
     ),
 )
 def variant_kernel(
-    post_doc, post_score, dense_rows, plan_ints, plan_f32,
+    post_doc, post_score, dense_rows, bucket_pos, plan_ints, plan_f32,
     *, n_slots, K, K2, C, block, bs_steps, nd, use_pallas,
     do_heavy=True, do_light=True, do_hgather=True, do_cand_heavy=True,
     do_rescore=True,
@@ -119,8 +119,8 @@ def variant_kernel(
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     if do_rescore:
         exact = exact_rescore_v2(
-            post_doc, post_score, starts, full_dfs, weights,
-            safe_cand, bs_steps=bs_steps,
+            post_doc, post_score, bucket_pos, starts, full_dfs, slot_dense,
+            weights, safe_cand, bs_steps=bs_steps, nd=nd,
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     else:
@@ -155,6 +155,7 @@ def main():
     dense_bytes = int(
         os.environ.get("NEXTSEARCH_PROF_DENSE_BYTES", 2 << 30)
     )
+    dense_ratio = float(os.environ.get("NEXTSEARCH_PROF_DENSE", 1 / 256))
     use_pallas = os.environ.get("NEXTSEARCH_PROF_PALLAS", "1") == "1" and (
         jax.default_backend() == "tpu"
     )
@@ -183,7 +184,7 @@ def main():
     cfg = EngineConfig(
         device=DeviceConfig(
             mode="sparse", posting_block=blk,
-            dense_df_ratio=1 / 256, dense_max_bytes=dense_bytes,
+            dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
         )
     )
     di = DeviceIndex([seg], config=cfg)
@@ -205,7 +206,11 @@ def main():
     C = ((max_live + 127) // 128) * 128
     K = 10
     K2 = 32
-    bs_steps = max(2, int(di._max_df).bit_length() + 1)
+    from nextsearch_tpu.ops.bm25_sparse import BUCKET_LOG2
+
+    bs_steps = max(
+        2, int(max(di._max_light_df, 1 << BUCKET_LOG2)).bit_length() + 1
+    )
     print(f"[prof] C={C} T={plans[0][0].shape[2]} bs_steps={bs_steps}",
           file=sys.stderr)
 
@@ -219,15 +224,15 @@ def main():
         )
         t0 = time.time()
         jax.device_get(
-            fn(di.post_doc, di.post_score, di.dense_rows, *plans[0])
+            fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos, *plans[0])
         )
         print(f"[prof] {name}: compile {time.time()-t0:.0f}s", file=sys.stderr)
         times = []
-        h = fn(di.post_doc, di.post_score, di.dense_rows, *plans[1])
+        h = fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos, *plans[1])
         t0 = time.time()
         for i in range(2, 14):
             h2 = fn(di.post_doc, di.post_score, di.dense_rows,
-                    *plans[i % len(plans)])
+                    di.bucket_pos, *plans[i % len(plans)])
             jax.device_get(h)
             times.append(time.time() - t0)
             t0 = time.time()

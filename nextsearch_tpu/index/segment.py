@@ -156,6 +156,9 @@ class DeviceIndex:
             dcfg.dense_max_rows,
             max(0, int(dcfg.dense_max_bytes // row_bytes)),
         )
+        # Over-threshold terms dropped by the row cap stay light with their
+        # full df — the sparse rescore depth must cover them.
+        self._heavy_overflow_max = heavy[row_cap][0] if len(heavy) > row_cap else 0
         heavy = heavy[:row_cap]
         self.n_dense = len(heavy)
         # Rows padded to a multiple of 8 past the zero row: MXU-aligned
@@ -163,6 +166,17 @@ class DeviceIndex:
         nd1_pad = _round_up(self.n_dense + 1, 8)
         dense_host = np.zeros((nd1_pad, self.n_slots), np.float32)
         self._sparse = dcfg.mode == "sparse"
+        # Sparse rescore: per dense row, the first-posting offset of every
+        # 2^BUCKET_LOG2-doc-slot bucket, so heavy candidates binary-search
+        # <=1024 postings instead of the full df (ops/bm25_sparse.py
+        # exact_rescore_v2). int32 [nd1_pad, NB+1] — ~13MB at 1M slots.
+        from ..ops.bm25_sparse import BUCKET_LOG2
+
+        nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
+        bucket_host = (
+            np.zeros((nd1_pad, nb + 1), np.int32) if self._sparse else None
+        )
+        bounds = (np.arange(nb + 1, dtype=np.int64) << BUCKET_LOG2)
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
             seg = self.segments[seg_i]
             lo = int(seg.term_offsets[term_i])
@@ -170,9 +184,27 @@ class DeviceIndex:
             score = post_score_parts[seg_i]
             docs = seg.post_doc[lo:hi].astype(np.int64) + self.doc_bases[seg_i]
             dense_host[row_id, docs] = score[lo:hi]
+            if bucket_host is not None:
+                bucket_host[row_id] = np.searchsorted(
+                    docs, bounds, side="left"
+                ).astype(np.int32)
             term = seg.terms[term_i]
             start, dfv, _ = self.lex[seg_i][term]
             self.lex[seg_i][term] = (start, dfv, row_id)
+        # Largest df among terms WITHOUT a dense row bounds the light
+        # binary-search depth (if the row cap binds, over-threshold terms
+        # stay light with their full df).
+        all_heavy = getattr(self, "_heavy_overflow_max", 0)
+        self._max_light_df = max(
+            int(all_heavy),
+            min(
+                self.dense_threshold - 1 if self.n_dense else (1 << 62),
+                max(
+                    (int(seg.term_df.max(initial=0)) for seg in self.segments),
+                    default=1,
+                ),
+            ),
+        )
 
         post_doc = (
             np.concatenate(post_doc_parts).astype(np.int32)
@@ -197,12 +229,7 @@ class DeviceIndex:
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
-        # Rescore binary-search depth must cover the largest posting range
-        # (sparse mode searches heavy slots over their full df).
-        self._max_df = max(
-            (int(seg.term_df.max(initial=0)) for seg in self.segments),
-            default=1,
-        )
+        self.bucket_pos = put(bucket_host) if bucket_host is not None else None
         self._build_merged_lex()
 
     def _build_merged_lex(self) -> None:
@@ -436,15 +463,19 @@ class DeviceIndex:
         nq = len(queries)
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
+        from ..ops.bm25_sparse import BUCKET_LOG2
+
         plan_ints, plan_f32 = self.plan_sparse(queries)
         block = self.config.device.posting_block
         C = self._chunk_budget(plan_ints[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
-        # Depth covers the largest posting range: sparse rescore binary-
-        # searches heavy slots over their FULL df (exact_rescore_v2).
-        bs_steps = max(2, int(self._max_df).bit_length() + 1)
+        # Depth covers the largest LIGHT posting range; heavy slots search
+        # only their <=2^BUCKET_LOG2-posting bucket (exact_rescore_v2).
+        bs_steps = max(
+            2, int(max(self._max_light_df, 1 << BUCKET_LOG2)).bit_length() + 1
+        )
         out = bm25_search_sparse_packed(
-            self.post_doc, self.post_score, self.dense_rows,
+            self.post_doc, self.post_score, self.dense_rows, self.bucket_pos,
             plan_ints, plan_f32,
             n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=bs_steps, nd=self.n_dense,
