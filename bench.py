@@ -184,11 +184,12 @@ def main():
     )
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
     bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16", "1") == "1"
+    margin = int(os.environ.get("NEXTSEARCH_BENCH_K2", 32))
     cfg0 = EngineConfig(
         device=DeviceConfig(
             mode=mode, posting_block=blk, heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
-            scores_bf16=bf16,
+            scores_bf16=bf16, rescore_margin=margin,
         )
     )
     di = DeviceIndex([seg], config=cfg0)
@@ -212,7 +213,7 @@ def main():
             mode=mode, posting_block=blk, chunk_buckets=(chunks,),
             heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
-            scores_bf16=bf16,
+            scores_bf16=bf16, rescore_margin=margin,
         )
     )
     di = DeviceIndex([seg], config=cfg)

@@ -49,20 +49,22 @@ from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "use_pallas",
+        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl",
+        "use_pallas",
         "do_heavy", "do_light", "do_hgather", "do_cand_heavy", "do_rescore",
     ),
 )
 def variant_kernel(
-    post_doc, post_score, dense_rows, bucket_pos, plan_ints, plan_f32,
-    *, n_slots, K, K2, C, block, bs_steps, nd, use_pallas,
+    post_doc, post_score, dense_rows, bucket_pos, light_bucket_pos,
+    plan_ints, plan_f32,
+    *, n_slots, K, K2, C, block, bs_steps, nd, nl, use_pallas,
     do_heavy=True, do_light=True, do_hgather=True, do_cand_heavy=True,
     do_rescore=True,
 ):
     starts = plan_ints[0]
     light_dfs = plan_ints[1]
     slot_dense = plan_ints[2]
-    full_dfs = plan_ints[3]
+    slot_light = plan_ints[3]
     weights = plan_f32[0]
     Q, T = starts.shape
 
@@ -119,8 +121,9 @@ def variant_kernel(
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     if do_rescore:
         exact = exact_rescore_v2(
-            post_doc, post_score, bucket_pos, starts, full_dfs, slot_dense,
-            weights, safe_cand, bs_steps=bs_steps, nd=nd,
+            post_doc, post_score, bucket_pos, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl,
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     else:
@@ -206,11 +209,7 @@ def main():
     C = ((max_live + 127) // 128) * 128
     K = 10
     K2 = 32
-    from nextsearch_tpu.ops.bm25_sparse import BUCKET_LOG2
-
-    bs_steps = max(
-        2, int(max(di._max_light_df, 1 << BUCKET_LOG2)).bit_length() + 1
-    )
+    bs_steps = di._bs_depth
     print(f"[prof] C={C} T={plans[0][0].shape[2]} bs_steps={bs_steps}",
           file=sys.stderr)
 
@@ -220,19 +219,23 @@ def main():
         fn = functools.partial(
             variant_kernel,
             n_slots=di.n_slots, K=K, K2=K2, C=C, block=block,
-            bs_steps=bs_steps, nd=di.n_dense, use_pallas=use_pallas, **kw,
+            bs_steps=bs_steps, nd=di.n_dense, nl=di.n_light,
+            use_pallas=use_pallas, **kw,
         )
         t0 = time.time()
         jax.device_get(
-            fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos, *plans[0])
+            fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos,
+               di.light_bucket_pos, *plans[0])
         )
         print(f"[prof] {name}: compile {time.time()-t0:.0f}s", file=sys.stderr)
         times = []
-        h = fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos, *plans[1])
+        h = fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos,
+           di.light_bucket_pos, *plans[1])
         t0 = time.time()
         for i in range(2, 14):
             h2 = fn(di.post_doc, di.post_score, di.dense_rows,
-                    di.bucket_pos, *plans[i % len(plans)])
+                    di.bucket_pos, di.light_bucket_pos,
+                    *plans[i % len(plans)])
             jax.device_get(h)
             times.append(time.time() - t0)
             t0 = time.time()

@@ -166,17 +166,21 @@ class DeviceIndex:
         nd1_pad = _round_up(self.n_dense + 1, 8)
         dense_host = np.zeros((nd1_pad, self.n_slots), np.float32)
         self._sparse = dcfg.mode == "sparse"
-        # Sparse rescore: per dense row, the first-posting offset of every
-        # 2^BUCKET_LOG2-doc-slot bucket, so heavy candidates binary-search
-        # <=1024 postings instead of the full df (ops/bm25_sparse.py
-        # exact_rescore_v2). int32 [nd1_pad, NB+1] — ~13MB at 1M slots.
-        from ..ops.bm25_sparse import BUCKET_LOG2
+        # Sparse rescore bucket-position tables (ops/bm25_sparse.py
+        # exact_rescore_v2): first-posting offset per doc-slot bucket, so a
+        # candidate's binary search covers one bucket's occupancy instead of
+        # the term's full df. Heavy rows use fine 2^BUCKET_LOG2-slot buckets
+        # (dense rows can be nearly full); light terms get their own table
+        # at coarse 2^LIGHT_BUCKET_LOG2 granularity below. The search depth
+        # (_bs_depth) is the measured max occupancy of either table.
+        from ..ops.bm25_sparse import BUCKET_LOG2, LIGHT_BUCKET_LOG2
 
         nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
         bucket_host = (
             np.zeros((nd1_pad, nb + 1), np.int32) if self._sparse else None
         )
         bounds = (np.arange(nb + 1, dtype=np.int64) << BUCKET_LOG2)
+        heavy_max_occ = 0
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
             seg = self.segments[seg_i]
             lo = int(seg.term_offsets[term_i])
@@ -185,9 +189,11 @@ class DeviceIndex:
             docs = seg.post_doc[lo:hi].astype(np.int64) + self.doc_bases[seg_i]
             dense_host[row_id, docs] = score[lo:hi]
             if bucket_host is not None:
-                bucket_host[row_id] = np.searchsorted(
-                    docs, bounds, side="left"
-                ).astype(np.int32)
+                row = np.searchsorted(docs, bounds, side="left").astype(
+                    np.int32
+                )
+                bucket_host[row_id] = row
+                heavy_max_occ = max(heavy_max_occ, int(np.diff(row).max()))
             term = seg.terms[term_i]
             start, dfv, _ = self.lex[seg_i][term]
             self.lex[seg_i][term] = (start, dfv, row_id)
@@ -204,6 +210,59 @@ class DeviceIndex:
                     default=1,
                 ),
             ),
+        )
+
+        # Light bucket-position table: one row per light (term, segment)
+        # lexicon entry, giving the first-posting offset (relative to the
+        # entry's posting start) of every 2^LIGHT_BUCKET_LOG2-doc-slot
+        # bucket. Row ids are recorded per segment for _build_merged_lex;
+        # the final row (id n_light) is the all-zeros sentinel for heavy/
+        # padding slots. Occupancy is measured so the rescore depth is the
+        # true max bucket size, not a df bound.
+        self._light_row: List[Dict[str, int]] = []
+        light_host = None
+        light_max_occ = 0
+        self.n_light = 0
+        if self._sparse:
+            nbl = (
+                self.n_slots + (1 << LIGHT_BUCKET_LOG2) - 1
+            ) >> LIGHT_BUCKET_LOG2
+            counts_parts: List[np.ndarray] = []
+            base_row = 0
+            for seg_i, seg in enumerate(self.segments):
+                lex = self.lex[seg_i]
+                dense_ids = np.full(len(seg.terms), -1, np.int64)
+                for t_i, t in enumerate(seg.terms):
+                    dense_ids[t_i] = lex[t][2]
+                mask = (seg.term_df > 0) & (dense_ids < 0)
+                lt_idx = np.nonzero(mask)[0]
+                term_row = np.full(len(seg.terms), -1, np.int64)
+                term_row[lt_idx] = base_row + np.arange(lt_idx.shape[0])
+                self._light_row.append(
+                    {seg.terms[i]: int(term_row[i]) for i in lt_idx}
+                )
+                if lt_idx.shape[0]:
+                    row_of_post = np.repeat(
+                        term_row - base_row, seg.term_df.astype(np.int64)
+                    )
+                    valid = row_of_post >= 0
+                    bucket = (
+                        post_doc_parts[seg_i][valid] >> LIGHT_BUCKET_LOG2
+                    )
+                    cnt = np.bincount(
+                        row_of_post[valid] * nbl + bucket,
+                        minlength=lt_idx.shape[0] * nbl,
+                    ).reshape(lt_idx.shape[0], nbl)
+                    counts_parts.append(cnt.astype(np.int32))
+                base_row += lt_idx.shape[0]
+            self.n_light = base_row
+            light_host = np.zeros((base_row + 1, nbl + 1), np.int32)
+            if counts_parts:
+                counts = np.concatenate(counts_parts, axis=0)
+                light_max_occ = int(counts.max(initial=0))
+                np.cumsum(counts, axis=1, out=light_host[:base_row, 1:])
+        self._bs_depth = max(
+            2, int(max(heavy_max_occ, light_max_occ, 1)).bit_length() + 1
         )
 
         post_doc = (
@@ -230,28 +289,35 @@ class DeviceIndex:
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
         self.dense_rows = put(dense_host)
         self.bucket_pos = put(bucket_host) if bucket_host is not None else None
+        self.light_bucket_pos = (
+            put(light_host) if light_host is not None else None
+        )
         self._build_merged_lex()
 
     def _build_merged_lex(self) -> None:
         """Merge per-segment lexicons into one packed table for planning.
 
         _lex_slices: term -> (offset, count) into _lex_table, whose rows are
-        (global posting start, df, dense_row_id, idf_bits, avgdl_bits) — one
-        row per (term, segment) occurrence, segments ascending (preserving
-        the canonical term-major/segment-ascending slot order). idf/avgdl
-        are f32 bit patterns (idf via the platform logf, utils/floatops.py)
-        so sparse-mode planning never recomputes them. Querying costs ONE
-        dict probe per (query, term) plus NumPy gathers, instead of a Python
-        loop over every segment (VERDICT r1 item 7).
+        (global posting start, df, dense_row_id, idf_bits, avgdl_bits,
+        light_row_id) — one row per (term, segment) occurrence, segments
+        ascending (preserving the canonical term-major/segment-ascending
+        slot order). idf/avgdl are f32 bit patterns (idf via the platform
+        logf, utils/floatops.py) so sparse-mode planning never recomputes
+        them; light_row_id indexes light_bucket_pos (n_light for heavy
+        slots / non-sparse mode). Querying costs ONE dict probe per
+        (query, term) plus NumPy gathers, instead of a Python loop over
+        every segment (VERDICT r1 item 7).
         """
         from ..utils.floatops import logf_exact
 
-        occ: Dict[str, List[Tuple[int, int, int, int, int]]] = {}
+        light_maps = getattr(self, "_light_row", None)
+        occ: Dict[str, List[Tuple[int, int, int, int, int, int]]] = {}
         for seg_i, lex in enumerate(self.lex):
             seg = self.segments[seg_i]
             avgdl_bits = int(
                 np.float32(seg.avgdl).view(np.uint32)
             )
+            lmap = light_maps[seg_i] if light_maps else {}
             # vectorized idf for this segment's lexicon, in lex order
             items = [(t, v) for t, v in lex.items() if v[1] > 0]
             if items:
@@ -260,12 +326,14 @@ class DeviceIndex:
                 den = dfs.astype(np.float32) + np.float32(0.5)
                 idf = logf_exact(num / den + np.float32(1.0))
                 idf_bits = idf.view(np.uint32)
+                nl = getattr(self, "n_light", 0)
                 for (t, v), ib in zip(items, idf_bits):
                     occ.setdefault(t, []).append(
-                        (v[0], v[1], v[2], int(ib), avgdl_bits)
+                        (v[0], v[1], v[2], int(ib), avgdl_bits,
+                         lmap.get(t, nl))
                     )
         n_rows = sum(len(v) for v in occ.values())
-        table = np.zeros((max(n_rows, 1), 5), np.int64)
+        table = np.zeros((max(n_rows, 1), 6), np.int64)
         slices: Dict[str, Tuple[int, int]] = {}
         pos = 0
         for t, vs in occ.items():
@@ -401,8 +469,8 @@ class DeviceIndex:
 
         Returns (plan_ints [4, Qb, T], plan_f32 [1, Qb, T]):
           ints: starts / light_dfs (0 for heavy: excluded from chunk
-                expansion) / slot_dense (n_dense = light) / full_dfs
-                (rescore binary-search range, heavy included)
+                expansion) / slot_dense (n_dense = light) / slot_light
+                (light_bucket_pos row id; n_light = heavy/padding)
           f32:  weights
         """
         table = self._lex_table
@@ -438,6 +506,7 @@ class DeviceIndex:
         plan_ints = np.zeros((4, Qb, T), np.int32)
         plan_f32 = np.zeros((1, Qb, T), np.float32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
+        plan_ints[3] += np.int32(self.n_light)  # default: sentinel row
         for qi, (rows, ws) in enumerate(zip(q_rows, q_ws)):
             n = min(rows.shape[0], T)
             if n == 0:
@@ -448,7 +517,7 @@ class DeviceIndex:
             plan_ints[0, qi, :n] = ent[:, 0]
             plan_ints[1, qi, :n] = np.where(light, ent[:, 1], 0)
             plan_ints[2, qi, :n] = np.where(light, self.n_dense, dense)
-            plan_ints[3, qi, :n] = ent[:, 1]
+            plan_ints[3, qi, :n] = np.where(light, ent[:, 5], self.n_light)
             plan_f32[0, qi, :n] = ws[:n]
         return plan_ints, plan_f32
 
@@ -463,22 +532,18 @@ class DeviceIndex:
         nq = len(queries)
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
-        from ..ops.bm25_sparse import BUCKET_LOG2
 
         plan_ints, plan_f32 = self.plan_sparse(queries)
         block = self.config.device.posting_block
         C = self._chunk_budget(plan_ints[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
-        # Depth covers the largest LIGHT posting range; heavy slots search
-        # only their <=2^BUCKET_LOG2-posting bucket (exact_rescore_v2).
-        bs_steps = max(
-            2, int(max(self._max_light_df, 1 << BUCKET_LOG2)).bit_length() + 1
-        )
+        # Depth = measured max bucket occupancy of the heavy + light
+        # bucket-position tables (exact_rescore_v2).
         out = bm25_search_sparse_packed(
             self.post_doc, self.post_score, self.dense_rows, self.bucket_pos,
-            plan_ints, plan_f32,
+            self.light_bucket_pos, plan_ints, plan_f32,
             n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
-            bs_steps=bs_steps, nd=self.n_dense,
+            bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
             use_pallas=(
                 jax.default_backend() == "tpu"
                 and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"

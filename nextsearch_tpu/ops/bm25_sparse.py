@@ -69,9 +69,22 @@ def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, 
     qrow = jnp.broadcast_to(cq[:, None], (C, block))
     qrow = jnp.where(valid, qrow, jnp.int32(Q))
 
-    sq, sd, sc = lax.sort(
-        (qrow.reshape(-1), doc.reshape(-1), contrib.reshape(-1)), num_keys=2
-    )
+    shift = max(int(n_slots).bit_length(), 1)
+    if (Q + 1) << shift <= 1 << 32:
+        # Pack (q, doc) into one uint32 sort key — one fewer operand in the
+        # flat sort, same stable (q, doc) order. doc occupies the low
+        # `shift` bits (sentinel n_slots included), q the high bits.
+        key = (
+            qrow.reshape(-1).astype(jnp.uint32) << shift
+        ) | doc.reshape(-1).astype(jnp.uint32)
+        skey, sc = lax.sort((key, contrib.reshape(-1)), num_keys=1)
+        sq = (skey >> shift).astype(jnp.int32)
+        sd = (skey & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
+    else:
+        sq, sd, sc = lax.sort(
+            (qrow.reshape(-1), doc.reshape(-1), contrib.reshape(-1)),
+            num_keys=2,
+        )
     first = jnp.concatenate(
         [
             jnp.ones((1,), bool),
@@ -137,21 +150,24 @@ def heavy_candidates(H, tmax_tq, k2, Q, n_slots):
     return vals, docs.astype(jnp.int32)
 
 
-BUCKET_LOG2 = 10  # heavy bucket-position granularity (1024 doc slots)
+BUCKET_LOG2 = 5  # heavy bucket-position granularity (32 doc slots)
+LIGHT_BUCKET_LOG2 = 12  # light bucket-position granularity (4096 doc slots)
 
 
 def exact_rescore_v2(
     post_doc,
     post_score,
     bucket_pos,
+    light_bucket_pos,
     starts,
-    full_dfs,
     slot_dense,
+    slot_light,
     weights,
     cand,
     *,
     bs_steps,
     nd,
+    nl,
 ):
     """Bit-exact term-slot-order rescore of candidates.
 
@@ -166,14 +182,16 @@ def exact_rescore_v2(
     is not guaranteed to round like the host's), costing ~1 ULP on heavy
     terms.
 
-    Heavy slots would need depth covering their full df (up to ~log2 N);
-    instead `bucket_pos` [ND+1, NB+1] (int32, host-precomputed) gives each
-    dense row's first-posting offset per 2^BUCKET_LOG2-doc-slot bucket, so
-    the search range for a heavy candidate is its bucket's <=1024 postings.
-    This halves bs_steps at 1M docs (21 -> ~11: profiled 66ms -> ~34ms of a
-    117ms batch). The table only narrows the provable range — positions and
-    scores are exact regardless. bs_steps must cover
-    max(max LIGHT df, 2^BUCKET_LOG2).
+    Both slot kinds narrow their search range through a host-precomputed
+    bucket-position table (first-posting offset per doc-slot bucket):
+    heavy slots via `bucket_pos` [ND+1, NBh+1] at 2^BUCKET_LOG2-slot
+    granularity (fine: dense rows can be nearly full), light slots via
+    `light_bucket_pos` [NL+1, NBl+1] at 2^LIGHT_BUCKET_LOG2 (coarse: a
+    light df is capped by the dense threshold, so buckets stay shallow).
+    The tables only narrow the provable range — positions and scores are
+    exact regardless. bs_steps must cover the maximum bucket OCCUPANCY of
+    either table (measured host-side at build: DeviceIndex._bs_depth),
+    which at 1M docs drops the depth from 11 (df-bounded) to ~6.
     """
     Q, T = starts.shape
     kc = cand.shape[1]
@@ -181,12 +199,17 @@ def exact_rescore_v2(
     c = cand[:, None, :]  # [Q, 1, kc]
 
     s = starts[:, :, None].astype(jnp.int32)
-    d = full_dfs[:, :, None]
     is_heavy = slot_dense[:, :, None] < nd  # [Q, T, 1]
     row = jnp.where(is_heavy, slot_dense[:, :, None], nd)
+    lrow = jnp.clip(slot_light[:, :, None], 0, nl)
     cb = lax.shift_right_logical(c, BUCKET_LOG2)  # [Q, 1, kc]
-    lo0 = jnp.where(is_heavy, bucket_pos[row, cb], 0)
-    hi0 = jnp.where(is_heavy, bucket_pos[row, cb + 1], d)
+    cbl = lax.shift_right_logical(c, LIGHT_BUCKET_LOG2)
+    lo0 = jnp.where(
+        is_heavy, bucket_pos[row, cb], light_bucket_pos[lrow, cbl]
+    )
+    hi0 = jnp.where(
+        is_heavy, bucket_pos[row, cb + 1], light_bucket_pos[lrow, cbl + 1]
+    )
     lo = jnp.broadcast_to(lo0, (Q, T, kc))
     hi = jnp.broadcast_to(hi0, (Q, T, kc))
 
@@ -230,15 +253,17 @@ def _dedup_sorted(vals, docs):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "use_pallas"
+        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl",
+        "use_pallas",
     ),
 )
 def bm25_search_sparse_packed(
     post_doc: jax.Array,  # int32 [P]
     post_score: jax.Array,  # f32 [P]
     dense_rows: jax.Array,  # bf16/f32 [ND+1, n_slots] (row ND = zeros)
-    bucket_pos: jax.Array,  # int32 [ND+1, NB+1] heavy bucket positions
-    plan_ints: jax.Array,  # int32 [4, Q, T]: starts/light_dfs/slot_dense/full_dfs
+    bucket_pos: jax.Array,  # int32 [ND+1, NBh+1] heavy bucket positions
+    light_bucket_pos: jax.Array,  # int32 [NL+1, NBl+1] light bucket positions
+    plan_ints: jax.Array,  # int32 [4, Q, T]: starts/light_dfs/slot_dense/slot_light
     plan_f32: jax.Array,  # f32 [1, Q, T]: weights
     *,
     n_slots: int,
@@ -248,6 +273,7 @@ def bm25_search_sparse_packed(
     block: int,
     bs_steps: int,
     nd: int,
+    nl: int,
     use_pallas: bool = True,
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
@@ -255,7 +281,7 @@ def bm25_search_sparse_packed(
     starts = plan_ints[0]
     light_dfs = plan_ints[1]
     slot_dense = plan_ints[2]
-    full_dfs = plan_ints[3]
+    slot_light = plan_ints[3]
     weights = plan_f32[0]
     Q, T = starts.shape
 
@@ -301,8 +327,9 @@ def bm25_search_sparse_packed(
     # ---- exact rescore + canonical order + dedup
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     exact = exact_rescore_v2(
-        post_doc, post_score, bucket_pos, starts, full_dfs, slot_dense,
-        weights, safe_cand, bs_steps=bs_steps, nd=nd,
+        post_doc, post_score, bucket_pos, light_bucket_pos, starts,
+        slot_dense, slot_light, weights, safe_cand,
+        bs_steps=bs_steps, nd=nd, nl=nl,
     )
     exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
