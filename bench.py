@@ -192,13 +192,15 @@ def main():
             scores_bf16=bf16, rescore_margin=margin,
         )
     )
-    di = DeviceIndex([seg], config=cfg0)
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
 
     chunks_env = os.environ.get("NEXTSEARCH_BENCH_CHUNKS")
     if chunks_env:
         chunks = int(chunks_env)
     else:
+        # Planning-only probe: host_only skips the dense-row build and all
+        # device transfers (minutes at 1M-doc scale).
+        di = DeviceIndex([seg], config=cfg0, host_only=True)
         block = cfg0.device.posting_block
         max_live = 1
         for b in batches:

@@ -81,12 +81,12 @@ def variant_kernel(
 
     if do_heavy:
         fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, tmax_tq, cnt_tq = fused(mix, dense_rows)
+        H, smax_sq, cnt_tq = fused(mix, dense_rows)
         heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
     else:
-        n_tiles_pad = n_slots // 2048 if n_slots % 2048 == 0 else n_slots // 2048 + 1
+        n_sub_pad = -(-n_slots // 512)
         H = jnp.zeros((Q, n_slots), jnp.float32)
-        tmax_tq = jnp.zeros((n_tiles_pad, Q), jnp.float32)
+        smax_sq = jnp.zeros((n_sub_pad, Q), jnp.float32)
         heavy_found = jnp.zeros((Q,), jnp.int32)
 
     if do_light:
@@ -111,7 +111,7 @@ def variant_kernel(
         ldocs = jnp.full((Q, K2), 2**30, jnp.int32)
 
     if do_cand_heavy:
-        hvals, hdocs = heavy_candidates(H, tmax_tq, K2, Q, n_slots)
+        hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
     else:
         hdocs = jnp.full((Q, K2), 2**30, jnp.int32)
 

@@ -80,10 +80,17 @@ class DeviceIndex:
         seg_names: Optional[Sequence[str]] = None,
         config: EngineConfig = DEFAULT_CONFIG,
         device=None,
+        host_only: bool = False,
     ):
+        """host_only=True builds only the planning state (lexicons, dense
+        row assignment, merged lex table) — no dense-row materialization,
+        bucket tables, or device transfers. Planning-only probes (e.g.
+        bench.py's chunk-budget sizing) run in seconds instead of minutes
+        at 1M-doc scale; search_batch* is unavailable."""
         import jax
         import jax.numpy as jnp
 
+        self.host_only = host_only
         self.config = config
         self.segments = list(segments)
         self.seg_names = list(seg_names) if seg_names else [
@@ -164,7 +171,11 @@ class DeviceIndex:
         # Rows padded to a multiple of 8 past the zero row: MXU-aligned
         # operand for the fused heavy kernel (ops/heavy_pallas.py).
         nd1_pad = _round_up(self.n_dense + 1, 8)
-        dense_host = np.zeros((nd1_pad, self.n_slots), np.float32)
+        dense_host = (
+            None
+            if host_only
+            else np.zeros((nd1_pad, self.n_slots), np.float32)
+        )
         self._sparse = dcfg.mode == "sparse"
         # Sparse rescore bucket-position tables (ops/bm25_sparse.py
         # exact_rescore_v2): first-posting offset per doc-slot bucket, so a
@@ -177,23 +188,31 @@ class DeviceIndex:
 
         nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
         bucket_host = (
-            np.zeros((nd1_pad, nb + 1), np.int32) if self._sparse else None
+            np.zeros((nd1_pad, nb + 1), np.int32)
+            if self._sparse and not host_only
+            else None
         )
         bounds = (np.arange(nb + 1, dtype=np.int64) << BUCKET_LOG2)
         heavy_max_occ = 0
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
             seg = self.segments[seg_i]
-            lo = int(seg.term_offsets[term_i])
-            hi = int(seg.term_offsets[term_i + 1])
-            score = post_score_parts[seg_i]
-            docs = seg.post_doc[lo:hi].astype(np.int64) + self.doc_bases[seg_i]
-            dense_host[row_id, docs] = score[lo:hi]
-            if bucket_host is not None:
-                row = np.searchsorted(docs, bounds, side="left").astype(
-                    np.int32
+            if not host_only:
+                lo = int(seg.term_offsets[term_i])
+                hi = int(seg.term_offsets[term_i + 1])
+                score = post_score_parts[seg_i]
+                docs = (
+                    seg.post_doc[lo:hi].astype(np.int64)
+                    + self.doc_bases[seg_i]
                 )
-                bucket_host[row_id] = row
-                heavy_max_occ = max(heavy_max_occ, int(np.diff(row).max()))
+                dense_host[row_id, docs] = score[lo:hi]
+                if bucket_host is not None:
+                    row = np.searchsorted(docs, bounds, side="left").astype(
+                        np.int32
+                    )
+                    bucket_host[row_id] = row
+                    heavy_max_occ = max(
+                        heavy_max_occ, int(np.diff(row).max())
+                    )
             term = seg.terms[term_i]
             start, dfv, _ = self.lex[seg_i][term]
             self.lex[seg_i][term] = (start, dfv, row_id)
@@ -223,7 +242,7 @@ class DeviceIndex:
         light_host = None
         light_max_occ = 0
         self.n_light = 0
-        if self._sparse:
+        if self._sparse and not host_only:
             nbl = (
                 self.n_slots + (1 << LIGHT_BUCKET_LOG2) - 1
             ) >> LIGHT_BUCKET_LOG2
@@ -280,6 +299,14 @@ class DeviceIndex:
             post_score = np.zeros(1, np.float32)
 
         self._device = device
+        if host_only:
+            self.post_doc = None
+            self.post_score = None
+            self.dense_rows = None
+            self.bucket_pos = None
+            self.light_bucket_pos = None
+            self._build_merged_lex()
+            return
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         self.post_doc = put(post_doc)
         self.post_score = put(post_score)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .bm25 import canonical_sort, expand_chunks
-from .heavy_pallas import TILE, heavy_fused_pallas, heavy_fused_xla
+from .heavy_pallas import SUB, heavy_fused_pallas, heavy_fused_xla
 
 def _segmented_cumsum(vals, first):
     """Inclusive segmented cumsum: resets at each True in `first`."""
@@ -132,21 +132,23 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
     return vals, docs
 
 
-def heavy_candidates(H, tmax_tq, k2, Q, n_slots):
-    """Top-k2 doc slots per query from per-tile maxima (exact: a top doc's
-    own tile max is >= its score, so its tile is among the top-k2 tiles)."""
-    n_tiles = n_slots // TILE
-    tmax = jnp.transpose(tmax_tq)[:, :n_tiles]  # [Q, n_tiles]
-    kt = min(k2, n_tiles)
-    _tv, tidx = lax.top_k(tmax, kt)
+def heavy_candidates(H, smax_sq, k2, Q, n_slots):
+    """Top-k2 doc slots per query from per-sub-tile maxima (exact: a top
+    doc's own sub-tile max is >= its score, so its sub-tile is among the
+    top-k2 sub-tiles). SUB granularity keeps the H gather at k2*SUB per
+    query instead of k2*TILE."""
+    n_sub = n_slots // SUB
+    smax = jnp.transpose(smax_sq)[:, :n_sub]  # [Q, n_sub]
+    kt = min(k2, n_sub)
+    _tv, tidx = lax.top_k(smax, kt)
     tidx = jnp.sort(tidx, axis=1)  # keep canonical doc-asc tie order
-    tiles = H.reshape(Q, n_tiles, TILE)
+    tiles = H.reshape(Q, n_sub, SUB)
     cand_tiles = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
-    flat = cand_tiles.reshape(Q, kt * TILE).astype(jnp.float32)
-    vals, pos = lax.top_k(flat, min(k2, kt * TILE))
-    which = pos // TILE
-    base = jnp.take_along_axis(tidx, which, axis=1) * TILE
-    docs = jnp.where(vals > 0, base + pos % TILE, jnp.int32(2**30))
+    flat = cand_tiles.reshape(Q, kt * SUB).astype(jnp.float32)
+    vals, pos = lax.top_k(flat, min(k2, kt * SUB))
+    which = pos // SUB
+    base = jnp.take_along_axis(tidx, which, axis=1) * SUB
+    docs = jnp.where(vals > 0, base + pos % SUB, jnp.int32(2**30))
     return vals, docs.astype(jnp.int32)
 
 
@@ -301,7 +303,7 @@ def bm25_search_sparse_packed(
     mix = mix.at[:, nd].set(0.0)  # light/padding slots carry id = nd
 
     fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, tmax_tq, cnt_tq = fused(mix, dense_rows)
+    H, smax_sq, cnt_tq = fused(mix, dense_rows)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals
@@ -320,7 +322,7 @@ def bm25_search_sparse_packed(
     lvals, ldocs = per_query_topk_flat(
         sq, sel_score, sd, Q, K2, jnp.int32(2**30)
     )
-    hvals, hdocs = heavy_candidates(H, tmax_tq, K2, Q, n_slots)
+    hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
     cand = jnp.concatenate([ldocs, hdocs], axis=1)
     cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
 

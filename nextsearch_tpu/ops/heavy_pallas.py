@@ -1,4 +1,4 @@
-"""Fused heavy-term scoring: matmul + per-tile max + hit counts, one pass.
+"""Fused heavy-term scoring: matmul + per-sub-tile max + hit counts, one pass.
 
 The hybrid posting representation stores high-df ("heavy") terms as dense
 per-doc score rows so their query-time contribution is one MXU matmul
@@ -10,11 +10,14 @@ output twice (per-tile max for candidate selection ~37ms, matched-doc count
 single pass over each output tile while it is still resident in VMEM:
 
     H[q, d]     = sum_r mix[q, r] * dense[r, d]      (MXU, f32 accumulate)
-    tmax[t, q]  = max_d-in-tile H[q, d]              (VPU epilogue)
+    smax[s, q]  = max_d-in-subtile H[q, d]           (VPU epilogue)
     counts[t, q]= #{d in tile : H[q, d] > 0}         (VPU epilogue)
 
 Grid is one program per 2048-doc tile; mix stays resident, each program
 DMAs its dense tile, and the epilogue costs nothing extra in HBM traffic.
+Maxima are recorded per SUB=512-doc sub-tile (4 per grid tile): candidate
+extraction then gathers 4x less H volume for the same provable top-k2
+bound (a doc's own sub-tile max >= its score).
 
 On CPU (tests) the kernel runs in Pallas interpreter mode; `heavy_fused_xla`
 is the reference implementation both are checked against.
@@ -27,29 +30,32 @@ import functools
 import jax
 import jax.numpy as jnp
 
-TILE = 2048  # docs per candidate tile (also tiled_topk granularity)
+TILE = 2048  # docs per kernel grid tile (MXU-efficient output block)
+SUB = 512  # docs per candidate sub-tile (maxima granularity)
+_SPT = TILE // SUB  # sub-tiles per grid tile
 
 
-def _kernel(mix_ref, dense_ref, h_ref, tmax_ref, cnt_ref):
+def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
     import jax.experimental.pallas as pl
 
     t = pl.program_id(0)
 
-    # The tmax/cnt blocks are revisited by every program; rows past n_tiles
-    # are never written per-tile, so initialize the whole block once.
+    # The smax/cnt blocks are revisited by every program; rows past the
+    # real tile count are never written per-tile, so initialize the whole
+    # block once.
     @pl.when(t == 0)
     def _():
-        tmax_ref[:] = jnp.full_like(tmax_ref, -jnp.inf)
+        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
     h32 = jnp.dot(
         mix_ref[:], dense_ref[:], preferred_element_type=jnp.float32
     )  # [Q, TILE]
     h_ref[:] = h32.astype(h_ref.dtype)
-    tm = jnp.max(h32, axis=1)  # [Q]
+    q = h32.shape[0]
+    sm = jnp.max(h32.reshape(q, _SPT, SUB), axis=2)  # [Q, _SPT]
     ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
-    q = tm.shape[0]
-    tmax_ref[pl.ds(t, 1), :] = tm.reshape(1, q)
+    smax_ref[pl.ds(t * _SPT, _SPT), :] = jnp.transpose(sm)
     cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
 
 
@@ -59,7 +65,7 @@ def heavy_fused_pallas(
     *,
     interpret: bool = False,
 ):
-    """Returns (H bf16 [Q, n_slots], tmax f32 [n_tiles_pad, Q],
+    """Returns (H bf16 [Q, n_slots], smax f32 [n_sub_pad, Q],
     counts f32 [n_tiles_pad, Q]). n_slots must be a multiple of TILE."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -69,6 +75,7 @@ def heavy_fused_pallas(
     assert n_slots % TILE == 0, (n_slots, TILE)
     n_tiles = n_slots // TILE
     tiles_pad = ((n_tiles + 7) // 8) * 8
+    sub_pad = tiles_pad * _SPT
 
     grid = (n_tiles,)
     out = pl.pallas_call(
@@ -82,9 +89,10 @@ def heavy_fused_pallas(
         ],
         out_specs=[
             pl.BlockSpec((Q, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            # whole-array blocks revisited by every program; each writes row t
+            # whole-array blocks revisited by every program; each writes its
+            # own rows
             pl.BlockSpec(
-                (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
+                (sub_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
@@ -92,7 +100,7 @@ def heavy_fused_pallas(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Q, n_slots), jnp.bfloat16),
-            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((sub_pad, Q), jnp.float32),
             jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -108,17 +116,23 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
     Q = mix.shape[0]
     n_slots = dense.shape[1]
     n_tiles = n_slots // TILE
+    n_sub = n_slots // SUB
     tiles_pad = ((n_tiles + 7) // 8) * 8
+    sub_pad = tiles_pad * _SPT
     h32 = jnp.dot(
         mix.astype(dense.dtype), dense, preferred_element_type=jnp.float32
     )
-    tiles = h32.reshape(Q, n_tiles, TILE)
-    tmax = jnp.transpose(jnp.max(tiles, axis=2))  # [n_tiles, Q]
-    cnt = jnp.transpose(jnp.sum((tiles > 0), axis=2).astype(jnp.float32))
-    pad = ((0, tiles_pad - n_tiles), (0, 0))
+    smax = jnp.transpose(
+        jnp.max(h32.reshape(Q, n_sub, SUB), axis=2)
+    )  # [n_sub, Q]
+    cnt = jnp.transpose(
+        jnp.sum(
+            (h32.reshape(Q, n_tiles, TILE) > 0), axis=2
+        ).astype(jnp.float32)
+    )
     neg = jnp.float32(-jnp.inf)
     return (
         h32.astype(jnp.bfloat16),
-        jnp.pad(tmax, pad, constant_values=neg),
-        jnp.pad(cnt, pad),
+        jnp.pad(smax, ((0, sub_pad - n_sub), (0, 0)), constant_values=neg),
+        jnp.pad(cnt, ((0, tiles_pad - n_tiles), (0, 0))),
     )
