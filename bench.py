@@ -218,7 +218,10 @@ def main():
             scores_bf16=bf16, rescore_margin=margin,
         )
     )
+    t0 = time.time()
     di = DeviceIndex([seg], config=cfg)
+    print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
+          file=sys.stderr)
     depth = int(os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 4))
 
     # Warmup / compile.

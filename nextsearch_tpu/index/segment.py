@@ -171,12 +171,21 @@ class DeviceIndex:
         # Rows padded to a multiple of 8 past the zero row: MXU-aligned
         # operand for the fused heavy kernel (ops/heavy_pallas.py).
         nd1_pad = _round_up(self.n_dense + 1, 8)
+        self._sparse = dcfg.mode == "sparse"
+        # Sparse mode finalizes the dense rows + bucket tables ON DEVICE
+        # (index/device_build.py): they are pure functions of the posting
+        # arrays, and scattering ~30M updates on device beats materializing
+        # a 12GB host matrix and shipping 6.6GB over the host->device link
+        # (~45 min through the tunneled TPU) by orders of magnitude.
+        device_build = self._sparse and not host_only and (
+            os.environ.get("NEXTSEARCH_DEVICE_BUILD", "1") == "1"
+        )
+        self._device_build = device_build
         dense_host = (
             None
-            if host_only
+            if host_only or device_build
             else np.zeros((nd1_pad, self.n_slots), np.float32)
         )
-        self._sparse = dcfg.mode == "sparse"
         # Sparse rescore bucket-position tables (ops/bm25_sparse.py
         # exact_rescore_v2): first-posting offset per doc-slot bucket, so a
         # candidate's binary search covers one bucket's occupancy instead of
@@ -189,14 +198,14 @@ class DeviceIndex:
         nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
         bucket_host = (
             np.zeros((nd1_pad, nb + 1), np.int32)
-            if self._sparse and not host_only
+            if self._sparse and not host_only and not device_build
             else None
         )
         bounds = (np.arange(nb + 1, dtype=np.int64) << BUCKET_LOG2)
         heavy_max_occ = 0
         for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
             seg = self.segments[seg_i]
-            if not host_only:
+            if not host_only and not device_build:
                 lo = int(seg.term_offsets[term_i])
                 hi = int(seg.term_offsets[term_i + 1])
                 score = post_score_parts[seg_i]
@@ -243,6 +252,7 @@ class DeviceIndex:
         light_max_occ = 0
         self.n_light = 0
         if self._sparse and not host_only:
+            build_tables = not device_build
             nbl = (
                 self.n_slots + (1 << LIGHT_BUCKET_LOG2) - 1
             ) >> LIGHT_BUCKET_LOG2
@@ -260,7 +270,7 @@ class DeviceIndex:
                 self._light_row.append(
                     {seg.terms[i]: int(term_row[i]) for i in lt_idx}
                 )
-                if lt_idx.shape[0]:
+                if lt_idx.shape[0] and build_tables:
                     row_of_post = np.repeat(
                         term_row - base_row, seg.term_df.astype(np.int64)
                     )
@@ -275,11 +285,14 @@ class DeviceIndex:
                     counts_parts.append(cnt.astype(np.int32))
                 base_row += lt_idx.shape[0]
             self.n_light = base_row
-            light_host = np.zeros((base_row + 1, nbl + 1), np.int32)
-            if counts_parts:
-                counts = np.concatenate(counts_parts, axis=0)
-                light_max_occ = int(counts.max(initial=0))
-                np.cumsum(counts, axis=1, out=light_host[:base_row, 1:])
+            if build_tables:
+                light_host = np.zeros((base_row + 1, nbl + 1), np.int32)
+                if counts_parts:
+                    counts = np.concatenate(counts_parts, axis=0)
+                    light_max_occ = int(counts.max(initial=0))
+                    np.cumsum(
+                        counts, axis=1, out=light_host[:base_row, 1:]
+                    )
         self._bs_depth = max(
             2, int(max(heavy_max_occ, light_max_occ, 1)).bit_length() + 1
         )
@@ -310,6 +323,39 @@ class DeviceIndex:
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         self.post_doc = put(post_doc)
         self.post_score = put(post_score)
+        if device_build:
+            from .device_build import (
+                build_heavy_on_device,
+                build_light_on_device,
+            )
+
+            h_starts = np.asarray([h[3] for h in heavy], np.int64)
+            h_dfs = np.asarray([h[0] for h in heavy], np.int64)
+            self.dense_rows, self.bucket_pos, heavy_max_occ = (
+                build_heavy_on_device(
+                    self.post_doc, self.post_score, h_starts, h_dfs,
+                    n_rows_pad=nd1_pad, n_slots=self.n_slots,
+                    bf16=dcfg.dense_rows_bf16,
+                )
+            )
+            l_starts = np.zeros(self.n_light, np.int64)
+            l_dfs = np.zeros(self.n_light, np.int64)
+            for seg_i, lmap in enumerate(self._light_row):
+                lex = self.lex[seg_i]
+                for t, row in lmap.items():
+                    start, dfv, _ = lex[t]
+                    l_starts[row] = start
+                    l_dfs[row] = dfv
+            self.light_bucket_pos, light_max_occ = build_light_on_device(
+                self.post_doc, l_starts, l_dfs,
+                n_rows_pad=self.n_light + 1, n_slots=self.n_slots,
+            )
+            self._bs_depth = max(
+                2,
+                int(max(heavy_max_occ, light_max_occ, 1)).bit_length() + 1,
+            )
+            self._build_merged_lex()
+            return
         if dcfg.dense_rows_bf16:
             import ml_dtypes
 

@@ -201,3 +201,25 @@ def test_server_sparse_mode_end_to_end(tmp_path):
         c_sparse.batcher.shutdown()
         s_fused.shutdown()
         c_fused.batcher.shutdown()
+
+
+def test_device_build_matches_host_build(segs, monkeypatch):
+    """index/device_build.py must reproduce the host-built dense rows and
+    bucket tables bit-for-bit (same scores, same offsets, same depth)."""
+    monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "0")
+    host = make_index(segs)
+    monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "1")
+    dev = make_index(segs)
+    assert dev._device_build and not host._device_build
+    assert np.array_equal(
+        np.asarray(host.dense_rows, np.float32),
+        np.asarray(dev.dense_rows, np.float32),
+    )
+    assert np.array_equal(
+        np.asarray(host.bucket_pos), np.asarray(dev.bucket_pos)
+    )
+    assert np.array_equal(
+        np.asarray(host.light_bucket_pos), np.asarray(dev.light_bucket_pos)
+    )
+    assert host._bs_depth == dev._bs_depth
+    assert host.n_light == dev.n_light
