@@ -40,15 +40,18 @@ from nextsearch_tpu.models.hybrid import HybridIndex  # noqa: E402
 from nextsearch_tpu.models.semantic import SemanticIndex  # noqa: E402
 
 
-def _pinned_index(segs, batches, blk=512):
+def _pinned_index(segs, batches, blk=512, mode="fused", **dev_kw):
     """DeviceIndex with a single workload-sized chunk bucket (no mid-loop
-    recompiles; same approach as bench.py)."""
+    recompiles; same approach as bench.py). The budget probe runs host_only
+    (no dense materialization / device transfers)."""
     from nextsearch_tpu.config import DeviceConfig, EngineConfig
 
     cfg0 = EngineConfig(
-        device=DeviceConfig(posting_block=blk, heavy_buckets=(256,))
+        device=DeviceConfig(
+            posting_block=blk, heavy_buckets=(256,), mode=mode, **dev_kw
+        )
     )
-    di0 = DeviceIndex(segs, config=cfg0)
+    di0 = DeviceIndex(segs, config=cfg0, host_only=True)
     max_live = 1
     for b in batches:
         _s, _d, _w, light_dfs, _u, _m = di0.plan_full(b)
@@ -57,7 +60,8 @@ def _pinned_index(segs, batches, blk=512):
     chunks = ((max_live + 127) // 128) * 128
     cfg = EngineConfig(
         device=DeviceConfig(
-            posting_block=blk, heavy_buckets=(256,), chunk_buckets=(chunks,)
+            posting_block=blk, heavy_buckets=(256,), chunk_buckets=(chunks,),
+            mode=mode, **dev_kw
         )
     )
     return DeviceIndex(segs, config=cfg)
@@ -127,8 +131,18 @@ def config3():
     segs = [build_corpus(n_per_seg, 40_000, seed=10 + i)[0] for i in range(n_segs)]
     probs = 1.0 / np.arange(1, 40_000 + 1) ** 1.07
     probs /= probs.sum()
-    batches = sample_queries(probs, 256, 64, seed=3)
-    di = _pinned_index(segs, batches)
+    if full:
+        # Full 1M scale runs the production sparse configuration (the
+        # bench.py headline path): big batches amortize the per-launch
+        # floor; dense rows + bucket tables finalize on device.
+        batches = sample_queries(probs, 2048, 256, seed=3)
+        di = _pinned_index(
+            segs, batches, mode="sparse",
+            dense_df_ratio=1 / 1024, dense_max_bytes=6 << 30,
+        )
+    else:
+        batches = sample_queries(probs, 256, 64, seed=3)
+        di = _pinned_index(segs, batches)
     # parity across the multi-segment merge
     oracle_segs = [s.to_oracle_segment() for s in segs]
     for terms in batches[0][:10]:

@@ -177,7 +177,7 @@ class DeviceIndex:
         # arrays, and scattering ~30M updates on device beats materializing
         # a 12GB host matrix and shipping 6.6GB over the host->device link
         # (~45 min through the tunneled TPU) by orders of magnitude.
-        device_build = self._sparse and not host_only and (
+        device_build = not host_only and (
             os.environ.get("NEXTSEARCH_DEVICE_BUILD", "1") == "1"
         )
         self._device_build = device_build
@@ -336,20 +336,26 @@ class DeviceIndex:
                     self.post_doc, self.post_score, h_starts, h_dfs,
                     n_rows_pad=nd1_pad, n_slots=self.n_slots,
                     bf16=dcfg.dense_rows_bf16,
+                    with_buckets=self._sparse,
                 )
             )
-            l_starts = np.zeros(self.n_light, np.int64)
-            l_dfs = np.zeros(self.n_light, np.int64)
-            for seg_i, lmap in enumerate(self._light_row):
-                lex = self.lex[seg_i]
-                for t, row in lmap.items():
-                    start, dfv, _ = lex[t]
-                    l_starts[row] = start
-                    l_dfs[row] = dfv
-            self.light_bucket_pos, light_max_occ = build_light_on_device(
-                self.post_doc, l_starts, l_dfs,
-                n_rows_pad=self.n_light + 1, n_slots=self.n_slots,
-            )
+            self.light_bucket_pos = None
+            if self._sparse:
+                l_starts = np.zeros(self.n_light, np.int64)
+                l_dfs = np.zeros(self.n_light, np.int64)
+                for seg_i, lmap in enumerate(self._light_row):
+                    lex = self.lex[seg_i]
+                    for t, row in lmap.items():
+                        start, dfv, _ = lex[t]
+                        l_starts[row] = start
+                        l_dfs[row] = dfv
+                self.light_bucket_pos, light_max_occ = (
+                    build_light_on_device(
+                        self.post_doc, l_starts, l_dfs,
+                        n_rows_pad=self.n_light + 1,
+                        n_slots=self.n_slots,
+                    )
+                )
             self._bs_depth = max(
                 2,
                 int(max(heavy_max_occ, light_max_occ, 1)).bit_length() + 1,
