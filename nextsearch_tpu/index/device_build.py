@@ -1,23 +1,28 @@
 """On-device index finalization: dense rows + bucket tables from postings.
 
 The hybrid posting representation needs three derived structures per corpus:
-the heavy dense score rows (bf16 [ND+1pad, n_slots]), the heavy bucket-
-position table (int32 [ND+1pad, NBh+1]) and the light bucket-position table
+the heavy dense score rows (bf16 [NDpad, n_slots]), the heavy bucket-
+position table (int32 [NDpad, NBh+1]) and the light bucket-position table
 (int32 [NL+1, NBl+1]). Building them host-side at 1M-doc scale materializes
 a 12GB f32 matrix and ships ~6.6GB through the host->device link — ~45 min
 through the tunneled TPU this repo benches on (measured: single-digit MB/s).
 All three are pure functions of the (already device-resident) posting arrays
 plus a few KB of per-row (start, df) metadata, so this module computes them
 on device instead: expand per-row posting ranges with a searchsorted-over-
-cumsum (the same trick ops/bm25.expand_chunks uses), then one scatter for
-the dense rows and one scatter-add + cumsum per bucket table. ~30M scatter
-updates ≈ seconds; the upload shrinks to the posting arrays the index needs
-anyway.
+cumsum (the same trick ops/bm25.expand_chunks uses), then scatters. ~30M
+scatter updates ≈ seconds; the upload shrinks to the posting arrays the
+index needs anyway.
 
-The dense scatter DONATES its zero-initialized output buffer (a 6GB array
-at 1M docs): without donation XLA double-buffers the scatter and the build
-OOMs a 16GB v5e (measured: 16.62G requested). The bucket pass runs as a
-separate small jit program for the same reason.
+The dense scatter runs GROUP-WISE (<=512 rows per program, one compiled
+shape reused for every group) and the groups are concatenated on device.
+One whole-matrix scatter is not an option on this TPU toolchain: XLA
+promotes the bf16 scatter operand to f32 and pads it, planning a single
+16.0G buffer that OOMs a 15.75G v5e regardless of buffer donation (which
+the AOT remote-compile path ignores) or in-program zero creation — all
+three variants were measured at 16.3-16.6G requested.
+
+Padding entries use out-of-bounds row ids; JAX's default scatter semantics
+drop out-of-bounds updates, so no sacrificial row is needed.
 
 Returns match the host path bit-for-bit: dense values are the f32 eager
 scores cast to bf16 (round-to-nearest-even both sides), bucket positions
@@ -36,11 +41,12 @@ from jax import lax
 from ..ops.bm25_sparse import BUCKET_LOG2, LIGHT_BUCKET_LOG2
 
 
-def _expand_rows(row_starts, row_dfs, total_pad, n_rows_pad, P, n_slots,
+def _expand_rows(row_starts, row_dfs, total_pad, oob_row, P, n_slots,
                  post_doc):
-    """Per-posting (sacrificial row id, posting pos, safe doc, valid) for
-    concatenated per-row ranges [start_r, start_r + df_r), padded to
-    total_pad. Padding entries map to row n_rows_pad - 1, doc n_slots - 1."""
+    """Per-posting (row id, posting pos, doc, valid) for concatenated
+    per-row ranges [start_r, start_r + df_r), padded to total_pad.
+    Padding entries carry row id `oob_row` (out of bounds -> scatter
+    drops them)."""
     cum = jnp.cumsum(row_dfs)
     total = cum[-1]
     iota = lax.broadcasted_iota(jnp.int32, (total_pad,), 0)
@@ -50,9 +56,8 @@ def _expand_rows(row_starts, row_dfs, total_pad, n_rows_pad, P, n_slots,
     pos = jnp.clip(row_starts[rown] + within, 0, max(P - 1, 0))
     valid = iota < total
     doc = jnp.clip(post_doc[pos], 0, n_slots - 1)
-    srow = jnp.where(valid, rown, n_rows_pad - 1)
-    sdoc = jnp.where(valid, doc, n_slots - 1)
-    return srow, pos, sdoc, valid
+    srow = jnp.where(valid, rown, oob_row)
+    return srow, pos, doc, valid
 
 
 @functools.partial(
@@ -72,65 +77,49 @@ def _build_buckets(
     """(bucket_pos int32 [n_rows_pad, NB+1], max bucket occupancy int32)."""
     nb = (n_slots + (1 << bucket_log2) - 1) >> bucket_log2
     P = post_doc.shape[0]
-    srow, _pos, sdoc, valid = _expand_rows(
+    srow, _pos, doc, _valid = _expand_rows(
         row_starts, row_dfs, total_pad, n_rows_pad, P, n_slots, post_doc
     )
     cnt = jnp.zeros((n_rows_pad, nb), jnp.int32)
-    cnt = cnt.at[srow, sdoc >> bucket_log2].add(
-        jnp.where(valid, 1, 0).astype(jnp.int32)
-    )
+    cnt = cnt.at[srow, doc >> bucket_log2].add(1, mode="drop")
     bucket_pos = jnp.concatenate(
         [jnp.zeros((n_rows_pad, 1), jnp.int32), jnp.cumsum(cnt, axis=1)],
         axis=1,
     )
-    # The sacrificial row absorbed the padding writes; keep it all-zero
-    # (the kernels' sentinel row) and out of the occupancy maximum.
-    bucket_pos = bucket_pos.at[n_rows_pad - 1, :].set(0)
-    max_occ = (
-        jnp.max(cnt[: n_rows_pad - 1]) if n_rows_pad > 1 else jnp.int32(0)
-    )
-    return bucket_pos, max_occ
+    return bucket_pos, jnp.max(cnt)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows_pad", "n_slots", "total_pad", "dtype"),
+    static_argnames=("g_rows", "n_slots", "total_pad", "dtype"),
 )
-def _scatter_dense(
+def _scatter_dense_group(
     post_doc,
     post_score,
-    row_starts,
-    row_dfs,
+    group_starts,  # int32 [g_rows] (df 0 rows are no-ops)
+    group_dfs,
     *,
-    n_rows_pad: int,
+    g_rows: int,
     n_slots: int,
     total_pad: int,
     dtype,
 ):
-    """Scatter the dense rows into a zero buffer created IN-program.
-
-    The zeros have exactly one use (the scatter operand), so XLA's buffer
-    assignment reuses them in place — peak HBM is one dense array plus the
-    ~1.5GB expansion intermediates. Donating an externally-created buffer
-    does NOT achieve this through the AOT remote-compile path (measured:
-    16.3G requested on a 15.75G v5e), nor does fusing the bucket pass into
-    the same program (16.6G) — this program must stay minimal.
-    """
+    """One group's dense rows [g_rows, n_slots] via scatter."""
     P = post_doc.shape[0]
-    srow, pos, sdoc, valid = _expand_rows(
-        row_starts, row_dfs, total_pad, n_rows_pad, P, n_slots, post_doc
+    srow, pos, doc, valid = _expand_rows(
+        group_starts, group_dfs, total_pad, g_rows, P, n_slots, post_doc
     )
     score = jnp.where(valid, post_score[pos], jnp.float32(0.0))
-    dense = jnp.zeros((n_rows_pad, n_slots), dtype)
-    dense = dense.at[srow, sdoc].set(score.astype(dtype))
-    # Padding writes landed on the sacrificial last row; real rows are
-    # < R <= n_rows_pad - 1 (caller guarantees one spare row, the all-zero
-    # sentinel the kernels rely on).
-    return dense.at[n_rows_pad - 1, :].set(jnp.asarray(0, dtype))
+    dense = jnp.zeros((g_rows, n_slots), dtype)
+    return dense.at[srow, doc].set(score.astype(dtype), mode="drop")
 
 
 def _round_pad(n: int, m: int = 1 << 20) -> int:
     return max(((n + m - 1) // m) * m, m)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
@@ -138,8 +127,12 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
     """Dense rows (+ heavy bucket table when with_buckets) on device.
 
     starts/dfs: host int arrays, one entry per dense row (row id order).
-    n_rows_pad must leave the final row unused (zero sentinel row).
+    Returns dense with >= n_rows_pad rows (rounded up to the group grid;
+    the extra rows are zero — the heavy kernel sizes its mix operand from
+    dense.shape[0], and the sentinel row id n_dense stays all-zero).
     """
+    import numpy as np
+
     dt = jnp.bfloat16 if bf16 else jnp.float32
     nb = (n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
     if dfs.size == 0:
@@ -153,14 +146,26 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
     total_pad = _round_pad(int(dfs.sum()))
     d_starts = jnp.asarray(starts, jnp.int32)
     d_dfs = jnp.asarray(dfs, jnp.int32)
-    # Scatter the dense rows FIRST, while the bucket tables don't exist
-    # yet — every other resident byte raises the scatter program's peak.
-    dense = _scatter_dense(
-        post_doc, post_score, d_starts, d_dfs,
-        n_rows_pad=n_rows_pad, n_slots=n_slots, total_pad=total_pad,
-        dtype=dt,
-    )
-    dense.block_until_ready()
+
+    # Group grid: <=512 rows per scatter program keeps the f32-promoted,
+    # padded scatter buffer ~2.5GB; every group reuses one compiled shape.
+    n_groups = max(1, -(-n_rows_pad // 512))
+    g_rows = _round_up(-(-n_rows_pad // n_groups), 8)
+    gs = np.zeros(n_groups * g_rows, np.int64)
+    gd = np.zeros(n_groups * g_rows, np.int64)
+    gs[: len(starts)] = starts
+    gd[: len(dfs)] = dfs
+    parts = [
+        _scatter_dense_group(
+            post_doc, post_score,
+            jnp.asarray(gs[g * g_rows : (g + 1) * g_rows], jnp.int32),
+            jnp.asarray(gd[g * g_rows : (g + 1) * g_rows], jnp.int32),
+            g_rows=g_rows, n_slots=n_slots, total_pad=total_pad, dtype=dt,
+        )
+        for g in range(n_groups)
+    ]
+    dense = parts[0] if n_groups == 1 else jnp.concatenate(parts, axis=0)
+    del parts
     bucket_pos = None
     occ = 0
     if with_buckets:

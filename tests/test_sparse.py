@@ -211,10 +211,13 @@ def test_device_build_matches_host_build(segs, monkeypatch):
     monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "1")
     dev = make_index(segs)
     assert dev._device_build and not host._device_build
-    assert np.array_equal(
-        np.asarray(host.dense_rows, np.float32),
-        np.asarray(dev.dense_rows, np.float32),
-    )
+    hrows = np.asarray(host.dense_rows, np.float32)
+    drows = np.asarray(dev.dense_rows, np.float32)
+    # device build may round the row count up to its group grid; the extra
+    # rows must be zero (the heavy kernel sizes mix from dense.shape[0])
+    assert drows.shape[0] >= hrows.shape[0]
+    assert np.array_equal(hrows, drows[: hrows.shape[0]])
+    assert not drows[hrows.shape[0]:].any()
     assert np.array_equal(
         np.asarray(host.bucket_pos), np.asarray(dev.bucket_pos)
     )
