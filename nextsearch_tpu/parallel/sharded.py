@@ -50,6 +50,9 @@ def _sharded_search_fn(
     mode: str = "fused",
     K2: int = 32,
     C: int = 1024,
+    bs_steps: int = 8,
+    nd: int = 0,
+    nl: int = 0,
 ):
     """Build the jit'd shard_map search step for a given mesh/static shapes.
 
@@ -72,10 +75,21 @@ def _sharded_search_fn(
         scatter_scores,
         tiled_topk,
     )
+    from ..ops.bm25_sparse import (
+        _dedup_sorted,
+        exact_rescore_v2,
+        heavy_candidates,
+        light_totals,
+        per_query_counts,
+        per_query_topk_flat,
+    )
+    from ..ops.heavy_pallas import heavy_fused_xla
 
-    def local_step(post_doc, post_score, dense_rows, plan_ints, plan_f32):
+    def local_step(post_doc, post_score, dense_rows, bucket_pos,
+                   light_bucket_pos, plan_ints, plan_f32):
         # Block shapes: post_* [1, P_shard], dense [1, H+1, cap],
-        # plan_ints [1, Qd, 3, T], plan_f32 [1, Qd, T + 2U]
+        # bucket_pos [1, H+1, NBh+1], light_bucket_pos [1, NL+1, NBl+1],
+        # plan_ints [1, Qd, 3|4, T], plan_f32 [1, Qd, T + 2U]
         post_doc = post_doc[0]
         post_score = post_score[0]
         pi = plan_ints[0]
@@ -83,7 +97,67 @@ def _sharded_search_fn(
         starts, dfs, light_dfs = pi[:, 0, :], pi[:, 1, :], pi[:, 2, :]
         weights = pf[:, :T]
         Qd = starts.shape[0]
-        if mode == "exact":
+        if mode == "sparse":
+            # Same pipeline as ops/bm25_sparse.bm25_search_sparse_packed,
+            # per shard over local doc slots (pure-XLA heavy kernel: the
+            # sharded dense block's row count is not grid-aligned for the
+            # Pallas variant).
+            slot_dense = pi[:, 2, :]
+            slot_light = pi[:, 3, :]
+            light_dfs = pi[:, 1, :]
+            dense = dense_rows[0]
+            nd1 = dense.shape[0]
+            iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
+
+            def mix_step(t, m):
+                sd_t = lax.dynamic_index_in_dim(
+                    slot_dense, t, axis=1, keepdims=True
+                )
+                w_t = lax.dynamic_index_in_dim(
+                    weights, t, axis=1, keepdims=True
+                )
+                return m + jnp.where(
+                    sd_t == iota_nd, w_t, jnp.float32(0.0)
+                )
+
+            mix = lax.fori_loop(
+                0, T, mix_step, jnp.zeros((Qd, nd1), jnp.float32)
+            )
+            mix = mix.at[:, nd].set(0.0)
+            H, smax_sq, cnt_tq = heavy_fused_xla(mix, dense)
+            heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
+
+            sq, sd, stot, last = light_totals(
+                post_doc, post_score, starts, light_dfs, weights,
+                C=C, block=block, Q=Qd, n_slots=n_slots,
+            )
+            sd_clip = jnp.clip(sd, 0, n_slots - 1)
+            hval = H[jnp.clip(sq, 0, Qd - 1), sd_clip].astype(jnp.float32)
+            valid_last = last & (sq < Qd)
+            light_only = valid_last & (hval == 0.0)
+            found = heavy_found + per_query_counts(sq, light_only, Qd)
+
+            sel_score = jnp.where(
+                valid_last, stot + hval, jnp.float32(0.0)
+            )
+            lvals, ldocs = per_query_topk_flat(
+                sq, sel_score, sd, Qd, K2, jnp.int32(2**30)
+            )
+            hvals, hdocs = heavy_candidates(H, smax_sq, K2, Qd, n_slots)
+            cand = jnp.concatenate([ldocs, hdocs], axis=1)
+            cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
+            safe_cand = jnp.clip(cand, 0, n_slots - 1)
+            exact = exact_rescore_v2(
+                post_doc, post_score, bucket_pos[0], light_bucket_pos[0],
+                starts, slot_dense, slot_light, weights, safe_cand,
+                bs_steps=bs_steps, nd=nd, nl=nl,
+            )
+            exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
+            vals, idx = canonical_sort(exact, safe_cand)
+            vals, idx = _dedup_sorted(vals, idx)
+            k2 = vals.shape[1]
+            scores = None
+        elif mode == "exact":
             scores = score_only_exact(
                 post_doc, post_score, starts, dfs, weights,
                 n_slots=n_slots, block=block,
@@ -109,7 +183,9 @@ def _sharded_search_fn(
                 post_doc, post_score, starts, dfs, weights, idx.astype(jnp.int32)
             )
             vals, idx = canonical_sort(exact, idx.astype(jnp.int32))
-        found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+        if mode != "sparse":
+            found = jnp.sum(scores > 0, axis=1, dtype=jnp.int32)
+            k2 = vals.shape[1]
 
         shard_id = lax.axis_index("seg")
         gidx = jnp.where(
@@ -137,16 +213,20 @@ def _sharded_search_fn(
             P("seg", None),  # post_doc    [S, P_shard]
             P("seg", None),  # post_score  [S, P_shard]
             P("seg", None, None),  # dense_rows [S, H+1, cap]
-            P("seg", "dp", None, None),  # plan_ints [S, Qb, 3, T]
+            P("seg", None, None),  # bucket_pos [S, H+1, NBh+1]
+            P("seg", None, None),  # light_bucket_pos [S, NL+1, NBl+1]
+            P("seg", "dp", None, None),  # plan_ints [S, Qb, 3|4, T]
             P("seg", "dp", None),  # plan_f32 [S, Qb, T + 2U]
         ),
         out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
         check_vma=False,
     )
 
-    def step(post_doc, post_score, dense_rows, plan_ints, plan_f32):
+    def step(post_doc, post_score, dense_rows, bucket_pos,
+             light_bucket_pos, plan_ints, plan_f32):
         vals, idx, found = fn(
-            post_doc, post_score, dense_rows, plan_ints, plan_f32
+            post_doc, post_score, dense_rows, bucket_pos,
+            light_bucket_pos, plan_ints, plan_f32,
         )
         return vals[0], idx[0], found[0]
 
@@ -223,6 +303,11 @@ class ShardedIndex:
             shard_posts.append(pbase)
 
         dpad = config.device.doc_pad
+        self._sparse = config.device.mode == "sparse"
+        if self._sparse:
+            # sparse mode tiles the doc axis in 2048-doc candidate tiles
+            # (ops/heavy_pallas.TILE); keep every shard's capacity aligned.
+            dpad = max(dpad, 2048)
         self.shard_capacity = max(_round_up(max(shard_docs or [1], default=1), dpad), dpad)
         p_capacity = max(max(shard_posts) if shard_posts else 1, 1)
 
@@ -283,6 +368,87 @@ class ShardedIndex:
                 start, dfv, _ = self.lex[si][j][term]
                 self.lex[si][j][term] = (start, dfv, row_id)
 
+        # Sparse-mode rescore bucket tables, per shard (host-built: shard
+        # arrays are host-resident here; the single-chip DeviceIndex uses
+        # the on-device build in index/device_build.py).
+        from ..ops.bm25_sparse import BUCKET_LOG2, LIGHT_BUCKET_LOG2
+
+        self._light_row: List[List[dict]] = []  # [shard][seg] term -> row
+        self.n_light = 0
+        bucket_host = None
+        light_host = None
+        self._bs_depth = 2
+        if self._sparse:
+            cap = self.shard_capacity
+            nbh = (cap + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
+            nbl = (cap + (1 << LIGHT_BUCKET_LOG2) - 1) >> LIGHT_BUCKET_LOG2
+            bucket_host = np.zeros((S, self.n_dense + 1, nbh + 1), np.int32)
+            bounds_h = np.arange(nbh + 1, dtype=np.int64) << BUCKET_LOG2
+            max_occ = 0
+            # heavy tables from the (already filled) lex dense row ids
+            for si, heavy in enumerate(per_shard_heavy):
+                lo, _hi = self.shard_seg_ranges[si]
+                for row_id, (_df, j, term_i) in enumerate(heavy):
+                    seg = self.segments[lo + j]
+                    a = int(seg.term_offsets[term_i])
+                    b = int(seg.term_offsets[term_i + 1])
+                    docs = (
+                        seg.post_doc[a:b].astype(np.int64)
+                        + self.shard_doc_bases[si][j]
+                    )
+                    row = np.searchsorted(docs, bounds_h, "left").astype(
+                        np.int32
+                    )
+                    bucket_host[si, row_id] = row
+                    max_occ = max(max_occ, int(np.diff(row).max(initial=0)))
+            # light row assignment + per-shard light bucket tables
+            shard_counts: List[np.ndarray] = []
+            n_light_per_shard: List[int] = []
+            for si, (lo, hi) in enumerate(self.shard_seg_ranges):
+                maps = []
+                rows_here = 0
+                cnts = []
+                for j, seg in enumerate(self.segments[lo:hi]):
+                    lex = self.lex[si][j]
+                    m = {}
+                    for i, t in enumerate(seg.terms):
+                        start, df, dense_id = lex[t]
+                        if df > 0 and dense_id < 0:
+                            m[t] = rows_here
+                            docs = (
+                                seg.post_doc[
+                                    int(seg.term_offsets[i]) : int(
+                                        seg.term_offsets[i + 1]
+                                    )
+                                ].astype(np.int64)
+                                + self.shard_doc_bases[si][j]
+                            )
+                            c = np.bincount(
+                                docs >> LIGHT_BUCKET_LOG2, minlength=nbl
+                            )[:nbl]
+                            cnts.append(c.astype(np.int32))
+                            rows_here += 1
+                    maps.append(m)
+                self._light_row.append(maps)
+                n_light_per_shard.append(rows_here)
+                shard_counts.append(
+                    np.stack(cnts)
+                    if cnts
+                    else np.zeros((0, nbl), np.int32)
+                )
+            self.n_light = max(n_light_per_shard, default=0)
+            light_host = np.zeros(
+                (S, self.n_light + 1, nbl + 1), np.int32
+            )
+            for si, cnts in enumerate(shard_counts):
+                if cnts.shape[0]:
+                    max_occ = max(max_occ, int(cnts.max(initial=0)))
+                    np.cumsum(
+                        cnts, axis=1,
+                        out=light_host[si, : cnts.shape[0], 1:],
+                    )
+            self._bs_depth = max(2, int(max(max_occ, 1)).bit_length() + 1)
+
         post_spec = NamedSharding(mesh, P("seg", None))
         self.post_doc = jax.device_put(post_doc, post_spec)
         self.post_score = jax.device_put(post_score, post_spec)
@@ -293,6 +459,17 @@ class ShardedIndex:
         self.dense_rows = jax.device_put(
             dense_host, NamedSharding(mesh, P("seg", None, None))
         )
+        tab_spec = NamedSharding(mesh, P("seg", None, None))
+        self.bucket_pos = (
+            jax.device_put(bucket_host, tab_spec)
+            if bucket_host is not None
+            else None
+        )
+        self.light_bucket_pos = (
+            jax.device_put(light_host, tab_spec)
+            if light_host is not None
+            else None
+        )
         self.n_docs = total_docs
         self._fns = {}
         self._build_merged_lex()
@@ -301,19 +478,26 @@ class ShardedIndex:
         """Merge all shard lexicons into one packed planning table.
 
         _lex_slices: term -> (offset, count) into _lex_table rows of
-        (shard, local posting start, df, dense_row_id), ordered (shard asc,
-        segment asc) per term — matching the canonical slot order. Planning
-        then costs one dict probe per (query, term) + NumPy gathers instead
-        of a Python loop over every (shard, segment).
+        (shard, local posting start, df, dense_row_id, light_row_id),
+        ordered (shard asc, segment asc) per term — matching the canonical
+        slot order. light_row_id indexes the shard's light_bucket_pos rows
+        (n_light for heavy slots / non-sparse). Planning then costs one
+        dict probe per (query, term) + NumPy gathers instead of a Python
+        loop over every (shard, segment).
         """
-        occ: Dict[str, List[Tuple[int, int, int, int]]] = {}
+        nl = self.n_light
+        occ: Dict[str, List[Tuple[int, int, int, int, int]]] = {}
         for si, shard_lexes in enumerate(self.lex):
-            for lex in shard_lexes:
+            lmaps = self._light_row[si] if self._light_row else None
+            for j, lex in enumerate(shard_lexes):
+                lmap = lmaps[j] if lmaps else {}
                 for t, v in lex.items():
                     if v[1] > 0:
-                        occ.setdefault(t, []).append((si, v[0], v[1], v[2]))
+                        occ.setdefault(t, []).append(
+                            (si, v[0], v[1], v[2], lmap.get(t, nl))
+                        )
         n_rows = sum(len(v) for v in occ.values())
-        table = np.zeros((max(n_rows, 1), 4), np.int64)
+        table = np.zeros((max(n_rows, 1), 5), np.int64)
         slices: Dict[str, Tuple[int, int]] = {}
         pos = 0
         for t, vs in occ.items():
@@ -466,6 +650,81 @@ class ShardedIndex:
             )
         return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
+    def plan_sparse(self, queries: Sequence[Sequence[WeightedTerm]]):
+        """Sparse-mode per-shard plan.
+
+        Returns (plan_ints [S, Qb, 4, T], plan_f32 [S, Qb, T]):
+          ints: starts / light_dfs / slot_dense (n_dense = light) /
+                slot_light (light_bucket_pos row; n_light = heavy/padding)
+          f32:  weights
+        The heavy mix is built in-kernel from slot_dense + weights, so no
+        unique-heavy packing is needed (U = 0).
+        """
+        S = self.n_shards
+        table = self._lex_table
+        slices = self._lex_slices
+
+        q_rows: List[np.ndarray] = []
+        q_ws: List[np.ndarray] = []
+        for terms in queries:
+            offs: List[int] = []
+            cnts: List[int] = []
+            ws: List[float] = []
+            for term, w in terms:
+                oc = slices.get(term)
+                if oc is not None:
+                    offs.append(oc[0])
+                    cnts.append(oc[1])
+                    ws.append(w)
+            if offs:
+                cnts_a = np.asarray(cnts, np.int64)
+                q_rows.append(
+                    np.repeat(np.asarray(offs, np.int64), cnts_a)
+                    + _ranges(cnts_a)
+                )
+                q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
+            else:
+                q_rows.append(_EMPTY_I64)
+                q_ws.append(_EMPTY_F32)
+
+        t_max = 1
+        q_shards: List[np.ndarray] = []
+        for rows in q_rows:
+            sids = table[rows, 0]
+            q_shards.append(sids)
+            if sids.shape[0]:
+                t_max = max(t_max, int(np.bincount(sids, minlength=S).max()))
+
+        Qb = _round_up(max(len(queries), 1), self.dp)
+        T = _bucket(t_max, self.T_BUCKETS)
+        plan_ints = np.zeros((S, Qb, 4, T), np.int32)
+        plan_ints[:, :, 2] += np.int32(self.n_dense)
+        plan_ints[:, :, 3] += np.int32(self.n_light)
+        plan_f32 = np.zeros((S, Qb, T), np.float32)
+        for qi, (rows, ws, sids) in enumerate(
+            zip(q_rows, q_ws, q_shards)
+        ):
+            if rows.shape[0] == 0:
+                continue
+            ent = table[rows]
+            for si in np.unique(sids):
+                m = sids == si
+                n = min(int(m.sum()), T)
+                e = ent[m][:n]
+                w = ws[m][:n]
+                dense = e[:, 3]
+                light = dense < 0
+                plan_ints[si, qi, 0, :n] = e[:, 1]
+                plan_ints[si, qi, 1, :n] = np.where(light, e[:, 2], 0)
+                plan_ints[si, qi, 2, :n] = np.where(
+                    light, self.n_dense, dense
+                )
+                plan_ints[si, qi, 3, :n] = np.where(
+                    light, e[:, 4], self.n_light
+                )
+                plan_f32[si, qi, :n] = w
+        return plan_ints, plan_f32
+
     def _chunk_budget(self, dfs, block) -> int:
         """Static per-device chunk count: max over (shard, dp-group) totals."""
         S, Qb, T = dfs.shape
@@ -499,6 +758,39 @@ class ShardedIndex:
         K = min(K, self.shard_capacity)
         mode = self.config.device.mode
         block = self.config.device.posting_block
+        if mode == "sparse":
+            plan_ints_np, plan_f32_np = self.plan_sparse(queries)
+            C = self._chunk_budget(plan_ints_np[:, :, 1, :], block)
+            K2 = min(
+                max(2 * K, self.config.device.rescore_margin),
+                self.shard_capacity,
+            )
+            S, Qb, _four, T = plan_ints_np.shape
+            U = 0
+            key = (K, K2, mode, C, Qb, T, U, self._bs_depth)
+            fn = self._fns.get(key)
+            if fn is None:
+                fn = _sharded_search_fn(
+                    self.mesh, self.shard_capacity, K, block, T, U,
+                    mode=mode, K2=K2, C=C, bs_steps=self._bs_depth,
+                    nd=self.n_dense, nl=self.n_light,
+                )
+                self._fns[key] = fn
+            plan_ints = jax.device_put(
+                plan_ints_np,
+                NamedSharding(self.mesh, P("seg", "dp", None, None)),
+            )
+            plan_f32 = jax.device_put(
+                plan_f32_np, NamedSharding(self.mesh, P("seg", "dp", None))
+            )
+            vals, idx, found = fn(
+                self.post_doc, self.post_score, self.dense_rows,
+                self.bucket_pos, self.light_bucket_pos,
+                plan_ints, plan_f32,
+            )
+            for arr in (vals, idx, found):
+                arr.copy_to_host_async()
+            return ("pending", nq, k, K, vals, idx, found)
         starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = self.plan(
             queries
         )
@@ -537,13 +829,26 @@ class ShardedIndex:
         plan_f32 = jax.device_put(
             plan_f32, NamedSharding(self.mesh, P("seg", "dp", None))
         )
+        dummy = self._dummy_tables()
         vals, idx, found = fn(
             self.post_doc, self.post_score, self.dense_rows,
+            dummy[0], dummy[1],
             plan_ints, plan_f32,
         )
         for arr in (vals, idx, found):
             arr.copy_to_host_async()
         return ("pending", nq, k, K, vals, idx, found)
+
+    def _dummy_tables(self):
+        """Placeholder bucket-table operands for non-sparse modes (the
+        local step never touches them)."""
+        if getattr(self, "_dummies", None) is None:
+            spec = NamedSharding(self.mesh, P("seg", None, None))
+            z = np.zeros((self.n_shards, 1, 1), np.int32)
+            self._dummies = (
+                jax.device_put(z, spec), jax.device_put(z, spec)
+            )
+        return self._dummies
 
     def search_batch_gather(self, handle) -> List[QueryResult]:
         """Fetch + unpack the results of a search_batch_async launch."""

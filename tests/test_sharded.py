@@ -41,7 +41,10 @@ QUERIES = [
 
 @pytest.mark.parametrize(
     "dp,seg,mode",
-    [(1, 8, "fused"), (2, 4, "fused"), (4, 2, "fused"), (2, 4, "exact")],
+    [
+        (1, 8, "fused"), (2, 4, "fused"), (4, 2, "fused"), (2, 4, "exact"),
+        (1, 8, "sparse"), (2, 4, "sparse"), (4, 2, "sparse"),
+    ],
 )
 def test_sharded_matches_oracle(segs, dp, seg, mode):
     from nextsearch_tpu.config import DeviceConfig, EngineConfig
