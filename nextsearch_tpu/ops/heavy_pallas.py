@@ -55,7 +55,10 @@ def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
     q = h32.shape[0]
     sm = jnp.max(h32.reshape(q, _SPT, SUB), axis=2)  # [Q, _SPT]
     ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
-    smax_ref[pl.ds(t * _SPT, _SPT), :] = jnp.transpose(sm)
+    # smax is laid out [_SPT, tiles, Q] so each program writes a size-1
+    # dynamic slice on the sublane dim (Mosaic cannot prove t*_SPT is
+    # 8-aligned for a [_SPT]-sized slice of a [n_sub, Q] layout).
+    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
     cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
 
 
@@ -92,7 +95,9 @@ def heavy_fused_pallas(
             # whole-array blocks revisited by every program; each writes its
             # own rows
             pl.BlockSpec(
-                (sub_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
+                (_SPT, tiles_pad, Q),
+                lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
@@ -100,7 +105,7 @@ def heavy_fused_pallas(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Q, n_slots), jnp.bfloat16),
-            jax.ShapeDtypeStruct((sub_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
             jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -108,7 +113,10 @@ def heavy_fused_pallas(
         ),
         interpret=interpret,
     )(mix.astype(dense.dtype), dense)
-    return out
+    h, smax3, cnt = out
+    # [(sub-in-tile), tile, Q] -> [tile*_SPT + sub, Q] (doc-major sub order)
+    smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
+    return h, smax, cnt
 
 
 def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
