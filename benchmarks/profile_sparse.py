@@ -49,7 +49,7 @@ from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl",
+        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
         "use_pallas",
         "do_heavy", "do_light", "do_hgather", "do_cand_heavy", "do_rescore",
     ),
@@ -57,31 +57,41 @@ from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
 def variant_kernel(
     post_doc, post_score, dense_rows, bucket_pos, light_bucket_pos,
     plan_ints, plan_f32,
-    *, n_slots, K, K2, C, block, bs_steps, nd, nl, use_pallas,
+    *, n_slots, K, K2, C, block, bs_steps, nd, nl, U, use_pallas,
     do_heavy=True, do_light=True, do_hgather=True, do_cand_heavy=True,
     do_rescore=True,
 ):
+    from nextsearch_tpu.ops.bm25_sparse import _round_up_16
+
     starts = plan_ints[0]
     light_dfs = plan_ints[1]
     slot_dense = plan_ints[2]
     slot_light = plan_ints[3]
-    weights = plan_f32[0]
+    slot_compact = plan_ints[4]
+    weights = plan_f32[0, :, : starts.shape[1]]
     Q, T = starts.shape
 
-    nd1 = dense_rows.shape[0]
-    iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
+    ids_flat = plan_f32[0, :, T:].reshape(-1)[:U].astype(jnp.int32)
+    uc = _round_up_16(U + 1)
+    ids = jnp.concatenate(
+        [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
+    )
+    compact = dense_rows[jnp.clip(ids, 0, dense_rows.shape[0] - 1)]
+    iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
 
     def mix_step(t, m):
-        sd_t = lax.dynamic_index_in_dim(slot_dense, t, axis=1, keepdims=True)
+        sc_t = lax.dynamic_index_in_dim(
+            slot_compact, t, axis=1, keepdims=True
+        )
         w_t = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
-        return m + jnp.where(sd_t == iota_nd, w_t, jnp.float32(0.0))
+        return m + jnp.where(sc_t == iota_u, w_t, jnp.float32(0.0))
 
-    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, nd1), jnp.float32))
-    mix = mix.at[:, nd].set(0.0)
+    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
+    mix = mix.at[:, U].set(0.0)
 
     if do_heavy:
         fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, smax_sq, cnt_tq = fused(mix, dense_rows)
+        H, smax_sq, cnt_tq = fused(mix, compact)
         heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
     else:
         n_sub_pad = -(-n_slots // 512)
@@ -200,12 +210,14 @@ def main():
 
     block = cfg.device.posting_block
     max_live = 1
+    max_U = 1
     plans = []
     for b in batches:
-        pi, pf = di.plan_sparse(b)
+        pi, pf, U = di.plan_sparse(b)
         live = int(np.sum((pi[1].astype(np.int64) + block - 1) // block))
         max_live = max(max_live, live)
-        plans.append((pi, pf))
+        max_U = max(max_U, U)
+        plans.append((pi, pf, U))
     C = ((max_live + 127) // 128) * 128
     K = 10
     K2 = 32
@@ -222,20 +234,19 @@ def main():
             bs_steps=bs_steps, nd=di.n_dense, nl=di.n_light,
             use_pallas=use_pallas, **kw,
         )
+        def call(plan):
+            pi, pf, u = plan
+            return fn(di.post_doc, di.post_score, di.dense_rows,
+                      di.bucket_pos, di.light_bucket_pos, pi, pf, U=u)
+
         t0 = time.time()
-        jax.device_get(
-            fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos,
-               di.light_bucket_pos, *plans[0])
-        )
+        jax.device_get(call(plans[0]))
         print(f"[prof] {name}: compile {time.time()-t0:.0f}s", file=sys.stderr)
         times = []
-        h = fn(di.post_doc, di.post_score, di.dense_rows, di.bucket_pos,
-           di.light_bucket_pos, *plans[1])
+        h = call(plans[1])
         t0 = time.time()
         for i in range(2, 14):
-            h2 = fn(di.post_doc, di.post_score, di.dense_rows,
-                    di.bucket_pos, di.light_bucket_pos,
-                    *plans[i % len(plans)])
+            h2 = call(plans[i % len(plans)])
             jax.device_get(h)
             times.append(time.time() - t0)
             t0 = time.time()

@@ -294,7 +294,7 @@ class DeviceIndex:
                         counts, axis=1, out=light_host[:base_row, 1:]
                     )
         self._bs_depth = max(
-            2, int(max(heavy_max_occ, light_max_occ, 1)).bit_length() + 1
+            2, int(max(heavy_max_occ, light_max_occ, 1)).bit_length()
         )
 
         post_doc = (
@@ -358,7 +358,7 @@ class DeviceIndex:
                 )
             self._bs_depth = max(
                 2,
-                int(max(heavy_max_occ, light_max_occ, 1)).bit_length() + 1,
+                int(max(heavy_max_occ, light_max_occ, 1)).bit_length(),
             )
             self._build_merged_lex()
             return
@@ -546,11 +546,15 @@ class DeviceIndex:
         """Sparse-mode plan: packed int/f32 plan blocks for
         ops/bm25_sparse.bm25_search_sparse_packed.
 
-        Returns (plan_ints [4, Qb, T], plan_f32 [1, Qb, T]):
+        Returns (plan_ints [5, Qb, T], plan_f32 [1, Qb, T+k], U):
           ints: starts / light_dfs (0 for heavy: excluded from chunk
                 expansion) / slot_dense (n_dense = light) / slot_light
-                (light_bucket_pos row id; n_light = heavy/padding)
-          f32:  weights
+                (light_bucket_pos row id; n_light = heavy/padding) /
+                slot_compact (compact unique-row id; U = light/padding)
+          f32:  weights | the U unique dense row ids this batch touches
+                (exact f32 values < 2^24, row-major in the k = ceil(U/Qb)
+                trailing columns; unused entries = n_dense -> zero row)
+          U:    static compact-table size (bucketed via heavy_buckets)
         """
         table = self._lex_table
         slices = self._lex_slices
@@ -582,10 +586,13 @@ class DeviceIndex:
 
         T = _bucket(max(t_max, 1), self.T_BUCKETS)
         Qb = _bucket(len(queries), self.Q_BUCKETS)
-        plan_ints = np.zeros((4, Qb, T), np.int32)
-        plan_f32 = np.zeros((1, Qb, T), np.float32)
+        plan_ints = np.zeros((5, Qb, T), np.int32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
         plan_ints[3] += np.int32(self.n_light)  # default: sentinel row
+        weights = np.zeros((Qb, T), np.float32)
+        hv_q: List[np.ndarray] = []
+        hv_t: List[np.ndarray] = []
+        hv_id: List[np.ndarray] = []
         for qi, (rows, ws) in enumerate(zip(q_rows, q_ws)):
             n = min(rows.shape[0], T)
             if n == 0:
@@ -597,8 +604,37 @@ class DeviceIndex:
             plan_ints[1, qi, :n] = np.where(light, ent[:, 1], 0)
             plan_ints[2, qi, :n] = np.where(light, self.n_dense, dense)
             plan_ints[3, qi, :n] = np.where(light, ent[:, 5], self.n_light)
-            plan_f32[0, qi, :n] = ws[:n]
-        return plan_ints, plan_f32
+            weights[qi, :n] = ws[:n]
+            if not light.all():
+                hm = ~light
+                hv_q.append(np.full(int(hm.sum()), qi, np.int64))
+                hv_t.append(np.nonzero(hm)[0])
+                hv_id.append(dense[hm])
+
+        # Compact heavy-row table for this batch (kernel gathers these rows
+        # and runs the MXU mix over compact ids instead of the full table).
+        if hv_id:
+            ids = np.concatenate(hv_id)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            n_uniq = uniq.shape[0]
+        else:
+            uniq = _EMPTY_I64
+            inv = _EMPTY_I64
+            n_uniq = 0
+        hb = self.config.device.heavy_buckets
+        U = _bucket(max(n_uniq, 1), hb)
+        if n_uniq > U:
+            U = _round_up(n_uniq, hb[0])
+        plan_ints[4] = np.int32(U)  # default: light/padding -> zero row
+        if n_uniq:
+            plan_ints[4, np.concatenate(hv_q), np.concatenate(hv_t)] = inv
+        k = -(-U // Qb)
+        plan_f32 = np.zeros((1, Qb, T + k), np.float32)
+        plan_f32[0, :, :T] = weights
+        idbuf = np.full(Qb * k, self.n_dense, np.float32)
+        idbuf[:n_uniq] = uniq
+        plan_f32[0, :, T:] = idbuf.reshape(Qb, k)
+        return plan_ints, plan_f32, U
 
     # ---------------- execution ----------------
 
@@ -612,7 +648,7 @@ class DeviceIndex:
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
 
-        plan_ints, plan_f32 = self.plan_sparse(queries)
+        plan_ints, plan_f32, U = self.plan_sparse(queries)
         block = self.config.device.posting_block
         C = self._chunk_budget(plan_ints[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
@@ -623,6 +659,7 @@ class DeviceIndex:
             self.light_bucket_pos, plan_ints, plan_f32,
             n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
+            U=U,
             use_pallas=(
                 jax.default_backend() == "tpu"
                 and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"

@@ -156,6 +156,10 @@ BUCKET_LOG2 = 5  # heavy bucket-position granularity (32 doc slots)
 LIGHT_BUCKET_LOG2 = 12  # light bucket-position granularity (4096 doc slots)
 
 
+def _round_up_16(n: int) -> int:
+    return ((n + 15) // 16) * 16
+
+
 def exact_rescore_v2(
     post_doc,
     post_score,
@@ -255,7 +259,7 @@ def _dedup_sorted(vals, docs):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl",
+        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
         "use_pallas",
     ),
 )
@@ -265,8 +269,8 @@ def bm25_search_sparse_packed(
     dense_rows: jax.Array,  # bf16/f32 [ND+1, n_slots] (row ND = zeros)
     bucket_pos: jax.Array,  # int32 [ND+1, NBh+1] heavy bucket positions
     light_bucket_pos: jax.Array,  # int32 [NL+1, NBl+1] light bucket positions
-    plan_ints: jax.Array,  # int32 [4, Q, T]: starts/light_dfs/slot_dense/slot_light
-    plan_f32: jax.Array,  # f32 [1, Q, T]: weights
+    plan_ints: jax.Array,  # int32 [5, Q, T]: starts/light_dfs/slot_dense/slot_light/slot_compact
+    plan_f32: jax.Array,  # f32 [1, Q, T + ceil(U/Q)*? ] weights | unique row ids
     *,
     n_slots: int,
     K: int,
@@ -276,6 +280,7 @@ def bm25_search_sparse_packed(
     bs_steps: int,
     nd: int,
     nl: int,
+    U: int,
     use_pallas: bool = True,
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
@@ -284,26 +289,37 @@ def bm25_search_sparse_packed(
     light_dfs = plan_ints[1]
     slot_dense = plan_ints[2]
     slot_light = plan_ints[3]
-    weights = plan_f32[0]
+    slot_compact = plan_ints[4]
+    weights = plan_f32[0, :, : starts.shape[1]]
     Q, T = starts.shape
 
-    # mix over the FULL dense table (no per-batch row gather): accumulate
-    # each slot's weight into its dense row id via T one-hot adds. The table
-    # may be row-padded past nd+1 for MXU alignment; padded rows are zeros
-    # and no slot id points at them.
-    nd1 = dense_rows.shape[0]
-    iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
+    # Compact heavy matmul: the batch touches at most U distinct dense rows
+    # (host-planned, padded with the zero sentinel row nd), so gather those
+    # into a [U+1, n_slots] operand and mix over COMPACT ids — the MXU work
+    # drops from Q*ND*n_slots to Q*(U+1)*n_slots (~6x at 1M docs, where the
+    # full table holds ~3.2k rows but a 512-query batch references ~500).
+    # Padding mix columns point at the gathered zero row, so H is exact.
+    ids_flat = plan_f32[0, :, T:].reshape(-1)[: U].astype(jnp.int32)
+    uc = _round_up_16(U + 1)
+    ids = jnp.concatenate(
+        [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
+    )  # last entries = zero sentinel row
+    compact = dense_rows[jnp.clip(ids, 0, dense_rows.shape[0] - 1)]
+
+    iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
 
     def mix_step(t, m):
-        sd_t = lax.dynamic_index_in_dim(slot_dense, t, axis=1, keepdims=True)
+        sc_t = lax.dynamic_index_in_dim(
+            slot_compact, t, axis=1, keepdims=True
+        )
         w_t = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
-        return m + jnp.where(sd_t == iota_nd, w_t, jnp.float32(0.0))
+        return m + jnp.where(sc_t == iota_u, w_t, jnp.float32(0.0))
 
-    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, nd1), jnp.float32))
-    mix = mix.at[:, nd].set(0.0)  # light/padding slots carry id = nd
+    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
+    mix = mix.at[:, U].set(0.0)  # light/padding slots carry compact id U
 
     fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, smax_sq, cnt_tq = fused(mix, dense_rows)
+    H, smax_sq, cnt_tq = fused(mix, compact)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals

@@ -447,7 +447,7 @@ class ShardedIndex:
                         cnts, axis=1,
                         out=light_host[si, : cnts.shape[0], 1:],
                     )
-            self._bs_depth = max(2, int(max(max_occ, 1)).bit_length() + 1)
+            self._bs_depth = max(2, int(max(max_occ, 1)).bit_length())
 
         post_spec = NamedSharding(mesh, P("seg", None))
         self.post_doc = jax.device_put(post_doc, post_spec)
