@@ -110,26 +110,46 @@ def per_query_counts(sq, indicator, Q):
 
 
 def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
-    """Top-k2 (score desc, payload asc) per query from a flat list.
+    """Top-k2 payload ids per query by (score desc, payload asc) from a
+    flat list; returns docs only (candidates feed the exact rescore, so
+    the selection scores themselves are never consumed).
 
-    Sorts only (q, -score, payload); scores are recovered from the negated
-    key after the sort (exact: f32 negation; zero/padding entries carry
-    +inf and recover as 0), saving a fourth flat payload array in the sort.
+    When Q fits in 10 bits the sort runs over TWO operands: a single
+    uint32 key packing (q | 22-bit monotone float prefix of -score) with
+    the payload as tiebreak key. The 22-bit score quantization can only
+    reorder near-equal selection scores — selection is already
+    approximate (bf16 heavy values) and absorbed by the K2 rescore
+    margin; the parity gate enforces end-to-end exactness.
     """
     n = sq.shape[0]
     neg = jnp.where(score > 0, -score, jnp.float32(jnp.inf))
     pay = jnp.where(score > 0, payload, pad_payload)
-    q2, neg2, pay2 = lax.sort((sq, neg, pay), num_keys=3)
+    qbits = max(int(Q).bit_length(), 1)  # padding rows carry q = Q
+    shift = 32 - qbits
+    if shift >= 20:  # keep >= 20 bits of score ordering
+        bits = lax.bitcast_convert_type(neg, jnp.uint32)
+        # monotone f32 -> uint32: negatives flip all bits, positives set
+        # the sign bit (standard radix-sortable float transform)
+        sortable = jnp.where(
+            (bits >> 31) == 1, ~bits, bits | jnp.uint32(0x80000000)
+        )
+        key = (sq.astype(jnp.uint32) << shift) | (sortable >> qbits)
+        key2, pay2 = lax.sort((key, pay), num_keys=2)
+        q2 = (key2 >> shift).astype(jnp.int32)
+        # real (negative) scores transform below 0x80000000; padding
+        # (+inf) transforms to 0xFF800000 — compare the score prefix
+        invalid = (
+            key2 & jnp.uint32((1 << shift) - 1)
+        ) >= jnp.uint32(0x80000000 >> qbits)
+    else:
+        q2, neg2, pay2 = lax.sort((sq, neg, pay), num_keys=3)
+        invalid = ~(neg2 < jnp.inf)
     pos = jnp.searchsorted(q2, jnp.arange(Q, dtype=jnp.int32))
     idx = pos[:, None] + lax.broadcasted_iota(jnp.int32, (Q, k2), 1)
     in_q = idx < jnp.searchsorted(q2, jnp.arange(1, Q + 1, dtype=jnp.int32))[:, None]
     idx = jnp.clip(idx, 0, n - 1)
-    neg_sel = neg2[idx]
-    vals = jnp.where(
-        in_q & (neg_sel < jnp.inf), -neg_sel, jnp.float32(0.0)
-    )
-    docs = jnp.where(in_q, pay2[idx], pad_payload)
-    return vals, docs
+    docs = jnp.where(in_q & ~invalid[idx], pay2[idx], pad_payload)
+    return docs
 
 
 def heavy_candidates(H, smax_sq, k2, Q, n_slots):
@@ -152,7 +172,7 @@ def heavy_candidates(H, smax_sq, k2, Q, n_slots):
     return vals, docs.astype(jnp.int32)
 
 
-BUCKET_LOG2 = 5  # heavy bucket-position granularity (32 doc slots)
+BUCKET_LOG2 = 4  # heavy bucket-position granularity (16 doc slots)
 LIGHT_BUCKET_LOG2 = 12  # light bucket-position granularity (4096 doc slots)
 
 
@@ -335,7 +355,7 @@ def bm25_search_sparse_packed(
 
     # ---- candidates
     sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
-    lvals, ldocs = per_query_topk_flat(
+    ldocs = per_query_topk_flat(
         sq, sel_score, sd, Q, K2, jnp.int32(2**30)
     )
     hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
