@@ -324,7 +324,20 @@ def bm25_search_sparse_packed(
     ids = jnp.concatenate(
         [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
     )  # last entries = zero sentinel row
-    compact = dense_rows[jnp.clip(ids, 0, dense_rows.shape[0] - 1)]
+    ids = jnp.clip(ids, 0, dense_rows.shape[0] - 1)
+    if dense_rows.dtype == jnp.bfloat16 and n_slots % 2 == 0:
+        # Row-gather through a uint32 view: halves the gathered element
+        # count (XLA's row gather runs near per-element cost, not
+        # bandwidth; the bitcasts are layout no-ops).
+        d32 = lax.bitcast_convert_type(
+            dense_rows.reshape(dense_rows.shape[0], n_slots // 2, 2),
+            jnp.uint32,
+        )
+        compact = lax.bitcast_convert_type(
+            d32[ids], jnp.bfloat16
+        ).reshape(uc, n_slots)
+    else:
+        compact = dense_rows[ids]
 
     iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
 
