@@ -280,7 +280,7 @@ def _dedup_sorted(vals, docs):
     jax.jit,
     static_argnames=(
         "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-        "use_pallas",
+        "use_pallas", "use_compact",
     ),
 )
 def bm25_search_sparse_packed(
@@ -302,6 +302,7 @@ def bm25_search_sparse_packed(
     nl: int,
     U: int,
     use_pallas: bool = True,
+    use_compact: bool = False,
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
     bm25_search_packed (vals | doc slots | found as exact f32 values)."""
@@ -313,46 +314,48 @@ def bm25_search_sparse_packed(
     weights = plan_f32[0, :, : starts.shape[1]]
     Q, T = starts.shape
 
-    # Compact heavy matmul: the batch touches at most U distinct dense rows
-    # (host-planned, padded with the zero sentinel row nd), so gather those
-    # into a [U+1, n_slots] operand and mix over COMPACT ids — the MXU work
-    # drops from Q*ND*n_slots to Q*(U+1)*n_slots (~6x at 1M docs, where the
-    # full table holds ~3.2k rows but a 512-query batch references ~500).
-    # Padding mix columns point at the gathered zero row, so H is exact.
-    ids_flat = plan_f32[0, :, T:].reshape(-1)[: U].astype(jnp.int32)
-    uc = _round_up_16(U + 1)
-    ids = jnp.concatenate(
-        [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
-    )  # last entries = zero sentinel row
-    ids = jnp.clip(ids, 0, dense_rows.shape[0] - 1)
-    if dense_rows.dtype == jnp.bfloat16 and n_slots % 2 == 0:
-        # Row-gather through a uint32 view: halves the gathered element
-        # count (XLA's row gather runs near per-element cost, not
-        # bandwidth; the bitcasts are layout no-ops).
-        d32 = lax.bitcast_convert_type(
-            dense_rows.reshape(dense_rows.shape[0], n_slots // 2, 2),
-            jnp.uint32,
-        )
-        compact = lax.bitcast_convert_type(
-            d32[ids], jnp.bfloat16
-        ).reshape(uc, n_slots)
-    else:
+    # Heavy matmul operand. Two strategies:
+    #   full table (default): mix [Q, ND] over the whole dense table; MXU
+    #     work Q*ND*n_slots and a 6.4GB table read, no gather.
+    #   compact (use_compact=True): gather the <=U distinct rows the batch
+    #     references into [uc, n_slots] and mix over COMPACT ids — ~6x
+    #     fewer FLOPs, but XLA's row gather runs ~10x off roofline on this
+    #     toolchain (measured: full-table 5,972 QPS vs compact 5,463 at 1M;
+    #     a uint32-view gather was 300x WORSE). Kept for the planned Pallas
+    #     scalar-prefetch gather kernel, which reads exactly the U rows at
+    #     DMA bandwidth.
+    if use_compact:
+        ids_flat = plan_f32[0, :, T:].reshape(-1)[: U].astype(jnp.int32)
+        uc = _round_up_16(U + 1)
+        ids = jnp.concatenate(
+            [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
+        )  # last entries = zero sentinel row
+        ids = jnp.clip(ids, 0, dense_rows.shape[0] - 1)
         compact = dense_rows[ids]
-
-    iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
+        iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
+        sid = slot_compact
+        zero_col = U
+        table = compact
+    else:
+        iota_u = lax.broadcasted_iota(
+            jnp.int32, (1, dense_rows.shape[0]), 1
+        )
+        sid = slot_dense
+        zero_col = nd
+        table = dense_rows
 
     def mix_step(t, m):
-        sc_t = lax.dynamic_index_in_dim(
-            slot_compact, t, axis=1, keepdims=True
-        )
+        sc_t = lax.dynamic_index_in_dim(sid, t, axis=1, keepdims=True)
         w_t = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
         return m + jnp.where(sc_t == iota_u, w_t, jnp.float32(0.0))
 
-    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
-    mix = mix.at[:, U].set(0.0)  # light/padding slots carry compact id U
+    mix = lax.fori_loop(
+        0, T, mix_step, jnp.zeros((Q, table.shape[0]), jnp.float32)
+    )
+    mix = mix.at[:, zero_col].set(0.0)  # light/padding slots
 
     fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, smax_sq, cnt_tq = fused(mix, compact)
+    H, smax_sq, cnt_tq = fused(mix, table)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals
