@@ -664,6 +664,9 @@ class DeviceIndex:
                 jax.default_backend() == "tpu"
                 and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
             ),
+            use_compact=(
+                os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "0") == "1"
+            ),
         )
         out.copy_to_host_async()
         return ("packed", nq, k, K, out)

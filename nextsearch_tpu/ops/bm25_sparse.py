@@ -325,24 +325,25 @@ def bm25_search_sparse_packed(
     #     scalar-prefetch gather kernel, which reads exactly the U rows at
     #     DMA bandwidth.
     if use_compact:
+        from .heavy_pallas import UB, heavy_gather_fused_pallas
+
         ids_flat = plan_f32[0, :, T:].reshape(-1)[: U].astype(jnp.int32)
-        uc = _round_up_16(U + 1)
+        uc = -(-(U + 1) // UB) * UB
         ids = jnp.concatenate(
             [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
-        )  # last entries = zero sentinel row
+        )  # trailing entries = zero sentinel row
         ids = jnp.clip(ids, 0, dense_rows.shape[0] - 1)
-        compact = dense_rows[ids]
         iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
         sid = slot_compact
         zero_col = U
-        table = compact
+        mix_cols = uc
     else:
         iota_u = lax.broadcasted_iota(
             jnp.int32, (1, dense_rows.shape[0]), 1
         )
         sid = slot_dense
         zero_col = nd
-        table = dense_rows
+        mix_cols = dense_rows.shape[0]
 
     def mix_step(t, m):
         sc_t = lax.dynamic_index_in_dim(sid, t, axis=1, keepdims=True)
@@ -350,12 +351,22 @@ def bm25_search_sparse_packed(
         return m + jnp.where(sc_t == iota_u, w_t, jnp.float32(0.0))
 
     mix = lax.fori_loop(
-        0, T, mix_step, jnp.zeros((Q, table.shape[0]), jnp.float32)
+        0, T, mix_step, jnp.zeros((Q, mix_cols), jnp.float32)
     )
     mix = mix.at[:, zero_col].set(0.0)  # light/padding slots
 
-    fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, smax_sq, cnt_tq = fused(mix, table)
+    if use_compact:
+        if use_pallas:
+            # DMA exactly the referenced rows from the HBM table (XLA's
+            # row gather runs ~10x off roofline; measured on hardware)
+            H, smax_sq, cnt_tq = heavy_gather_fused_pallas(
+                ids, jnp.transpose(mix), dense_rows
+            )
+        else:
+            H, smax_sq, cnt_tq = heavy_fused_xla(mix, dense_rows[ids])
+    else:
+        fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
+        H, smax_sq, cnt_tq = fused(mix, dense_rows)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals

@@ -226,3 +226,16 @@ def test_device_build_matches_host_build(segs, monkeypatch):
     )
     assert host._bs_depth == dev._bs_depth
     assert host.n_light == dev.n_light
+
+
+def test_sparse_compact_heavy_matches(segs, monkeypatch):
+    """The compact heavy path (use_compact) must match the full-table path
+    bit for bit (CPU exercises the XLA-gather fallback)."""
+    monkeypatch.setenv("NEXTSEARCH_COMPACT_HEAVY", "1")
+    di = make_index(segs)
+    check_parity(di, segs, [
+        [("w0000", 1.0)],
+        [("w0000", 1.0), ("w0150", 0.7)],
+        [("w0001", 0.5), ("w0002", 1.0), ("w0190", 0.9)],
+        [("w0199", 1.0)],
+    ])
