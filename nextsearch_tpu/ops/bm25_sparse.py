@@ -325,10 +325,10 @@ def bm25_search_sparse_packed(
     #     scalar-prefetch gather kernel, which reads exactly the U rows at
     #     DMA bandwidth.
     if use_compact:
-        from .heavy_pallas import UB, heavy_gather_fused_pallas
+        from .heavy_pallas import gather_rows_pallas
 
         ids_flat = plan_f32[0, :, T:].reshape(-1)[: U].astype(jnp.int32)
-        uc = -(-(U + 1) // UB) * UB
+        uc = _round_up_16(U + 1)
         ids = jnp.concatenate(
             [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
         )  # trailing entries = zero sentinel row
@@ -356,17 +356,18 @@ def bm25_search_sparse_packed(
     mix = mix.at[:, zero_col].set(0.0)  # light/padding slots
 
     if use_compact:
-        if use_pallas:
-            # DMA exactly the referenced rows from the HBM table (XLA's
-            # row gather runs ~10x off roofline; measured on hardware)
-            H, smax_sq, cnt_tq = heavy_gather_fused_pallas(
-                ids, jnp.transpose(mix), dense_rows
-            )
-        else:
-            H, smax_sq, cnt_tq = heavy_fused_xla(mix, dense_rows[ids])
+        # DMA exactly the referenced rows from the HBM table (XLA's row
+        # gather runs ~10x off roofline; measured on hardware), then run
+        # the proven fused kernel on the small compact table.
+        table = (
+            gather_rows_pallas(ids, dense_rows)
+            if use_pallas
+            else dense_rows[ids]
+        )
     else:
-        fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, smax_sq, cnt_tq = fused(mix, dense_rows)
+        table = dense_rows
+    fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
+    H, smax_sq, cnt_tq = fused(mix, table)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals

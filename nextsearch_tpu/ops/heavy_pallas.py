@@ -147,137 +147,64 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
     )
 
 
-UB = 64  # dense rows per DMA block in the gather-fused kernel
-
-
-def _gather_kernel(ids_ref, mixT_ref, dense_ref, h_ref, smax_ref, cnt_ref,
-                   acc_ref, rows_ref, sems_ref):
+def _rowgather_kernel(ids_ref, dense_ref, out_ref, sems_ref):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    t = pl.program_id(0)
-    uc = mixT_ref.shape[0]
-    n_ub = uc // UB
+    uc = out_ref.shape[0]
+    NS = 8  # DMA copies kept in flight
 
-    @pl.when(t == 0)
-    def _():
-        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-    def row_dma(slot, ub, i):
-        row = ids_ref[ub * UB + i]
+    def copy(u):
         return pltpu.make_async_copy(
-            dense_ref.at[pl.ds(row, 1), pl.ds(t * TILE, TILE)],
-            rows_ref.at[slot, pl.ds(i, 1), :],
-            sems_ref.at[slot, i],
+            dense_ref.at[ids_ref[u]], out_ref.at[u], sems_ref.at[u % NS]
         )
 
-    def start_block(slot, ub):
-        for i in range(UB):
-            row_dma(slot, ub, i).start()
+    for i in range(min(NS, uc)):
+        copy(i).start()
 
-    def wait_block(slot, ub):
-        for i in range(UB):
-            row_dma(slot, ub, i).wait()
-
-    start_block(0, 0)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    def body(ub, _):
-        slot = lax.rem(ub, 2)
-
-        @pl.when(ub + 1 < n_ub)
+    def body(u, _):
+        @pl.when(u + NS < uc)
         def _():
-            start_block(1 - slot, ub + 1)
+            copy(u + NS).start()
 
-        wait_block(slot, ub)
-        m = mixT_ref[pl.ds(ub * UB, UB), :]  # [UB, Q]
-        acc_ref[:] += lax.dot_general(
-            m,
-            rows_ref[slot],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        copy(u).wait()
         return 0
 
-    lax.fori_loop(0, n_ub, body, 0)
-
-    h32 = acc_ref[:]  # [Q, TILE] f32
-    h_ref[:] = h32.astype(h_ref.dtype)
-    q = h32.shape[0]
-    sm = jnp.max(h32.reshape(q, _SPT, SUB), axis=2)
-    ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)
-    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
-    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+    lax.fori_loop(0, uc, body, 0)
 
 
-def heavy_gather_fused_pallas(
-    ids: jax.Array,  # int32 [uc] dense row ids (uc % UB == 0)
-    mixT: jax.Array,  # bf16/f32 [uc, Q] per-(row, query) summed weights
-    dense: jax.Array,  # bf16/f32 [ND, n_slots] FULL table (stays in HBM)
-    *,
-    interpret: bool = False,
-):
-    """Gather-fused heavy scoring: per-tile row DMA + matmul + epilogue.
+def gather_rows_pallas(ids: jax.Array, dense: jax.Array):
+    """Gather dense[ids] as whole-row HBM->HBM DMAs.
 
-    The batch references only `uc` of the table's ND rows; XLA's row
-    gather materializes them ~10x off roofline, so this kernel DMAs each
-    referenced row's tile slice directly from the HBM-resident table
-    (double-buffered, UB rows per block) and contracts [UB, Q]^T x
-    [UB, TILE] on the MXU. Same outputs as heavy_fused_pallas.
+    XLA lowers this row gather ~10x off roofline (measured: it turned a
+    6x-FLOP-reduction compact matmul into a net loss); one DMA per row
+    runs at copy bandwidth. The table is viewed [ND, n_slots/128, 128]
+    (minor-dim split, layout-free) because Mosaic requires DMA slices
+    aligned to the (8/16, 128) tiling — dimension 0 of a 3D ref is
+    untiled, so whole-row slices are legal. A ring of NS in-flight copies
+    hides per-DMA latency; one grid program issues them all.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    uc, Q = mixT.shape
-    assert uc % UB == 0, (uc, UB)
-    n_slots = dense.shape[1]
-    assert n_slots % TILE == 0, (n_slots, TILE)
-    n_tiles = n_slots // TILE
-    tiles_pad = ((n_tiles + 7) // 8) * 8
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (uc, Q), lambda t, ids: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (Q, TILE), lambda t, ids: (0, t), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_SPT, tiles_pad, Q),
-                lambda t, ids: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tiles_pad, Q), lambda t, ids: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Q, TILE), jnp.float32),
-            pltpu.VMEM((2, UB, TILE), dense.dtype),
-            pltpu.SemaphoreType.DMA((2, UB)),
-        ],
-    )
-    h, smax3, cnt = pl.pallas_call(
-        _gather_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Q, n_slots), jnp.bfloat16),
-            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
-            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
-        ],
+    uc = ids.shape[0]
+    nd, n_slots = dense.shape
+    assert n_slots % 128 == 0, n_slots
+    d3 = dense.reshape(nd, n_slots // 128, 128)
+    out = pl.pallas_call(
+        _rowgather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (uc, n_slots // 128, 128), dense.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
-    )(ids, mixT.astype(dense.dtype), dense)
-    sub_pad = tiles_pad * _SPT
-    smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
-    return h, smax, cnt
+    )(ids, d3)
+    return out.reshape(uc, n_slots)
