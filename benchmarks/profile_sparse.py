@@ -71,27 +71,21 @@ def variant_kernel(
     weights = plan_f32[0, :, : starts.shape[1]]
     Q, T = starts.shape
 
-    ids_flat = plan_f32[0, :, T:].reshape(-1)[:U].astype(jnp.int32)
-    uc = _round_up_16(U + 1)
-    ids = jnp.concatenate(
-        [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
-    )
-    compact = dense_rows[jnp.clip(ids, 0, dense_rows.shape[0] - 1)]
-    iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
+    nd1 = dense_rows.shape[0]
+    dense2 = dense_rows.reshape(nd1, n_slots)
+    iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
 
     def mix_step(t, m):
-        sc_t = lax.dynamic_index_in_dim(
-            slot_compact, t, axis=1, keepdims=True
-        )
+        sd_t = lax.dynamic_index_in_dim(slot_dense, t, axis=1, keepdims=True)
         w_t = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
-        return m + jnp.where(sc_t == iota_u, w_t, jnp.float32(0.0))
+        return m + jnp.where(sd_t == iota_nd, w_t, jnp.float32(0.0))
 
-    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
-    mix = mix.at[:, U].set(0.0)
+    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, nd1), jnp.float32))
+    mix = mix.at[:, nd].set(0.0)
 
     if do_heavy:
         fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, smax_sq, cnt_tq = fused(mix, compact)
+        H, smax_sq, cnt_tq = fused(mix, dense2)
         heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
     else:
         n_sub_pad = -(-n_slots // 512)

@@ -91,7 +91,7 @@ def _build_buckets(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g_rows", "n_slots", "total_pad", "dtype"),
+    static_argnames=("g_rows", "n_slots", "total_pad", "dtype", "three_d"),
 )
 def _scatter_dense_group(
     post_doc,
@@ -103,13 +103,23 @@ def _scatter_dense_group(
     n_slots: int,
     total_pad: int,
     dtype,
+    three_d: bool = False,
 ):
-    """One group's dense rows [g_rows, n_slots] via scatter."""
+    """One group's dense rows via scatter.
+
+    three_d stores [g_rows, n_slots/128, 128] — the layout sparse mode
+    keeps the table in so whole-row DMA gathers are tiling-legal
+    (ops/heavy_pallas.gather_rows_pallas)."""
     P = post_doc.shape[0]
     srow, pos, doc, valid = _expand_rows(
         group_starts, group_dfs, total_pad, g_rows, P, n_slots, post_doc
     )
     score = jnp.where(valid, post_score[pos], jnp.float32(0.0))
+    if three_d:
+        dense = jnp.zeros((g_rows, n_slots // 128, 128), dtype)
+        return dense.at[srow, doc >> 7, doc & 127].set(
+            score.astype(dtype), mode="drop"
+        )
     dense = jnp.zeros((g_rows, n_slots), dtype)
     return dense.at[srow, doc].set(score.astype(dtype), mode="drop")
 
@@ -123,7 +133,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
-                          n_slots, bf16: bool, with_buckets: bool = True):
+                          n_slots, bf16: bool, with_buckets: bool = True,
+                          three_d: bool = False):
     """Dense rows (+ heavy bucket table when with_buckets) on device.
 
     starts/dfs: host int arrays, one entry per dense row (row id order).
@@ -135,9 +146,13 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
 
     dt = jnp.bfloat16 if bf16 else jnp.float32
     nb = (n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
+    dshape = (
+        (n_rows_pad, n_slots // 128, 128) if three_d
+        else (n_rows_pad, n_slots)
+    )
     if dfs.size == 0:
         return (
-            jnp.zeros((n_rows_pad, n_slots), dt),
+            jnp.zeros(dshape, dt),
             jnp.zeros((n_rows_pad, nb + 1), jnp.int32)
             if with_buckets
             else None,
@@ -161,6 +176,7 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
             jnp.asarray(gs[g * g_rows : (g + 1) * g_rows], jnp.int32),
             jnp.asarray(gd[g * g_rows : (g + 1) * g_rows], jnp.int32),
             g_rows=g_rows, n_slots=n_slots, total_pad=total_pad, dtype=dt,
+            three_d=three_d,
         )
         for g in range(n_groups)
     ]

@@ -337,6 +337,7 @@ class DeviceIndex:
                     n_rows_pad=nd1_pad, n_slots=self.n_slots,
                     bf16=dcfg.dense_rows_bf16,
                     with_buckets=self._sparse,
+                    three_d=self._sparse,
                 )
             )
             self.light_bucket_pos = None
@@ -366,6 +367,12 @@ class DeviceIndex:
             import ml_dtypes
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
+        if self._sparse:
+            # sparse mode stores the table [rows, n_slots/128, 128] so
+            # whole-row DMA gathers are tiling-legal (heavy_pallas)
+            dense_host = dense_host.reshape(
+                dense_host.shape[0], self.n_slots // 128, 128
+            )
         self.dense_rows = put(dense_host)
         self.bucket_pos = put(bucket_host) if bucket_host is not None else None
         self.light_bucket_pos = (
@@ -652,6 +659,18 @@ class DeviceIndex:
         block = self.config.device.posting_block
         C = self._chunk_budget(plan_ints[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
+        use_compact = (
+            os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "0") == "1"
+        )
+        if not use_compact:
+            # The full-table kernel never reads the unique-id columns;
+            # freeze U and the plan shape so a batch with more distinct
+            # heavy rows cannot trigger a recompile mid-serving (measured:
+            # U flapping 512<->1024 at batch 1024 collapsed throughput to
+            # 141 QPS on recompiles).
+            T = plan_ints.shape[2]
+            plan_f32 = np.ascontiguousarray(plan_f32[:, :, :T])
+            U = 0
         # Depth = measured max bucket occupancy of the heavy + light
         # bucket-position tables (exact_rescore_v2).
         out = bm25_search_sparse_packed(
@@ -664,9 +683,7 @@ class DeviceIndex:
                 jax.default_backend() == "tpu"
                 and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
             ),
-            use_compact=(
-                os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "0") == "1"
-            ),
+            use_compact=use_compact,
         )
         out.copy_to_host_async()
         return ("packed", nq, k, K, out)

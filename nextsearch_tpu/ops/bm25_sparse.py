@@ -355,17 +355,22 @@ def bm25_search_sparse_packed(
     )
     mix = mix.at[:, zero_col].set(0.0)  # light/padding slots
 
+    # dense_rows is STORED [rows, n_slots/128, 128]: whole-row DMA slices
+    # are only tiling-legal on a 3D ref, and reshaping the 6GB table per
+    # launch is a real relayout copy on TPU. Only the (small) operand that
+    # feeds the matmul kernel is reshaped to 2D.
     if use_compact:
         # DMA exactly the referenced rows from the HBM table (XLA's row
         # gather runs ~10x off roofline; measured on hardware), then run
         # the proven fused kernel on the small compact table.
-        table = (
+        table3 = (
             gather_rows_pallas(ids, dense_rows)
             if use_pallas
             else dense_rows[ids]
         )
+        table = table3.reshape(table3.shape[0], n_slots)
     else:
-        table = dense_rows
+        table = dense_rows.reshape(dense_rows.shape[0], n_slots)
     fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
     H, smax_sq, cnt_tq = fused(mix, table)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]

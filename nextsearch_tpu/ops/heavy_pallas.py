@@ -173,24 +173,22 @@ def _rowgather_kernel(ids_ref, dense_ref, out_ref, sems_ref):
     lax.fori_loop(0, uc, body, 0)
 
 
-def gather_rows_pallas(ids: jax.Array, dense: jax.Array):
-    """Gather dense[ids] as whole-row HBM->HBM DMAs.
+def gather_rows_pallas(ids: jax.Array, dense3: jax.Array):
+    """Gather dense3[ids] ([ND, n_slots/128, 128]) as whole-row DMAs.
 
     XLA lowers this row gather ~10x off roofline (measured: it turned a
     6x-FLOP-reduction compact matmul into a net loss); one DMA per row
-    runs at copy bandwidth. The table is viewed [ND, n_slots/128, 128]
-    (minor-dim split, layout-free) because Mosaic requires DMA slices
-    aligned to the (8/16, 128) tiling — dimension 0 of a 3D ref is
-    untiled, so whole-row slices are legal. A ring of NS in-flight copies
-    hides per-DMA latency; one grid program issues them all.
+    runs at copy bandwidth. The table must be STORED in the 3D layout —
+    Mosaic requires DMA slices aligned to the (8/16, 128) tiling, and
+    dimension 0 of a 3D ref is untiled so whole-row slices are legal; a
+    per-launch reshape of the 2D table is a real 6GB relayout copy on
+    TPU (tiled physical layouts), measured as a net loss. A ring of NS
+    in-flight copies hides per-DMA latency; one grid program issues all.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     uc = ids.shape[0]
-    nd, n_slots = dense.shape
-    assert n_slots % 128 == 0, n_slots
-    d3 = dense.reshape(nd, n_slots // 128, 128)
     out = pl.pallas_call(
         _rowgather_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -201,10 +199,10 @@ def gather_rows_pallas(ids: jax.Array, dense: jax.Array):
             scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (uc, n_slots // 128, 128), dense.dtype
+            (uc,) + dense3.shape[1:], dense3.dtype
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(ids, d3)
-    return out.reshape(uc, n_slots)
+    )(ids, dense3)
+    return out

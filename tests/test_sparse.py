@@ -120,14 +120,16 @@ def test_sparse_pallas_interpret_parity(segs):
 
     di = make_index(segs)
     nd1 = di.dense_rows.shape[0]
+    # sparse mode stores the table [rows, n_slots/128, 128] (DMA layout)
+    dense2 = jnp.reshape(di.dense_rows, (nd1, di.n_slots))
     r = np.random.default_rng(65)
     mix = np.zeros((8, nd1), np.float32)
     for q in range(8):
         for _ in range(3):
             mix[q, r.integers(0, max(di.n_dense, 1))] = r.uniform(0.2, 1.5)
     mix = jnp.asarray(mix)
-    H1, t1, c1 = heavy_fused_pallas(mix, di.dense_rows, interpret=True)
-    H2, t2, c2 = heavy_fused_xla(mix, di.dense_rows)
+    H1, t1, c1 = heavy_fused_pallas(mix, dense2, interpret=True)
+    H2, t2, c2 = heavy_fused_xla(mix, dense2)
     assert np.array_equal(np.asarray(H1), np.asarray(H2))
     assert np.array_equal(np.asarray(t1), np.asarray(t2))
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
