@@ -660,7 +660,7 @@ class DeviceIndex:
         C = self._chunk_budget(plan_ints[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
         use_compact = (
-            os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "0") == "1"
+            os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
         )
         if not use_compact:
             # The full-table kernel never reads the unique-id columns;
