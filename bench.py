@@ -173,7 +173,7 @@ def main():
     # bucket costs a full XLA compile on the tunneled TPU). The chunk budget
     # is sized from the ACTUAL workload: gather volume is pure waste beyond
     # the max live chunks (dense rows absorb the heavy terms).
-    blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 512))
+    blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 256))
     dense_ratio = float(
         os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 1024 if mode == "sparse" else 1 / 256)
     )
@@ -183,7 +183,7 @@ def main():
         )
     )
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
-    bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16", "1") == "1"
+    bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16", "0") == "1"
     margin = int(os.environ.get("NEXTSEARCH_BENCH_K2", 32))
     cfg0 = EngineConfig(
         device=DeviceConfig(
@@ -222,7 +222,7 @@ def main():
     di = DeviceIndex([seg], config=cfg)
     print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
-    depth = int(os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 4))
+    depth = int(os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 8))
 
     # Warmup / compile.
     t0 = time.time()

@@ -98,9 +98,14 @@ class DeviceConfig:
     # 2K margin).
     scores_bf16: bool = False
     # Store dense rows in bf16: halves their HBM residency (2x more rows per
-    # dense_max_bytes) and the per-batch matmul read. Same exactness
-    # argument as scores_bf16.
-    dense_rows_bf16: bool = True
+    # dense_max_bytes) and the per-batch matmul read. OFF by default: bf16
+    # rounding collapses near-uniform heavy-term scores into false ties,
+    # and a K2-wide candidate pool can then exclude true top-K docs
+    # (measured on a df=N term whose per-doc scores differ only in the
+    # 4th significant digit). f32 rows keep selection faithful: distinct
+    # eager scores stay distinct, exact ties break doc-asc consistently
+    # with the canonical order.
+    dense_rows_bf16: bool = False
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     # Gather volume beyond the live chunks is pure waste, so the ladder
     # starts small; each bucket is one XLA compile (cached persistently).

@@ -114,36 +114,16 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
     flat list; returns docs only (candidates feed the exact rescore, so
     the selection scores themselves are never consumed).
 
-    When Q fits in 10 bits the sort runs over TWO operands: a single
-    uint32 key packing (q | 22-bit monotone float prefix of -score) with
-    the payload as tiebreak key. The 22-bit score quantization can only
-    reorder near-equal selection scores — selection is already
-    approximate (bf16 heavy values) and absorbed by the K2 rescore
-    margin; the parity gate enforces end-to-end exactness.
+    The sort keys stay FULL f32: a quantized packed key was tried and
+    collapses near-uniform scores into false ties, where any K2-wide pool
+    can exclude true top-K docs (same failure class as a bf16 H — found
+    on a df=N term whose per-doc scores differ only in the 4th digit).
     """
     n = sq.shape[0]
     neg = jnp.where(score > 0, -score, jnp.float32(jnp.inf))
     pay = jnp.where(score > 0, payload, pad_payload)
-    qbits = max(int(Q).bit_length(), 1)  # padding rows carry q = Q
-    shift = 32 - qbits
-    if shift >= 20:  # keep >= 20 bits of score ordering
-        bits = lax.bitcast_convert_type(neg, jnp.uint32)
-        # monotone f32 -> uint32: negatives flip all bits, positives set
-        # the sign bit (standard radix-sortable float transform)
-        sortable = jnp.where(
-            (bits >> 31) == 1, ~bits, bits | jnp.uint32(0x80000000)
-        )
-        key = (sq.astype(jnp.uint32) << shift) | (sortable >> qbits)
-        key2, pay2 = lax.sort((key, pay), num_keys=2)
-        q2 = (key2 >> shift).astype(jnp.int32)
-        # real (negative) scores transform below 0x80000000; padding
-        # (+inf) transforms to 0xFF800000 — compare the score prefix
-        invalid = (
-            key2 & jnp.uint32((1 << shift) - 1)
-        ) >= jnp.uint32(0x80000000 >> qbits)
-    else:
-        q2, neg2, pay2 = lax.sort((sq, neg, pay), num_keys=3)
-        invalid = ~(neg2 < jnp.inf)
+    q2, neg2, pay2 = lax.sort((sq, neg, pay), num_keys=3)
+    invalid = ~(neg2 < jnp.inf)
     pos = jnp.searchsorted(q2, jnp.arange(Q, dtype=jnp.int32))
     idx = pos[:, None] + lax.broadcasted_iota(jnp.int32, (Q, k2), 1)
     in_q = idx < jnp.searchsorted(q2, jnp.arange(1, Q + 1, dtype=jnp.int32))[:, None]
@@ -172,8 +152,8 @@ def heavy_candidates(H, smax_sq, k2, Q, n_slots):
     return vals, docs.astype(jnp.int32)
 
 
-BUCKET_LOG2 = 4  # heavy bucket-position granularity (16 doc slots)
-LIGHT_BUCKET_LOG2 = 12  # light bucket-position granularity (4096 doc slots)
+BUCKET_LOG2 = 3  # heavy bucket-position granularity (8 doc slots)
+LIGHT_BUCKET_LOG2 = 11  # light bucket-position granularity (2048 doc slots)
 
 
 def _round_up_16(n: int) -> int:
@@ -381,7 +361,7 @@ def bm25_search_sparse_packed(
         C=C, block=block, Q=Q, n_slots=n_slots,
     )
     sd_clip = jnp.clip(sd, 0, n_slots - 1)
-    hval = H[jnp.clip(sq, 0, Q - 1), sd_clip].astype(jnp.float32)
+    hval = H[jnp.clip(sq, 0, Q - 1), sd_clip]
     valid_last = last & (sq < Q)
     light_only = valid_last & (hval == 0.0)
     found = heavy_found + per_query_counts(sq, light_only, Q)
@@ -391,6 +371,8 @@ def bm25_search_sparse_packed(
     ldocs = per_query_topk_flat(
         sq, sel_score, sd, Q, K2, jnp.int32(2**30)
     )
+    # A half-width heavy pool was tried and BREAKS parity (bf16 near-tie
+    # reordering needs the full K2 margin here too).
     hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
     cand = jnp.concatenate([ldocs, hdocs], axis=1)
     cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)

@@ -241,3 +241,28 @@ def test_sparse_compact_heavy_matches(segs, monkeypatch):
         [("w0001", 0.5), ("w0002", 1.0), ("w0190", 0.9)],
         [("w0199", 1.0)],
     ])
+
+
+def test_near_uniform_heavy_term_exact():
+    """A df=N term whose per-doc scores differ only in the 4th significant
+    digit: bf16 dense rows (or quantized selection keys) collapse these
+    into false ties and the K2 candidate pool drops true top-K docs.
+    Regression for the selection-exactness hole found at 25k docs."""
+    r = np.random.default_rng(51)
+    n_docs = 4096
+    docs = []
+    for i in range(n_docs):
+        # one omnipresent term; doc lengths vary slightly -> near-uniform
+        # but DISTINCT scores
+        filler = [f"f{j:05d}" for j in r.integers(0, 50_000, size=int(r.integers(18, 24)))]
+        docs.append({"cord_uid": f"d{i}", "tokens": ["common"] + filler})
+    seg = build_segment_arrays(docs)
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=256, chunk_buckets=(64, 4096),
+            dense_df_ratio=0.001,
+        )
+    )
+    di = DeviceIndex([seg], config=cfg)
+    assert di.lex[0]["common"][2] >= 0  # dense row engaged
+    check_parity(di, [seg], [[("common", 1.0)]])
