@@ -179,7 +179,7 @@ def main():
     )
     dense_bytes = int(
         os.environ.get(
-            "NEXTSEARCH_BENCH_DENSE_BYTES", 6 << 30 if mode == "sparse" else 2 << 30
+            "NEXTSEARCH_BENCH_DENSE_BYTES", 7 << 30 if mode == "sparse" else 2 << 30
         )
     )
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
