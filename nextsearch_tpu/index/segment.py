@@ -58,6 +58,38 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def _probe_queries(slices, queries):
+    """Per query: merged-lexicon row indices + repeated weights.
+
+    One _lex_slices dict probe per (query, term); occurrences expand to
+    consecutive table rows via np.repeat + _ranges. Shared by every
+    planner (single-device and sharded, fused and sparse).
+    """
+    q_rows: List[np.ndarray] = []
+    q_ws: List[np.ndarray] = []
+    for terms in queries:
+        offs: List[int] = []
+        cnts: List[int] = []
+        ws: List[float] = []
+        for term, w in terms:
+            oc = slices.get(term)
+            if oc is not None:
+                offs.append(oc[0])
+                cnts.append(oc[1])
+                ws.append(w)
+        if offs:
+            cnts_a = np.asarray(cnts, np.int64)
+            q_rows.append(
+                np.repeat(np.asarray(offs, np.int64), cnts_a)
+                + _ranges(cnts_a)
+            )
+            q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
+        else:
+            q_rows.append(_EMPTY_I64)
+            q_ws.append(_EMPTY_F32)
+    return q_rows, q_ws
+
+
 @dataclass
 class QueryResult:
     """One query's hits as global doc slots (segment/docId via locate())."""
@@ -163,9 +195,9 @@ class DeviceIndex:
             dcfg.dense_max_rows,
             max(0, int(dcfg.dense_max_bytes // row_bytes)),
         )
-        # Over-threshold terms dropped by the row cap stay light with their
-        # full df — the sparse rescore depth must cover them.
-        self._heavy_overflow_max = heavy[row_cap][0] if len(heavy) > row_cap else 0
+        # Over-threshold terms dropped by the row cap stay light; they get
+        # light bucket rows like any other light term, so the measured
+        # bucket occupancy (_bs_depth) covers them automatically.
         heavy = heavy[:row_cap]
         self.n_dense = len(heavy)
         # Rows padded to a multiple of 8 past the zero row: MXU-aligned
@@ -225,21 +257,6 @@ class DeviceIndex:
             term = seg.terms[term_i]
             start, dfv, _ = self.lex[seg_i][term]
             self.lex[seg_i][term] = (start, dfv, row_id)
-        # Largest df among terms WITHOUT a dense row bounds the light
-        # binary-search depth (if the row cap binds, over-threshold terms
-        # stay light with their full df).
-        all_heavy = getattr(self, "_heavy_overflow_max", 0)
-        self._max_light_df = max(
-            int(all_heavy),
-            min(
-                self.dense_threshold - 1 if self.n_dense else (1 << 62),
-                max(
-                    (int(seg.term_df.max(initial=0)) for seg in self.segments),
-                    default=1,
-                ),
-            ),
-        )
-
         # Light bucket-position table: one row per light (term, segment)
         # lexicon entry, giving the first-posting offset (relative to the
         # entry's posting start) of every 2^LIGHT_BUCKET_LOG2-doc-slot
@@ -467,35 +484,8 @@ class DeviceIndex:
         gathers from the merged _lex_table fill the padded plan arrays.
         """
         table = self._lex_table
-        slices = self._lex_slices
-
-        # Per query: row indices into the merged table + repeated weights.
-        q_rows: List[np.ndarray] = []
-        q_ws: List[np.ndarray] = []
-        t_max = 0
-        for terms in queries:
-            offs: List[int] = []
-            cnts: List[int] = []
-            ws: List[float] = []
-            for term, w in terms:
-                oc = slices.get(term)
-                if oc is not None:
-                    offs.append(oc[0])
-                    cnts.append(oc[1])
-                    ws.append(w)
-            if offs:
-                cnts_a = np.asarray(cnts, np.int64)
-                rows = np.repeat(
-                    np.asarray(offs, np.int64), cnts_a
-                ) + _ranges(cnts_a)
-                q_rows.append(rows)
-                q_ws.append(
-                    np.repeat(np.asarray(ws, np.float32), cnts_a)
-                )
-                t_max = max(t_max, rows.shape[0])
-            else:
-                q_rows.append(_EMPTY_I64)
-                q_ws.append(_EMPTY_F32)
+        q_rows, q_ws = _probe_queries(self._lex_slices, queries)
+        t_max = max((r.shape[0] for r in q_rows), default=0)
 
         T = _bucket(max(t_max, 1), self.T_BUCKETS)
         Qb = _bucket(len(queries), self.Q_BUCKETS)
@@ -564,32 +554,8 @@ class DeviceIndex:
           U:    static compact-table size (bucketed via heavy_buckets)
         """
         table = self._lex_table
-        slices = self._lex_slices
-
-        q_rows: List[np.ndarray] = []
-        q_ws: List[np.ndarray] = []
-        t_max = 0
-        for terms in queries:
-            offs: List[int] = []
-            cnts: List[int] = []
-            ws: List[float] = []
-            for term, w in terms:
-                oc = slices.get(term)
-                if oc is not None:
-                    offs.append(oc[0])
-                    cnts.append(oc[1])
-                    ws.append(w)
-            if offs:
-                cnts_a = np.asarray(cnts, np.int64)
-                rows = np.repeat(
-                    np.asarray(offs, np.int64), cnts_a
-                ) + _ranges(cnts_a)
-                q_rows.append(rows)
-                q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
-                t_max = max(t_max, rows.shape[0])
-            else:
-                q_rows.append(_EMPTY_I64)
-                q_ws.append(_EMPTY_F32)
+        q_rows, q_ws = _probe_queries(self._lex_slices, queries)
+        t_max = max((r.shape[0] for r in q_rows), default=0)
 
         T = _bucket(max(t_max, 1), self.T_BUCKETS)
         Qb = _bucket(len(queries), self.Q_BUCKETS)

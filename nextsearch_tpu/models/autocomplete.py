@@ -60,7 +60,6 @@ class AutocompleteIndex:
     def __init__(self):
         self.terms: List[str] = []
         self._scores_dev = None
-        self._scores_host = None
         self._pad = 0
         self._pref_starts: Dict[int, np.ndarray] = {}
         self._pref_cands: Dict[int, np.ndarray] = {}
@@ -87,7 +86,6 @@ class AutocompleteIndex:
         scores = np.fromiter(
             (items[t] for t in self.terms), np.int32, count=len(self.terms)
         )
-        self._scores_host = scores
         # pad to a lane multiple with -1 (never ranks above real scores >= 1)
         T = max(128, ((len(scores) + 127) // 128) * 128)
         padded = np.full(T, -1, np.int32)

@@ -34,6 +34,7 @@ from ..index.segment import (
     QueryResult,
     WeightedTerm,
     _bucket,
+    _probe_queries,
     _ranges,
     _round_up,
 )
@@ -545,30 +546,7 @@ class ShardedIndex:
         table = self._lex_table
         slices = self._lex_slices
 
-        # Per query: merged-table row indices + repeated weights (one dict
-        # probe per (query, term); rows are (shard, start, df, dense)).
-        q_rows: List[np.ndarray] = []
-        q_ws: List[np.ndarray] = []
-        for terms in queries:
-            offs: List[int] = []
-            cnts: List[int] = []
-            ws: List[float] = []
-            for term, w in terms:
-                oc = slices.get(term)
-                if oc is not None:
-                    offs.append(oc[0])
-                    cnts.append(oc[1])
-                    ws.append(w)
-            if offs:
-                cnts_a = np.asarray(cnts, np.int64)
-                q_rows.append(
-                    np.repeat(np.asarray(offs, np.int64), cnts_a)
-                    + _ranges(cnts_a)
-                )
-                q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
-            else:
-                q_rows.append(_EMPTY_I64)
-                q_ws.append(_EMPTY_F32)
+        q_rows, q_ws = _probe_queries(slices, queries)
 
         # T = max slots on any (query, shard).
         t_max = 1
@@ -664,28 +642,7 @@ class ShardedIndex:
         table = self._lex_table
         slices = self._lex_slices
 
-        q_rows: List[np.ndarray] = []
-        q_ws: List[np.ndarray] = []
-        for terms in queries:
-            offs: List[int] = []
-            cnts: List[int] = []
-            ws: List[float] = []
-            for term, w in terms:
-                oc = slices.get(term)
-                if oc is not None:
-                    offs.append(oc[0])
-                    cnts.append(oc[1])
-                    ws.append(w)
-            if offs:
-                cnts_a = np.asarray(cnts, np.int64)
-                q_rows.append(
-                    np.repeat(np.asarray(offs, np.int64), cnts_a)
-                    + _ranges(cnts_a)
-                )
-                q_ws.append(np.repeat(np.asarray(ws, np.float32), cnts_a))
-            else:
-                q_rows.append(_EMPTY_I64)
-                q_ws.append(_EMPTY_F32)
+        q_rows, q_ws = _probe_queries(slices, queries)
 
         t_max = 1
         q_shards: List[np.ndarray] = []
