@@ -10,7 +10,9 @@ candidate extraction, and the exact rescore.
 Run on the real TPU:  python benchmarks/profile_sparse.py
 Env: NEXTSEARCH_PROF_DOCS (default 1_000_000), NEXTSEARCH_PROF_BATCH (512),
      NEXTSEARCH_PROF_VARIANTS (comma list; default all),
-     NEXTSEARCH_PROF_DENSE_BYTES (default 2GB), NEXTSEARCH_PROF_PALLAS (1).
+     NEXTSEARCH_PROF_DENSE (ratio, default 1/1024),
+     NEXTSEARCH_PROF_DENSE_BYTES (default 7GB — bench parity),
+     NEXTSEARCH_PROF_PALLAS (1).
 """
 
 from __future__ import annotations
@@ -160,7 +162,7 @@ def main():
     vocab = int(os.environ.get("NEXTSEARCH_PROF_VOCAB", 200_000))
     batch = int(os.environ.get("NEXTSEARCH_PROF_BATCH", 512))
     dense_bytes = int(
-        os.environ.get("NEXTSEARCH_PROF_DENSE_BYTES", 2 << 30)
+        os.environ.get("NEXTSEARCH_PROF_DENSE_BYTES", 7 << 30)
     )
     dense_ratio = float(os.environ.get("NEXTSEARCH_PROF_DENSE", 1 / 256))
     use_pallas = os.environ.get("NEXTSEARCH_PROF_PALLAS", "1") == "1" and (
