@@ -58,13 +58,30 @@ def _pinned_index(segs, batches, blk=512, mode="fused", **dev_kw):
         live = int(np.sum((light_dfs.astype(np.int64) + blk - 1) // blk))
         max_live = max(max_live, live)
     chunks = ((max_live + 127) // 128) * 128
+    # Pin the term-slot bucket too: multi-segment corpora make per-batch
+    # slot counts straddle bucket boundaries, and every new (T, C) pair is
+    # a full XLA compile mid-measurement (measured: 3.9 QPS at 1M/4-seg
+    # from T flapping 8<->16).
+    t_max = 1
+    for b in batches:
+        for terms in b:
+            n = sum(
+                di0._lex_slices[t][1]
+                for t, _w in terms
+                if t in di0._lex_slices
+            )
+            t_max = max(t_max, n)
     cfg = EngineConfig(
         device=DeviceConfig(
             posting_block=blk, heavy_buckets=(256,), chunk_buckets=(chunks,),
             mode=mode, **dev_kw
         )
     )
-    return DeviceIndex(segs, config=cfg)
+    di = DeviceIndex(segs, config=cfg)
+    from nextsearch_tpu.index.segment import _bucket as _bkt
+
+    di.T_BUCKETS = (_bkt(t_max, DeviceIndex.T_BUCKETS),)
+    return di
 
 
 def _recall_check(di, seg, queries, k=10, n_check=20):
