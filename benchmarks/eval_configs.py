@@ -141,17 +141,39 @@ def config2():
     return {"config": 2, "docs": 50_000, "parity": True, "qps": round(qps, 1)}
 
 
+def _cached_corpus(n_docs, vocab, seed):
+    from nextsearch_tpu.index.artifacts import load_artifact, save_artifact
+
+    cache_dir = os.path.join(
+        "/tmp/nextsearch_bench_cache", f"{n_docs}_{vocab}_{seed}"
+    )
+    seg = load_artifact(cache_dir)
+    if seg is None:
+        seg = build_corpus(n_docs, vocab, seed=seed)[0]
+        try:
+            save_artifact(seg, cache_dir)
+        except OSError:
+            pass
+    return seg
+
+
 def config3():
     full = os.environ.get("NEXTSEARCH_EVAL_FULL") == "1"
     n_per_seg = 250_000 if full else 25_000
     n_segs = 4
-    segs = [build_corpus(n_per_seg, 40_000, seed=10 + i)[0] for i in range(n_segs)]
+    segs = [
+        _cached_corpus(n_per_seg, 40_000, 10 + i) for i in range(n_segs)
+    ]
     probs = 1.0 / np.arange(1, 40_000 + 1) ** 1.07
     probs /= probs.sum()
     if full:
         # Full 1M scale runs the production sparse configuration (the
         # bench.py headline path): big batches amortize the per-launch
-        # floor; dense rows + bucket tables finalize on device.
+        # floor; dense rows + bucket tables finalize on device. Full-table
+        # heavy mode: the compact path's per-batch unique-row count U is a
+        # static kernel arg and flaps across buckets at this shape mix
+        # (measured: 4.7 QPS from mid-measure recompiles).
+        os.environ["NEXTSEARCH_COMPACT_HEAVY"] = "0"
         batches = sample_queries(probs, 2048, 256, seed=3)
         di = _pinned_index(
             segs, batches, mode="sparse",
