@@ -58,19 +58,16 @@ from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
 )
 def variant_kernel(
     post_doc, post_score, dense_rows, bucket_pos, light_bucket_pos,
-    plan_ints, plan_f32,
+    plan,
     *, n_slots, K, K2, C, block, bs_steps, nd, nl, U, use_pallas,
     do_heavy=True, do_light=True, do_hgather=True, do_cand_heavy=True,
     do_rescore=True,
 ):
-    from nextsearch_tpu.ops.bm25_sparse import _round_up_16
-
-    starts = plan_ints[0]
-    light_dfs = plan_ints[1]
-    slot_dense = plan_ints[2]
-    slot_light = plan_ints[3]
-    slot_compact = plan_ints[4]
-    weights = plan_f32[0, :, : starts.shape[1]]
+    starts = plan[0]
+    light_dfs = plan[1]
+    slot_dense = plan[2]
+    slot_light = plan[3]
+    weights = lax.bitcast_convert_type(plan[5], jnp.float32)
     Q, T = starts.shape
 
     nd1 = dense_rows.shape[0]
@@ -206,14 +203,12 @@ def main():
 
     block = cfg.device.posting_block
     max_live = 1
-    max_U = 1
     plans = []
     for b in batches:
-        pi, pf, U = di.plan_sparse(b)
+        pi, U = di.plan_sparse(b)
         live = int(np.sum((pi[1].astype(np.int64) + block - 1) // block))
         max_live = max(max_live, live)
-        max_U = max(max_U, U)
-        plans.append((pi, pf, U))
+        plans.append((pi, U))
     C = ((max_live + 127) // 128) * 128
     K = 10
     K2 = 32
@@ -231,9 +226,9 @@ def main():
             use_pallas=use_pallas, **kw,
         )
         def call(plan):
-            pi, pf, u = plan
+            pi, u = plan
             return fn(di.post_doc, di.post_score, di.dense_rows,
-                      di.bucket_pos, di.light_bucket_pos, pi, pf, U=u)
+                      di.bucket_pos, di.light_bucket_pos, pi, U=0)
 
         t0 = time.time()
         jax.device_get(call(plans[0]))

@@ -543,14 +543,15 @@ class DeviceIndex:
         """Sparse-mode plan: packed int/f32 plan blocks for
         ops/bm25_sparse.bm25_search_sparse_packed.
 
-        Returns (plan_ints [5, Qb, T], plan_f32 [1, Qb, T+k], U):
-          ints: starts / light_dfs (0 for heavy: excluded from chunk
+        Returns (plan int32 [7, Qb, T], U) — one device upload:
+          rows: starts / light_dfs (0 for heavy: excluded from chunk
                 expansion) / slot_dense (n_dense = light) / slot_light
                 (light_bucket_pos row id; n_light = heavy/padding) /
-                slot_compact (compact unique-row id; U = light/padding)
-          f32:  weights | the U unique dense row ids this batch touches
-                (exact f32 values < 2^24, row-major in the k = ceil(U/Qb)
-                trailing columns; unused entries = n_dense -> zero row)
+                slot_compact (compact unique-row id; U = light/padding) /
+                weight f32 bit patterns (pure bitcast; weights are normal
+                floats, never denormal) / the U unique dense row ids this
+                batch touches (row-major, U <= Qb*T by construction;
+                unused entries = n_dense -> zero row)
           U:    static compact-table size (bucketed via heavy_buckets)
         """
         table = self._lex_table
@@ -559,7 +560,7 @@ class DeviceIndex:
 
         T = _bucket(max(t_max, 1), self.T_BUCKETS)
         Qb = _bucket(len(queries), self.Q_BUCKETS)
-        plan_ints = np.zeros((5, Qb, T), np.int32)
+        plan_ints = np.zeros((7, Qb, T), np.int32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
         plan_ints[3] += np.int32(self.n_light)  # default: sentinel row
         weights = np.zeros((Qb, T), np.float32)
@@ -601,13 +602,11 @@ class DeviceIndex:
         plan_ints[4] = np.int32(U)  # default: light/padding -> zero row
         if n_uniq:
             plan_ints[4, np.concatenate(hv_q), np.concatenate(hv_t)] = inv
-        k = -(-U // Qb)
-        plan_f32 = np.zeros((1, Qb, T + k), np.float32)
-        plan_f32[0, :, :T] = weights
-        idbuf = np.full(Qb * k, self.n_dense, np.float32)
+        plan_ints[5] = weights.view(np.int32)
+        idbuf = np.full(Qb * T, self.n_dense, np.int32)
         idbuf[:n_uniq] = uniq
-        plan_f32[0, :, T:] = idbuf.reshape(Qb, k)
-        return plan_ints, plan_f32, U
+        plan_ints[6] = idbuf.reshape(Qb, T)
+        return plan_ints, U
 
     # ---------------- execution ----------------
 
@@ -621,27 +620,24 @@ class DeviceIndex:
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
 
-        plan_ints, plan_f32, U = self.plan_sparse(queries)
+        plan, U = self.plan_sparse(queries)
         block = self.config.device.posting_block
-        C = self._chunk_budget(plan_ints[1], block)
+        C = self._chunk_budget(plan[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
         use_compact = (
             os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
         )
         if not use_compact:
-            # The full-table kernel never reads the unique-id columns;
-            # freeze U and the plan shape so a batch with more distinct
-            # heavy rows cannot trigger a recompile mid-serving (measured:
-            # U flapping 512<->1024 at batch 1024 collapsed throughput to
-            # 141 QPS on recompiles).
-            T = plan_ints.shape[2]
-            plan_f32 = np.ascontiguousarray(plan_f32[:, :, :T])
+            # The full-table kernel never reads the unique-id row; freeze
+            # U so a batch with more distinct heavy rows cannot trigger a
+            # recompile mid-serving (measured: U flapping 512<->1024 at
+            # batch 1024 collapsed throughput to 141 QPS on recompiles).
             U = 0
         # Depth = measured max bucket occupancy of the heavy + light
         # bucket-position tables (exact_rescore_v2).
         out = bm25_search_sparse_packed(
             self.post_doc, self.post_score, self.dense_rows, self.bucket_pos,
-            self.light_bucket_pos, plan_ints, plan_f32,
+            self.light_bucket_pos, plan,
             n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
             U=U,

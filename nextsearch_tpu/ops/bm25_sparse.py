@@ -266,11 +266,16 @@ def _dedup_sorted(vals, docs):
 def bm25_search_sparse_packed(
     post_doc: jax.Array,  # int32 [P]
     post_score: jax.Array,  # f32 [P]
-    dense_rows: jax.Array,  # bf16/f32 [ND+1, n_slots] (row ND = zeros)
+    dense_rows: jax.Array,  # bf16/f32 3D [rows, n_slots/128, 128]
     bucket_pos: jax.Array,  # int32 [ND+1, NBh+1] heavy bucket positions
     light_bucket_pos: jax.Array,  # int32 [NL+1, NBl+1] light bucket positions
-    plan_ints: jax.Array,  # int32 [5, Q, T]: starts/light_dfs/slot_dense/slot_light/slot_compact
-    plan_f32: jax.Array,  # f32 [1, Q, T + ceil(U/Q)*? ] weights | unique row ids
+    plan: jax.Array,  # int32 [7, Q, T] — ONE upload per batch:
+    #   starts / light_dfs / slot_dense / slot_light / slot_compact /
+    #   weight f32 bit patterns / unique dense row ids (row-major, first U
+    #   of Q*T entries; U <= Q*T because every unique id comes from a
+    #   (query, slot)). Weights travel as a pure bitcast: BM25 weights are
+    #   normal floats, never denormal, so the TPU denormal-flush hazard
+    #   that rules out value-packing int ids into f32 lanes does not apply.
     *,
     n_slots: int,
     K: int,
@@ -286,12 +291,12 @@ def bm25_search_sparse_packed(
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
     bm25_search_packed (vals | doc slots | found as exact f32 values)."""
-    starts = plan_ints[0]
-    light_dfs = plan_ints[1]
-    slot_dense = plan_ints[2]
-    slot_light = plan_ints[3]
-    slot_compact = plan_ints[4]
-    weights = plan_f32[0, :, : starts.shape[1]]
+    starts = plan[0]
+    light_dfs = plan[1]
+    slot_dense = plan[2]
+    slot_light = plan[3]
+    slot_compact = plan[4]
+    weights = lax.bitcast_convert_type(plan[5], jnp.float32)
     Q, T = starts.shape
 
     # Heavy matmul operand. Two strategies:
@@ -307,10 +312,14 @@ def bm25_search_sparse_packed(
     if use_compact:
         from .heavy_pallas import gather_rows_pallas
 
-        ids_flat = plan_f32[0, :, T:].reshape(-1)[: U].astype(jnp.int32)
+        # U is the BUCKETED table size and can exceed the Q*T id-row
+        # capacity on small batches; entries past the true unique count
+        # are sentinel padding either way.
+        m = min(U, Q * T)
+        ids_flat = plan[6].reshape(-1)[:m]
         uc = _round_up_16(U + 1)
         ids = jnp.concatenate(
-            [ids_flat, jnp.full((uc - U,), nd, jnp.int32)]
+            [ids_flat, jnp.full((uc - m,), nd, jnp.int32)]
         )  # trailing entries = zero sentinel row
         ids = jnp.clip(ids, 0, dense_rows.shape[0] - 1)
         iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
