@@ -173,7 +173,7 @@ def main():
     # bucket costs a full XLA compile on the tunneled TPU). The chunk budget
     # is sized from the ACTUAL workload: gather volume is pure waste beyond
     # the max live chunks (dense rows absorb the heavy terms).
-    blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 256))
+    blk = int(os.environ.get("NEXTSEARCH_BENCH_BLOCK", 64))
     dense_ratio = float(
         os.environ.get("NEXTSEARCH_BENCH_DENSE", 1 / 1024 if mode == "sparse" else 1 / 256)
     )
