@@ -43,6 +43,43 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pick_shape(
+    n: int,
+    buckets: Sequence[int],
+    pin: Optional[int] = None,
+    warn_tag: str = "",
+) -> int:
+    """Static kernel shape for a batch-varying size.
+
+    pinned: return the pin; overflow escapes to the next multiple of the
+    pin (bounded distinct shapes) with a warning — recompile flapping
+    mid-serving is THE throughput killer (measured: an unpinned static U
+    collapsed serving to 141 QPS), so escapes must be rare and loud.
+    unpinned: bucket ladder; overflow past the ladder rounds up to
+    multiples of the LARGEST bucket (previously the smallest, which
+    generated unboundedly many shapes just past the ladder).
+    """
+    n = max(n, 1)
+    if pin:
+        if n <= pin:
+            return pin
+        v = _round_up(n, pin)
+        if warn_tag:
+            from ..utils.logging import log
+
+            log(
+                "shapes",
+                f"{warn_tag}={n} exceeds pinned {pin}; compiling a "
+                f"{v}-shape escape (expect a one-time XLA compile)",
+                level="warning",
+            )
+        return v
+    b = _bucket(n, buckets)
+    if n > b:
+        b = _round_up(n, buckets[-1])
+    return b
+
+
 _EMPTY_I64 = np.empty(0, np.int64)
 _EMPTY_F32 = np.empty(0, np.float32)
 
@@ -124,6 +161,8 @@ class DeviceIndex:
 
         self.host_only = host_only
         self.config = config
+        # Pinned static shapes (pin_shapes): {"T","Q","C","U"} -> int.
+        self._pins: Dict[str, int] = {}
         self.segments = list(segments)
         self.seg_names = list(seg_names) if seg_names else [
             f"seg_{i + 1:06d}" for i in range(len(self.segments))
@@ -141,7 +180,9 @@ class DeviceIndex:
         # (ops/heavy_pallas.TILE); keep n_slots aligned to both.
         pad = config.device.doc_pad
         if config.device.mode == "sparse":
-            pad = max(pad, 2048)
+            # round_up, not max: a doc_pad of e.g. 3072 must still give a
+            # 2048-aligned n_slots (heavy kernels tile the doc axis).
+            pad = _round_up(pad, 2048)
         self.n_slots = max(_round_up(base, pad), pad)
         # The fused packed launch transports doc slots / found counts as
         # exact f32 values (TPU flushes denormal bit-patterns, so bitcast
@@ -464,6 +505,69 @@ class DeviceIndex:
         """Global doc-slot base per segment, aligned with self.segments."""
         return list(self.doc_bases)
 
+    # ---------------- shape pinning ----------------
+
+    def probe_workload(
+        self, batches: Sequence[Sequence[Sequence[WeightedTerm]]]
+    ) -> Dict[str, int]:
+        """Max static-shape drivers over a sample workload (host-only).
+
+        Returns {"T": max term slots per query, "Q": max batch size,
+        "C": max live posting chunks per batch, "U": max unique dense
+        rows per batch} — the inputs pin_shapes() freezes. Costs one
+        lexicon probe per (query, term); no device work.
+        """
+        block = self.config.device.posting_block
+        table = self._lex_table
+        t = q = c = u = 1
+        for b in batches:
+            q = max(q, len(b))
+            q_rows, _q_ws = _probe_queries(self._lex_slices, b)
+            rows_all = [r for r in q_rows if r.shape[0]]
+            if not rows_all:
+                continue
+            t = max(t, max(r.shape[0] for r in rows_all))
+            ent = table[np.concatenate(rows_all)]
+            dense = ent[:, 2]
+            light_df = ent[dense < 0, 1]
+            c = max(c, int(np.sum((light_df + block - 1) // block)))
+            u = max(u, int(np.unique(dense[dense >= 0]).shape[0]))
+        return {"T": t, "Q": q, "C": c, "U": u}
+
+    def pin_shapes(
+        self,
+        probe_batches=None,
+        *,
+        T: Optional[int] = None,
+        Q: Optional[int] = None,
+        C: Optional[int] = None,
+        U: Optional[int] = None,
+        c_pad: int = 128,
+        u_pad: int = 16,
+    ) -> Dict[str, int]:
+        """Freeze the batch-varying static kernel shapes for serving.
+
+        Any batch within the pinned envelope then compiles to ONE kernel
+        shape; mid-serving recompiles (bucket flapping — the failure class
+        CLAUDE.md forbids) become impossible for covered workloads, and
+        overflow escapes are bounded (multiples of the pin) and logged.
+
+        Sizes come from `probe_batches` (a sample workload; see
+        probe_workload) and/or explicit keyword pins, which win. Returns
+        the active pin dict. Replaces the ad-hoc probe-then-pin dances
+        bench.py / benchmarks/eval_configs.py used to hand-roll.
+        """
+        if probe_batches is not None:
+            m = self.probe_workload(probe_batches)
+            T = T or _bucket(m["T"], self.T_BUCKETS)
+            Q = Q or _bucket(m["Q"], self.Q_BUCKETS)
+            C = C or _round_up(m["C"], c_pad)
+            U = U or _round_up(m["U"] + 1, u_pad)
+        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U)):
+            if v:
+                self._pins[k] = int(v)
+        return dict(self._pins)
+
     # ---------------- query planning ----------------
 
     def plan(
@@ -487,8 +591,10 @@ class DeviceIndex:
         q_rows, q_ws = _probe_queries(self._lex_slices, queries)
         t_max = max((r.shape[0] for r in q_rows), default=0)
 
-        T = _bucket(max(t_max, 1), self.T_BUCKETS)
-        Qb = _bucket(len(queries), self.Q_BUCKETS)
+        T = _pick_shape(t_max, self.T_BUCKETS, self._pins.get("T"), "T")
+        Qb = _pick_shape(
+            len(queries), self.Q_BUCKETS, self._pins.get("Q"), "Q"
+        )
 
         starts = np.zeros((Qb, T), np.int32)
         dfs = np.zeros((Qb, T), np.int32)
@@ -525,9 +631,7 @@ class DeviceIndex:
             inv = _EMPTY_I64
             n_uniq = 0
         hb = self.config.device.heavy_buckets
-        U = _bucket(max(n_uniq, 1), hb)
-        if n_uniq > U:
-            U = _round_up(n_uniq, hb[0])
+        U = _pick_shape(n_uniq, hb, self._pins.get("U"), "U")
         unique_heavy = np.full(U, self.n_dense, np.int32)  # pad -> zero row
         heavy_mix = np.zeros((Qb, U), np.float32)
         if n_uniq:
@@ -558,8 +662,10 @@ class DeviceIndex:
         q_rows, q_ws = _probe_queries(self._lex_slices, queries)
         t_max = max((r.shape[0] for r in q_rows), default=0)
 
-        T = _bucket(max(t_max, 1), self.T_BUCKETS)
-        Qb = _bucket(len(queries), self.Q_BUCKETS)
+        T = _pick_shape(t_max, self.T_BUCKETS, self._pins.get("T"), "T")
+        Qb = _pick_shape(
+            len(queries), self.Q_BUCKETS, self._pins.get("Q"), "Q"
+        )
         plan_ints = np.zeros((7, Qb, T), np.int32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
         plan_ints[3] += np.int32(self.n_light)  # default: sentinel row
@@ -596,9 +702,7 @@ class DeviceIndex:
             inv = _EMPTY_I64
             n_uniq = 0
         hb = self.config.device.heavy_buckets
-        U = _bucket(max(n_uniq, 1), hb)
-        if n_uniq > U:
-            U = _round_up(n_uniq, hb[0])
+        U = _pick_shape(n_uniq, hb, self._pins.get("U"), "U")
         plan_ints[4] = np.int32(U)  # default: light/padding -> zero row
         if n_uniq:
             plan_ints[4, np.concatenate(hv_q), np.concatenate(hv_t)] = inv
@@ -756,11 +860,10 @@ class DeviceIndex:
     def _chunk_budget(self, dfs, block) -> int:
         """Static chunk count C for this batch (device expansion never drops)."""
         total = int(np.sum((dfs.astype(np.int64) + block - 1) // block))
-        buckets = self.config.device.chunk_buckets
-        C = _bucket(max(total, 1), buckets)
-        if total > C:
-            C = int(_round_up(total, buckets[0]))
-        return C
+        return _pick_shape(
+            total, self.config.device.chunk_buckets,
+            self._pins.get("C"), "C",
+        )
 
     def _chunk_plan(self, starts, dfs, weights, block):
         """Flatten (query, slot) pairs into fixed-size posting chunks.
@@ -774,10 +877,10 @@ class DeviceIndex:
         reps = (df + block - 1) // block
         total = int(reps.sum())
 
-        buckets = self.config.device.chunk_buckets
-        C = _bucket(max(total, 1), buckets)
-        if total > C:  # beyond the largest bucket: round up (rare)
-            C = int(_round_up(total, buckets[0]))
+        C = _pick_shape(
+            total, self.config.device.chunk_buckets,
+            self._pins.get("C"), "C",
+        )
 
         chunk_start = np.zeros(C, np.int32)
         chunk_len = np.zeros(C, np.int32)

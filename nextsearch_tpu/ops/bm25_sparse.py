@@ -304,11 +304,13 @@ def bm25_search_sparse_packed(
     #     work Q*ND*n_slots and a 6.4GB table read, no gather.
     #   compact (use_compact=True): gather the <=U distinct rows the batch
     #     references into [uc, n_slots] and mix over COMPACT ids — ~6x
-    #     fewer FLOPs, but XLA's row gather runs ~10x off roofline on this
-    #     toolchain (measured: full-table 5,972 QPS vs compact 5,463 at 1M;
-    #     a uint32-view gather was 300x WORSE). Kept for the planned Pallas
-    #     scalar-prefetch gather kernel, which reads exactly the U rows at
-    #     DMA bandwidth.
+    #     fewer FLOPs. The row gather is the Pallas scalar-prefetch DMA
+    #     kernel (gather_rows_pallas), which reads exactly the U rows at
+    #     copy bandwidth; with it, compact is the fast path (7,400 QPS vs
+    #     5,972 full-table at 1M). The use_pallas=False fallback goes
+    #     through XLA's row gather, which runs ~10x off roofline on this
+    #     toolchain (measured 5,463 QPS; a uint32-view gather was 300x
+    #     worse) — fallback only, not a serving configuration.
     if use_compact:
         from .heavy_pallas import gather_rows_pallas
 

@@ -54,19 +54,27 @@ def _sharded_search_fn(
     bs_steps: int = 8,
     nd: int = 0,
     nl: int = 0,
+    use_pallas: bool = False,
 ):
     """Build the jit'd shard_map search step for a given mesh/static shapes.
 
     Each shard expands its (query, term) plan into posting chunks on device,
-    scores them with the fused scatter, takes a local top-K2, exactly
-    rescores those candidates, and the K2-candidate lists are merged across
-    the seg axis with an all_gather + canonical sort.
+    scores them with its local mode (fused scatter or the full sparse
+    pipeline), takes a local top-K2, exactly rescores those candidates, and
+    the K2-candidate lists are merged across the seg axis with an
+    all_gather + canonical sort. On a 1-shard mesh the merge is skipped
+    entirely — local results are already canonically sorted (measured as
+    part of the 28.8% (1,1)-overhead in round 2).
 
-    The plan arrives packed (transfer-minimal: 2 uploads per batch):
-      plan_ints int32 [S, Qb, 3, T]     starts / dfs / light_dfs
-      plan_f32  f32   [S, Qb, T + 2U]   weights | heavy_mix | unique_heavy
-    unique_heavy ids are carried as exact f32 (< 2^24) in the first row of
-    each dp-group's block (every shard_map block is exactly one dp group).
+    Transfer-minimal: the whole plan arrives as ONE int32 upload
+    `plan [S, Qb, L]` (f32 payloads travel as raw bit patterns — pure
+    bitcast; BM25 weights are normal floats, never denormal) and results
+    leave as ONE packed f32 download [Qb, 2K+1] (vals | global doc slots |
+    found — slots and found as exact f32 values, which caps the global
+    slot space at 2^24, checked at index build). Row layout:
+      sparse: L = 5T   starts | light_dfs | slot_dense | slot_light | wbits
+      fused:  L = 4T+2U starts | dfs | light_dfs | wbits | mixbits |
+              unique-heavy ids (group-first row only)
     """
     from ..ops.bm25 import (
         canonical_sort,
@@ -84,28 +92,30 @@ def _sharded_search_fn(
         per_query_counts,
         per_query_topk_flat,
     )
-    from ..ops.heavy_pallas import heavy_fused_xla
+    from ..ops.heavy_pallas import heavy_fused_pallas, heavy_fused_xla
+
+    S = mesh.shape["seg"]
 
     def local_step(post_doc, post_score, dense_rows, bucket_pos,
-                   light_bucket_pos, plan_ints, plan_f32):
-        # Block shapes: post_* [1, P_shard], dense [1, H+1, cap],
+                   light_bucket_pos, plan):
+        # Block shapes: post_* [1, P_shard], dense [1, Hpad, cap],
         # bucket_pos [1, H+1, NBh+1], light_bucket_pos [1, NL+1, NBl+1],
-        # plan_ints [1, Qd, 3|4, T], plan_f32 [1, Qd, T + 2U]
+        # plan [1, Qd, L]
         post_doc = post_doc[0]
         post_score = post_score[0]
-        pi = plan_ints[0]
-        pf = plan_f32[0]
-        starts, dfs, light_dfs = pi[:, 0, :], pi[:, 1, :], pi[:, 2, :]
-        weights = pf[:, :T]
+        pi = plan[0]
+        starts = pi[:, :T]
         Qd = starts.shape[0]
         if mode == "sparse":
             # Same pipeline as ops/bm25_sparse.bm25_search_sparse_packed,
-            # per shard over local doc slots (pure-XLA heavy kernel: the
-            # sharded dense block's row count is not grid-aligned for the
-            # Pallas variant).
-            slot_dense = pi[:, 2, :]
-            slot_light = pi[:, 3, :]
-            light_dfs = pi[:, 1, :]
+            # per shard over local doc slots (full-table heavy mode; the
+            # per-shard dense block is row-padded to the Pallas grid).
+            light_dfs = pi[:, T : 2 * T]
+            slot_dense = pi[:, 2 * T : 3 * T]
+            slot_light = pi[:, 3 * T : 4 * T]
+            weights = lax.bitcast_convert_type(
+                pi[:, 4 * T : 5 * T], jnp.float32
+            )
             dense = dense_rows[0]
             nd1 = dense.shape[0]
             iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
@@ -125,7 +135,8 @@ def _sharded_search_fn(
                 0, T, mix_step, jnp.zeros((Qd, nd1), jnp.float32)
             )
             mix = mix.at[:, nd].set(0.0)
-            H, smax_sq, cnt_tq = heavy_fused_xla(mix, dense)
+            fused_fn = heavy_fused_pallas if use_pallas else heavy_fused_xla
+            H, smax_sq, cnt_tq = fused_fn(mix, dense)
             heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
 
             sq, sd, stot, last = light_totals(
@@ -159,6 +170,10 @@ def _sharded_search_fn(
             k2 = vals.shape[1]
             scores = None
         elif mode == "exact":
+            dfs = pi[:, T : 2 * T]
+            weights = lax.bitcast_convert_type(
+                pi[:, 3 * T : 4 * T], jnp.float32
+            )
             scores = score_only_exact(
                 post_doc, post_score, starts, dfs, weights,
                 n_slots=n_slots, block=block,
@@ -166,8 +181,15 @@ def _sharded_search_fn(
             k2 = min(K, n_slots)
             vals, idx = lax.top_k(scores, k2)
         else:
-            heavy_mix = pf[:, T : T + U]
-            unique_heavy = pf[0, T + U :].astype(jnp.int32)
+            dfs = pi[:, T : 2 * T]
+            light_dfs = pi[:, 2 * T : 3 * T]
+            weights = lax.bitcast_convert_type(
+                pi[:, 3 * T : 4 * T], jnp.float32
+            )
+            heavy_mix = lax.bitcast_convert_type(
+                pi[:, 4 * T : 4 * T + U], jnp.float32
+            )
+            unique_heavy = pi[0, 4 * T + U :]
             cs, cl, cq, cw = expand_chunks(
                 starts, light_dfs, weights, C=C, block=block
             )
@@ -193,17 +215,30 @@ def _sharded_search_fn(
             vals > 0, idx.astype(jnp.int32) + shard_id * n_slots, jnp.int32(2**30)
         )
 
-        # Merge across the seg axis: gather all shards' candidates, re-rank
-        # canonically by (score desc, global slot asc).
-        all_vals = lax.all_gather(vals, "seg", axis=0)  # [S, Qd, k2]
-        all_idx = lax.all_gather(gidx, "seg", axis=0)
-        S = all_vals.shape[0]
-        cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(Qd, S * k2)
-        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(Qd, S * k2)
-        mvals, midx = canonical_sort(cat_vals, cat_idx)
-        total_found = lax.psum(found, "seg")
+        if S > 1:
+            # Merge across the seg axis: gather all shards' candidates,
+            # re-rank canonically by (score desc, global slot asc).
+            all_vals = lax.all_gather(vals, "seg", axis=0)  # [S, Qd, k2]
+            all_idx = lax.all_gather(gidx, "seg", axis=0)
+            cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(Qd, S * k2)
+            cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(Qd, S * k2)
+            mvals, midx = canonical_sort(cat_vals, cat_idx)
+            total_found = lax.psum(found, "seg")
+        else:
+            # 1 shard: local results are already canonically sorted; the
+            # gather + re-sort would be pure overhead.
+            mvals, midx = vals, gidx
+            total_found = found
         k_out = min(K, S * k2)
-        return mvals[None, :, :k_out], midx[None, :, :k_out], total_found[None]
+        packed = jnp.concatenate(
+            [
+                mvals[:, :k_out],
+                midx[:, :k_out].astype(jnp.float32),
+                total_found[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        return packed[None]
 
     from jax import shard_map
 
@@ -213,23 +248,22 @@ def _sharded_search_fn(
         in_specs=(
             P("seg", None),  # post_doc    [S, P_shard]
             P("seg", None),  # post_score  [S, P_shard]
-            P("seg", None, None),  # dense_rows [S, H+1, cap]
+            P("seg", None, None),  # dense_rows [S, Hpad, cap]
             P("seg", None, None),  # bucket_pos [S, H+1, NBh+1]
             P("seg", None, None),  # light_bucket_pos [S, NL+1, NBl+1]
-            P("seg", "dp", None, None),  # plan_ints [S, Qb, 3|4, T]
-            P("seg", "dp", None),  # plan_f32 [S, Qb, T + 2U]
+            P("seg", "dp", None),  # plan [S, Qb, L]
         ),
-        out_specs=(P(None, "dp", None), P(None, "dp", None), P(None, "dp")),
+        out_specs=P(None, "dp", None),
         check_vma=False,
     )
 
     def step(post_doc, post_score, dense_rows, bucket_pos,
-             light_bucket_pos, plan_ints, plan_f32):
-        vals, idx, found = fn(
+             light_bucket_pos, plan):
+        packed = fn(
             post_doc, post_score, dense_rows, bucket_pos,
-            light_bucket_pos, plan_ints, plan_f32,
+            light_bucket_pos, plan,
         )
-        return vals[0], idx[0], found[0]
+        return packed[0]
 
     return jax.jit(step)
 
@@ -308,8 +342,21 @@ class ShardedIndex:
         if self._sparse:
             # sparse mode tiles the doc axis in 2048-doc candidate tiles
             # (ops/heavy_pallas.TILE); keep every shard's capacity aligned.
-            dpad = max(dpad, 2048)
+            # round_up, not max: a configured doc_pad that is a larger
+            # non-multiple of 2048 (e.g. 3072) must still yield a
+            # TILE-aligned shard capacity (heavy kernels reshape
+            # (Q, n_tiles, 2048)).
+            dpad = _round_up(dpad, 2048)
         self.shard_capacity = max(_round_up(max(shard_docs or [1], default=1), dpad), dpad)
+        if S * self.shard_capacity >= 1 << 24:
+            # The packed result download carries global doc slots as exact
+            # f32 values (one transfer); past 2^24 that representation
+            # loses integers.
+            raise ValueError(
+                f"global slot space {S}x{self.shard_capacity} exceeds the "
+                "2^24 exact-f32 packed-transport bound; use more/larger "
+                "shards or raise doc_pad granularity"
+            )
         p_capacity = max(max(shard_posts) if shard_posts else 1, 1)
 
         post_doc = np.zeros((S, p_capacity), np.int32)
@@ -354,8 +401,15 @@ class ShardedIndex:
             )
             per_shard_heavy.append(heavy[:row_cap])
         self.n_dense = max((len(h) for h in per_shard_heavy), default=0)
+        # Row-pad the dense block to the f32 sublane tile (8) in sparse
+        # mode so the per-shard heavy matmul can run the Pallas fused
+        # kernel (VMEM blocks are [Q, Hpad] / [Hpad, TILE]); pad rows are
+        # all-zero and the in-kernel mix never references them.
+        h_rows = self.n_dense + 1
+        if self._sparse:
+            h_rows = _round_up(h_rows, 8)
         dense_host = np.zeros(
-            (S, self.n_dense + 1, self.shard_capacity), np.float32
+            (S, h_rows, self.shard_capacity), np.float32
         )
         for si, heavy in enumerate(per_shard_heavy):
             lo, _hi = self.shard_seg_ranges[si]
@@ -706,8 +760,11 @@ class ShardedIndex:
         Same handle protocol as DeviceIndex.search_batch_async: pair with
         search_batch_gather(), keep several launches in flight to hide the
         host<->device round trip. Transfer-minimal: the whole plan ships as
-        TWO packed device_puts; results come back in ONE device_get.
+        ONE int32 device_put (f32 payloads as raw bit patterns); results
+        come back in ONE packed f32 device_get.
         """
+        import os
+
         nq = len(queries)
         if nq == 0 or self.n_docs == 0:
             return ("empty", nq)
@@ -715,6 +772,10 @@ class ShardedIndex:
         K = min(K, self.shard_capacity)
         mode = self.config.device.mode
         block = self.config.device.posting_block
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
+        )
         if mode == "sparse":
             plan_ints_np, plan_f32_np = self.plan_sparse(queries)
             C = self._chunk_budget(plan_ints_np[:, :, 1, :], block)
@@ -724,30 +785,34 @@ class ShardedIndex:
             )
             S, Qb, _four, T = plan_ints_np.shape
             U = 0
-            key = (K, K2, mode, C, Qb, T, U, self._bs_depth)
+            key = (K, K2, mode, C, Qb, T, U, self._bs_depth, use_pallas)
             fn = self._fns.get(key)
             if fn is None:
                 fn = _sharded_search_fn(
                     self.mesh, self.shard_capacity, K, block, T, U,
                     mode=mode, K2=K2, C=C, bs_steps=self._bs_depth,
                     nd=self.n_dense, nl=self.n_light,
+                    use_pallas=use_pallas,
                 )
                 self._fns[key] = fn
-            plan_ints = jax.device_put(
-                plan_ints_np,
-                NamedSharding(self.mesh, P("seg", "dp", None, None)),
+            # Single int32 upload: starts | light_dfs | slot_dense |
+            # slot_light | weight bit patterns (L = 5T).
+            plan_np = np.concatenate(
+                [
+                    plan_ints_np.reshape(S, Qb, 4 * T),
+                    plan_f32_np.view(np.int32),
+                ],
+                axis=2,
             )
-            plan_f32 = jax.device_put(
-                plan_f32_np, NamedSharding(self.mesh, P("seg", "dp", None))
+            plan = jax.device_put(
+                plan_np, NamedSharding(self.mesh, P("seg", "dp", None))
             )
-            vals, idx, found = fn(
+            packed = fn(
                 self.post_doc, self.post_score, self.dense_rows,
-                self.bucket_pos, self.light_bucket_pos,
-                plan_ints, plan_f32,
+                self.bucket_pos, self.light_bucket_pos, plan,
             )
-            for arr in (vals, idx, found):
-                arr.copy_to_host_async()
-            return ("pending", nq, k, K, vals, idx, found)
+            packed.copy_to_host_async()
+            return ("packed", nq, k, K, packed)
         starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = self.plan(
             queries
         )
@@ -768,33 +833,32 @@ class ShardedIndex:
             )
             self._fns[key] = fn
 
-        # Pack: ints [S, Qb, 3, T]; f32 [S, Qb, T + 2U] = weights | per-query
-        # heavy mix | unique heavy ids (exact f32, stored in the first row of
-        # each dp group — a shard_map block is exactly one group).
-        plan_ints = np.stack([starts, dfs, light_dfs], axis=2)
-        plan_f32 = np.zeros((S, Qb, T + 2 * U), np.float32)
-        plan_f32[:, :, :T] = weights
-        plan_f32[:, :, T : T + U] = heavy_mix.reshape(S, Qb, U)
-        for g in range(self.dp):
-            plan_f32[:, g * Qd, T + U :] = unique_heavy[:, g, :].astype(
-                np.float32
-            )
+        # Single int32 upload (L = 4T + 2U): starts | dfs | light_dfs |
+        # weight bits | heavy-mix bits | unique heavy ids (int32, stored in
+        # the first row of each dp group — a shard_map block is exactly one
+        # group).
+        plan_np = np.zeros((S, Qb, 4 * T + 2 * U), np.int32)
+        plan_np[:, :, :T] = starts
+        plan_np[:, :, T : 2 * T] = dfs
+        plan_np[:, :, 2 * T : 3 * T] = light_dfs
+        plan_np[:, :, 3 * T : 4 * T] = weights.view(np.int32)
+        if U:
+            plan_np[:, :, 4 * T : 4 * T + U] = heavy_mix.reshape(
+                S, Qb, U
+            ).view(np.int32)
+            for g in range(self.dp):
+                plan_np[:, g * Qd, 4 * T + U :] = unique_heavy[:, g, :]
 
-        plan_ints = jax.device_put(
-            plan_ints, NamedSharding(self.mesh, P("seg", "dp", None, None))
-        )
-        plan_f32 = jax.device_put(
-            plan_f32, NamedSharding(self.mesh, P("seg", "dp", None))
+        plan = jax.device_put(
+            plan_np, NamedSharding(self.mesh, P("seg", "dp", None))
         )
         dummy = self._dummy_tables()
-        vals, idx, found = fn(
+        packed = fn(
             self.post_doc, self.post_score, self.dense_rows,
-            dummy[0], dummy[1],
-            plan_ints, plan_f32,
+            dummy[0], dummy[1], plan,
         )
-        for arr in (vals, idx, found):
-            arr.copy_to_host_async()
-        return ("pending", nq, k, K, vals, idx, found)
+        packed.copy_to_host_async()
+        return ("packed", nq, k, K, packed)
 
     def _dummy_tables(self):
         """Placeholder bucket-table operands for non-sparse modes (the
@@ -814,12 +878,16 @@ class ShardedIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
-        _tag, nq, k, K, vals, idx, found = handle
-        vals, idx, found = jax.device_get((vals, idx, found))
+        _tag, nq, k, K, packed = handle
+        packed = jax.device_get(packed)
+        k_out = (packed.shape[1] - 1) // 2
+        vals = packed[:, :k_out]
+        idx = packed[:, k_out : 2 * k_out].astype(np.int32)
+        found = packed[:, 2 * k_out]
         out = []
         for qi in range(nq):
             keep = vals[qi] > 0.0
-            keep[min(k, vals.shape[1]):] = False
+            keep[min(k, k_out):] = False
             out.append(
                 QueryResult(
                     scores=vals[qi][keep][:k],
