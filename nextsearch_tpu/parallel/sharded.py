@@ -34,6 +34,7 @@ from ..index.segment import (
     QueryResult,
     WeightedTerm,
     _bucket,
+    _pick_shape,
     _probe_queries,
     _ranges,
     _round_up,
@@ -527,6 +528,8 @@ class ShardedIndex:
         )
         self.n_docs = total_docs
         self._fns = {}
+        # Pinned static shapes (pin_shapes): {"T","Q","C","U"} -> int.
+        self._pins = {}
         self._build_merged_lex()
 
     def _build_merged_lex(self) -> None:
@@ -589,6 +592,60 @@ class ShardedIndex:
 
     # ---------------- planning ----------------
 
+    def _flatten_probe(self, queries):
+        """Shared vectorized front half of both planners.
+
+        Returns (ent, w, qi, slot, T, Qb) over ALL (query, term-slot,
+        shard-occurrence) triples flattened: ent = merged-table rows
+        [n, 5], w = weights, qi = query index, slot = per-(query, shard)
+        term-slot rank (original probe order — term order then shard-asc
+        occurrence order, matching the canonical slot layout), T/Qb the
+        static plan shapes. Pure NumPy — no per-(query, shard) Python
+        loop (VERDICT r2 item 8: at many-shard/large-batch scale the old
+        loop was host wall time per batch).
+        """
+        S = self.n_shards
+        table = self._lex_table
+        q_rows, q_ws = _probe_queries(self._lex_slices, queries)
+
+        lens = np.fromiter(
+            (r.shape[0] for r in q_rows), np.int64, count=len(q_rows)
+        )
+        rows = (
+            np.concatenate(q_rows) if lens.sum() else np.empty(0, np.int64)
+        )
+        w = (
+            np.concatenate(q_ws).astype(np.float32)
+            if lens.sum()
+            else np.empty(0, np.float32)
+        )
+        qi = np.repeat(np.arange(len(q_rows), dtype=np.int64), lens)
+        ent = table[rows]
+        sid = ent[:, 0]
+
+        # Rank within each (query, shard) group, preserving flat order:
+        # stable-sort by group key, subtract each group's start position.
+        key = qi * S + sid
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        grp_first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        grp_start = np.where(grp_first, np.arange(ks.shape[0]), 0)
+        np.maximum.accumulate(grp_start, out=grp_start)
+        slot = np.empty(ks.shape[0], np.int64)
+        slot[order] = np.arange(ks.shape[0]) - grp_start
+
+        t_max = int(slot.max()) + 1 if slot.shape[0] else 1
+        T = _pick_shape(t_max, self.T_BUCKETS, self._pins.get("T"), "T")
+        Qb = _round_up(max(len(queries), 1), self.dp)
+        if self._pins.get("Q"):
+            Qb = _round_up(max(Qb, 1), self._pins["Q"])
+        # Occurrences past T slots are dropped (same truncation the
+        # loop planner applied).
+        keep = slot < T
+        if not keep.all():
+            ent, w, qi, slot = ent[keep], w[keep], qi[keep], slot[keep]
+        return ent, w, qi, slot, T, Qb
+
     def plan(self, queries: Sequence[Sequence[WeightedTerm]]):
         """Per-shard padded term-slot plans + hybrid split.
 
@@ -597,84 +654,47 @@ class ShardedIndex:
         query rows (shard_map splits the Qb axis into DP contiguous groups).
         """
         S = self.n_shards
-        table = self._lex_table
-        slices = self._lex_slices
-
-        q_rows, q_ws = _probe_queries(slices, queries)
-
-        # T = max slots on any (query, shard).
-        t_max = 1
-        q_shards: List[np.ndarray] = []
-        for rows in q_rows:
-            sids = table[rows, 0]
-            q_shards.append(sids)
-            if sids.shape[0]:
-                t_max = max(t_max, int(np.bincount(sids, minlength=S).max()))
-
-        Qb = _round_up(max(len(queries), 1), self.dp)
+        ent, w, qi, slot, T, Qb = self._flatten_probe(queries)
         Qd = Qb // self.dp
-        T = _bucket(t_max, self.T_BUCKETS)
+        sid = ent[:, 0]
+
         starts = np.zeros((S, Qb, T), np.int32)
         dfs = np.zeros((S, Qb, T), np.int32)
         weights = np.zeros((S, Qb, T), np.float32)
         light_dfs = np.zeros((S, Qb, T), np.int32)
-        hv_si: List[np.ndarray] = []
-        hv_g: List[np.ndarray] = []
-        hv_lq: List[np.ndarray] = []
-        hv_id: List[np.ndarray] = []
-        hv_w: List[np.ndarray] = []
-        for qi, (rows, ws, sids) in enumerate(zip(q_rows, q_ws, q_shards)):
-            if rows.shape[0] == 0:
-                continue
-            g, lq = divmod(qi, Qd)
-            ent = table[rows]
-            for si in np.unique(sids):
-                m = sids == si
-                n = min(int(m.sum()), T)
-                e = ent[m][:n]
-                w = ws[m][:n]
-                starts[si, qi, :n] = e[:, 1]
-                dfs[si, qi, :n] = e[:, 2]
-                weights[si, qi, :n] = w
-                dense = e[:, 3]
-                light = dense < 0
-                light_dfs[si, qi, :n] = np.where(light, e[:, 2], 0)
-                if not light.all():
-                    hm = ~light
-                    cnt = int(hm.sum())
-                    hv_si.append(np.full(cnt, si, np.int64))
-                    hv_g.append(np.full(cnt, g, np.int64))
-                    hv_lq.append(np.full(cnt, lq, np.int64))
-                    hv_id.append(dense[hm])
-                    hv_w.append(w[hm])
+        dense = ent[:, 3]
+        light = dense < 0
+        starts[sid, qi, slot] = ent[:, 1]
+        dfs[sid, qi, slot] = ent[:, 2]
+        weights[sid, qi, slot] = w
+        light_dfs[sid, qi, slot] = np.where(light, ent[:, 2], 0)
 
         hb = self.config.device.heavy_buckets
-        if hv_id:
-            h_si = np.concatenate(hv_si)
-            h_g = np.concatenate(hv_g)
-            h_lq = np.concatenate(hv_lq)
-            h_id = np.concatenate(hv_id)
-            h_w = np.concatenate(hv_w)
+        hm = ~light
+        h_si = sid[hm]
+        h_g, h_lq = np.divmod(qi[hm], Qd)
+        h_id = ent[hm, 3]
+        h_w = w[hm]
+        if h_id.shape[0]:
             # unique dense ids per (shard, group)
             key = (h_si * self.dp + h_g) * (self.n_dense + 1) + h_id
             uniq_key, inv = np.unique(key, return_inverse=True)
             uk_sg, uk_id = divmod(uniq_key, self.n_dense + 1)
             # slot index within each (shard, group): rank among that group's
             # unique keys (uniq_key is sorted, so ranks are positional)
-            grp_start = np.searchsorted(uk_sg, np.unique(uk_sg), "left")
-            starts_per_key = np.repeat(
-                grp_start, np.bincount(np.searchsorted(np.unique(uk_sg), uk_sg))
+            grp_first = np.concatenate([[True], uk_sg[1:] != uk_sg[:-1]])
+            grp_start = np.where(
+                grp_first, np.arange(uk_sg.shape[0]), 0
             )
-            u_slot = np.arange(uniq_key.shape[0]) - starts_per_key
+            np.maximum.accumulate(grp_start, out=grp_start)
+            u_slot = np.arange(uniq_key.shape[0]) - grp_start
             u_max = int(u_slot.max()) + 1
         else:
             u_max = 0
-        U = _bucket(max(u_max, 1), hb)
-        if u_max > U:
-            U = _round_up(u_max, hb[0])
+        U = _pick_shape(u_max, hb, self._pins.get("U"), "U")
         unique_heavy = np.full((S, self.dp, U), self.n_dense, np.int32)
         heavy_mix = np.zeros((S, self.dp, Qd, U), np.float32)
-        if hv_id:
+        if h_id.shape[0]:
             uk_s, uk_g = divmod(uk_sg, self.dp)
             unique_heavy[uk_s, uk_g, u_slot] = uk_id
             np.add.at(
@@ -693,47 +713,22 @@ class ShardedIndex:
         unique-heavy packing is needed (U = 0).
         """
         S = self.n_shards
-        table = self._lex_table
-        slices = self._lex_slices
+        ent, w, qi, slot, T, Qb = self._flatten_probe(queries)
+        sid = ent[:, 0]
 
-        q_rows, q_ws = _probe_queries(slices, queries)
-
-        t_max = 1
-        q_shards: List[np.ndarray] = []
-        for rows in q_rows:
-            sids = table[rows, 0]
-            q_shards.append(sids)
-            if sids.shape[0]:
-                t_max = max(t_max, int(np.bincount(sids, minlength=S).max()))
-
-        Qb = _round_up(max(len(queries), 1), self.dp)
-        T = _bucket(t_max, self.T_BUCKETS)
         plan_ints = np.zeros((S, Qb, 4, T), np.int32)
         plan_ints[:, :, 2] += np.int32(self.n_dense)
         plan_ints[:, :, 3] += np.int32(self.n_light)
         plan_f32 = np.zeros((S, Qb, T), np.float32)
-        for qi, (rows, ws, sids) in enumerate(
-            zip(q_rows, q_ws, q_shards)
-        ):
-            if rows.shape[0] == 0:
-                continue
-            ent = table[rows]
-            for si in np.unique(sids):
-                m = sids == si
-                n = min(int(m.sum()), T)
-                e = ent[m][:n]
-                w = ws[m][:n]
-                dense = e[:, 3]
-                light = dense < 0
-                plan_ints[si, qi, 0, :n] = e[:, 1]
-                plan_ints[si, qi, 1, :n] = np.where(light, e[:, 2], 0)
-                plan_ints[si, qi, 2, :n] = np.where(
-                    light, self.n_dense, dense
-                )
-                plan_ints[si, qi, 3, :n] = np.where(
-                    light, e[:, 4], self.n_light
-                )
-                plan_f32[si, qi, :n] = w
+        dense = ent[:, 3]
+        light = dense < 0
+        plan_ints[sid, qi, 0, slot] = ent[:, 1]
+        plan_ints[sid, qi, 1, slot] = np.where(light, ent[:, 2], 0)
+        plan_ints[sid, qi, 2, slot] = np.where(light, self.n_dense, dense)
+        plan_ints[sid, qi, 3, slot] = np.where(
+            light, ent[:, 4], self.n_light
+        )
+        plan_f32[sid, qi, slot] = w
         return plan_ints, plan_f32
 
     def _chunk_budget(self, dfs, block) -> int:
@@ -744,11 +739,49 @@ class ShardedIndex:
         reps = (dfs.astype(np.int64) + block - 1) // block
         reps = reps.reshape(S, DP, Qd * T).sum(axis=2)
         total_max = max(int(reps.max(initial=0)), 1)
-        buckets = self.config.device.chunk_buckets
-        C = _bucket(total_max, buckets)
-        if total_max > C:
-            C = int(_round_up(total_max, buckets[0]))
-        return C
+        return _pick_shape(
+            total_max, self.config.device.chunk_buckets,
+            self._pins.get("C"), "C",
+        )
+
+    def pin_shapes(
+        self,
+        probe_batches=None,
+        *,
+        T: Optional[int] = None,
+        Q: Optional[int] = None,
+        C: Optional[int] = None,
+        U: Optional[int] = None,
+        c_pad: int = 128,
+        u_pad: int = 16,
+    ):
+        """Freeze batch-varying static kernel shapes (same contract as
+        DeviceIndex.pin_shapes; see index/segment.py). Probe sizes are
+        measured per (shard, dp-group) — the units the shard_map blocks
+        actually compile over."""
+        if probe_batches is not None:
+            block = self.config.device.posting_block
+            sparse = self.config.device.mode == "sparse"
+            t = q = c = u = 1
+            for b in probe_batches:
+                q = max(q, len(b))
+                if sparse:
+                    pi, _pf = self.plan_sparse(b)
+                    t = max(t, pi.shape[3])
+                    c = max(c, self._chunk_budget(pi[:, :, 1, :], block))
+                else:
+                    s, _dfs, _w, light_dfs, uh, _m = self.plan(b)
+                    t = max(t, s.shape[2])
+                    c = max(c, self._chunk_budget(light_dfs, block))
+                    u = max(u, uh.shape[2])
+            T = T or _bucket(t, self.T_BUCKETS)
+            Q = Q or _round_up(q, self.dp)
+            C = C or _round_up(c, c_pad)
+            U = U or _round_up(u + 1, u_pad)
+        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U)):
+            if v:
+                self._pins[k] = int(v)
+        return dict(self._pins)
 
     # ---------------- execution ----------------
 

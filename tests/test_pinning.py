@@ -1,0 +1,138 @@
+"""Shape-pinning regression tests (VERDICT r2 items 2/3).
+
+Recompile flapping — a batch-varying static kernel shape (T, Q, C, U)
+crossing a bucket boundary mid-serving — is THE serving-throughput killer
+(measured in round 2: an unpinned static U collapsed serving to 141 QPS).
+pin_shapes() must make every batch inside the pinned envelope produce
+IDENTICAL static shapes, so XLA compiles exactly one program.
+"""
+
+import numpy as np
+import pytest
+
+from nextsearch_tpu.config import DeviceConfig, EngineConfig
+from nextsearch_tpu.index.builder import build_segment_arrays
+from nextsearch_tpu.index.segment import DeviceIndex
+
+
+def _mk_segments(n_docs=300, vocab=48, seed=7):
+    r = np.random.default_rng(seed)
+    words = [f"w{i:03d}" for i in range(vocab)]
+    docs = []
+    for i in range(n_docs):
+        toks = r.integers(0, vocab, size=int(r.integers(5, 40)))
+        docs.append({"cord_uid": f"d{i}", "tokens": [words[t] for t in toks]})
+    return [build_segment_arrays(docs)]
+
+
+def _queries(rng, vocab, n, tmin=1, tmax=5):
+    qs = []
+    for _ in range(n):
+        k = int(rng.integers(tmin, tmax + 1))
+        terms = rng.choice(vocab, size=min(k, vocab), replace=False)
+        qs.append([(f"w{t:03d}", 1.0) for t in terms])
+    return qs
+
+
+@pytest.fixture(scope="module")
+def sparse_index():
+    cfg = EngineConfig(
+        device=DeviceConfig(mode="sparse", dense_df_ratio=1 / 8)
+    )
+    return DeviceIndex(_mk_segments(), config=cfg)
+
+
+def _sparse_static_shapes(di, batch):
+    """The tuple of batch-varying static shapes that key the sparse
+    kernel's compilation."""
+    plan, U = di.plan_sparse(batch)
+    C = di._chunk_budget(plan[1], di.config.device.posting_block)
+    _seven, Qb, T = plan.shape
+    return (Qb, T, C, U)
+
+
+def test_pinned_sparse_shapes_are_batch_invariant(sparse_index):
+    di = sparse_index
+    rng = np.random.default_rng(0)
+    probe = [_queries(rng, 48, n) for n in (8, 16)]
+    pins = di.pin_shapes(probe)
+    assert set(pins) == {"T", "Q", "C", "U"}
+
+    shapes = set()
+    for n in (1, 3, 8, 11, 16):
+        shapes.add(_sparse_static_shapes(di, _queries(rng, 48, n)))
+    assert len(shapes) == 1, (
+        f"batches inside the pinned envelope compiled {len(shapes)} "
+        f"distinct shapes: {shapes}"
+    )
+    di._pins.clear()
+
+
+def test_unpinned_bucket_straddle_changes_shapes(sparse_index):
+    """Sanity: without pins the same workload DOES straddle buckets —
+    otherwise the invariance test above proves nothing."""
+    di = sparse_index
+    rng = np.random.default_rng(1)
+    shapes = set()
+    for n in (1, 3, 8, 11, 16):
+        shapes.add(_sparse_static_shapes(di, _queries(rng, 48, n)))
+    assert len(shapes) > 1
+
+
+def test_pin_overflow_escape_is_bounded(sparse_index):
+    """A batch exceeding a pin escapes to the next MULTIPLE of the pin
+    (bounded distinct shapes), never to an arbitrary bucket."""
+    di = sparse_index
+    rng = np.random.default_rng(2)
+    di.pin_shapes(T=2, Q=4, C=128, U=16)
+    qs = _queries(rng, 48, 6, tmin=5, tmax=5)  # T=5 > pin 2, Q=6 > pin 4
+    Qb, T, C, U = _sparse_static_shapes(di, qs)
+    assert T == 6 and T % 2 == 0  # 5 -> next multiple of 2
+    assert Qb == 8 and Qb % 4 == 0
+    di._pins.clear()
+
+
+def test_fused_plan_honors_pins(sparse_index):
+    cfg = EngineConfig(device=DeviceConfig(mode="fused", dense_df_ratio=1 / 8))
+    di = DeviceIndex(_mk_segments(), config=cfg)
+    rng = np.random.default_rng(3)
+    probe = [_queries(rng, 48, n) for n in (4, 12)]
+    di.pin_shapes(probe)
+    shapes = set()
+    for n in (2, 5, 9, 12):
+        batch = _queries(rng, 48, n)
+        starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = (
+            di.plan_full(batch)
+        )
+        C = di._chunk_budget(light_dfs, di.config.device.posting_block)
+        shapes.add(
+            (starts.shape, unique_heavy.shape[0] if unique_heavy.ndim else 0,
+             heavy_mix.shape, C)
+        )
+    assert len(shapes) == 1, shapes
+
+
+def test_sharded_pin_shapes():
+    import jax
+
+    from nextsearch_tpu.parallel.mesh import make_mesh
+    from nextsearch_tpu.parallel.sharded import ShardedIndex
+
+    segs = _mk_segments() + _mk_segments(seed=8)
+    mesh = make_mesh(dp=2, seg=2, devices=jax.devices()[:4])
+    cfg = EngineConfig(
+        device=DeviceConfig(mode="sparse", dense_df_ratio=1 / 8)
+    )
+    si = ShardedIndex(segs, mesh, config=cfg)
+    rng = np.random.default_rng(4)
+    probe = [_queries(rng, 48, n) for n in (4, 12)]
+    pins = si.pin_shapes(probe)
+    assert pins["T"] >= 1 and pins["C"] >= 1
+
+    shapes = set()
+    for n in (2, 7, 12):
+        pi, _pf = si.plan_sparse(_queries(rng, 48, n))
+        C = si._chunk_budget(pi[:, :, 1, :], si.config.device.posting_block)
+        shapes.add((pi.shape, C))
+    assert len(shapes) == 1, shapes
+    si._pins.clear()
