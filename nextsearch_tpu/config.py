@@ -106,6 +106,13 @@ class DeviceConfig:
     # eager scores stay distinct, exact ties break doc-asc consistently
     # with the canonical order.
     dense_rows_bf16: bool = False
+    # Sparse-mode unified-totals pipeline (ops/bm25_sparse.
+    # bm25_search_sparse_unified): scatter-add light contributions INTO the
+    # heavy matmul output and read selection maxima + the exact matched-doc
+    # count off one totals matrix — replaces the light path's two global
+    # sorts and halves the rescore width. OFF -> the split light/heavy
+    # packed kernel (bm25_search_sparse_packed).
+    unified: bool = True
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     # Gather volume beyond the live chunks is pure waste, so the ladder
     # starts small; each bucket is one XLA compile (cached persistently).

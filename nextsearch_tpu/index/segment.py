@@ -718,7 +718,10 @@ class DeviceIndex:
         """Launch the sparse-light kernel (mode='sparse')."""
         import jax
 
-        from ..ops.bm25_sparse import bm25_search_sparse_packed
+        from ..ops.bm25_sparse import (
+            bm25_search_sparse_packed,
+            bm25_search_sparse_unified,
+        )
 
         nq = len(queries)
         K = _bucket(max(k, 1), self.K_BUCKETS)
@@ -728,6 +731,23 @@ class DeviceIndex:
         block = self.config.device.posting_block
         C = self._chunk_budget(plan[1], block)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
+        )
+        unified = self.config.device.unified and (
+            os.environ.get("NEXTSEARCH_UNIFIED", "1") == "1"
+        )
+        if unified:
+            out = bm25_search_sparse_unified(
+                self.post_doc, self.post_score, self.dense_rows,
+                self.bucket_pos, self.light_bucket_pos, plan,
+                n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
+                bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
+                U=U, use_pallas=use_pallas,
+            )
+            out.copy_to_host_async()
+            return ("packed", nq, k, K, out)
         use_compact = (
             os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
         )
@@ -745,10 +765,7 @@ class DeviceIndex:
             n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
             U=U,
-            use_pallas=(
-                jax.default_backend() == "tpu"
-                and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
-            ),
+            use_pallas=use_pallas,
             use_compact=use_compact,
         )
         out.copy_to_host_async()

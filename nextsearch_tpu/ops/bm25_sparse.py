@@ -260,6 +260,138 @@ def _dedup_sorted(vals, docs):
     jax.jit,
     static_argnames=(
         "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
+        "use_pallas",
+    ),
+)
+def bm25_search_sparse_unified(
+    post_doc: jax.Array,  # int32 [P]
+    post_score: jax.Array,  # f32 [P]
+    dense_rows: jax.Array,  # f32 3D [rows, n_slots/128, 128]
+    bucket_pos: jax.Array,  # int32 [ND+1, NBh+1] heavy bucket positions
+    light_bucket_pos: jax.Array,  # int32 [NL+1, NBl+1] light bucket positions
+    plan: jax.Array,  # int32 [7, Q, T] — see bm25_search_sparse_packed
+    *,
+    n_slots: int,
+    K: int,
+    K2: int,
+    C: int,
+    block: int,
+    bs_steps: int,
+    nd: int,
+    nl: int,
+    U: int,
+    use_pallas: bool = True,
+):
+    """Unified-totals sparse search: light contributions are scatter-added
+    INTO the heavy matmul output, so selection and the matched-doc count
+    read off ONE exact [Q, n_slots] totals matrix.
+
+    Replaces the split light path (global (q, doc) sort + segmented sum +
+    selection sort + H-gather + distinct-count scans) with:
+
+      pass 1   compact heavy matmul (Pallas DMA row gather + fused MXU
+               kernel, exactly as bm25_search_sparse_packed)
+      scatter  ONE scatter-add of the expanded light posting windows into
+               H (contributions are the host-precomputed eager f32 scores;
+               every contribution is strictly positive, so totals > 0
+               exactly on the docs the reference's accumulation loop
+               touches — src/api_engine.cpp:473-496)
+      pass 2   tile_stats: per-sub-tile maxima + per-tile positive counts
+               of the totals matrix in one VMEM pass (ops/heavy_pallas)
+      found    sum of tile counts — exact (#docs with >= 1 matched term)
+      select   ONE K2-wide pool from per-sub-tile maxima of EXACT totals
+               (a doc's own sub-tile max >= its total), half the rescore
+               width of the two-pool packed kernel
+      rescore  bit-exact f32 re-accumulation, unchanged (exact_rescore_v2)
+
+    Output packed f32 [Q, 2K+1] like bm25_search_sparse_packed.
+    """
+    from .heavy_pallas import (
+        gather_rows_pallas,
+        tile_stats_pallas,
+        tile_stats_xla,
+    )
+
+    starts = plan[0]
+    light_dfs = plan[1]
+    slot_dense = plan[2]
+    slot_light = plan[3]
+    slot_compact = plan[4]
+    weights = lax.bitcast_convert_type(plan[5], jnp.float32)
+    Q, T = starts.shape
+
+    # ---- pass 1: compact heavy matmul (identical to the packed kernel's
+    # compact path; smax/cnt epilogue outputs are recomputed over the
+    # summed totals in pass 2, the H output is what feeds the scatter).
+    m = min(U, Q * T)
+    ids_flat = plan[6].reshape(-1)[:m]
+    uc = _round_up_16(U + 1)
+    ids = jnp.concatenate([ids_flat, jnp.full((uc - m,), nd, jnp.int32)])
+    ids = jnp.clip(ids, 0, dense_rows.shape[0] - 1)
+    iota_u = lax.broadcasted_iota(jnp.int32, (1, uc), 1)
+
+    def mix_step(t, mm):
+        sc_t = lax.dynamic_index_in_dim(slot_compact, t, axis=1, keepdims=True)
+        w_t = lax.dynamic_index_in_dim(weights, t, axis=1, keepdims=True)
+        return mm + jnp.where(sc_t == iota_u, w_t, jnp.float32(0.0))
+
+    mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
+    mix = mix.at[:, U].set(0.0)  # light/padding slots -> zero row
+
+    table3 = (
+        gather_rows_pallas(ids, dense_rows) if use_pallas else dense_rows[ids]
+    )
+    table = table3.reshape(table3.shape[0], n_slots)
+    fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
+    H, _smax_h, _cnt_h = fused(mix, table)
+
+    # ---- light scatter-add into H -> exact totals matrix.
+    cs, cl, cq, cw = expand_chunks(starts, light_dfs, weights, C=C, block=block)
+    P = post_doc.shape[0]
+    offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    valid = offs < cl[:, None]
+    idx = jnp.clip(cs[:, None] + offs, 0, max(P - 1, 0))
+    doc = jnp.where(valid, post_doc[idx], jnp.int32(0))
+    contrib = jnp.where(valid, cw[:, None] * post_score[idx], jnp.float32(0.0))
+    qrow = jnp.clip(jnp.broadcast_to(cq[:, None], (C, block)), 0, Q - 1)
+    doc = jnp.clip(doc, 0, n_slots - 1)
+    totals = H.at[qrow.reshape(-1), doc.reshape(-1)].add(contrib.reshape(-1))
+
+    # ---- pass 2: selection maxima + exact found off the totals matrix.
+    stats = tile_stats_pallas if use_pallas else tile_stats_xla
+    smax_sq, cnt_tq = stats(totals)
+    found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
+
+    # ---- single K2 candidate pool by exact totals (one pool: totals
+    # already include light + heavy, so the packed kernel's light/heavy
+    # pool union — and its duplicate kill — is unnecessary).
+    _vals, cand = heavy_candidates(totals, smax_sq, K2, Q, n_slots)
+    cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
+
+    safe_cand = jnp.clip(cand, 0, n_slots - 1)
+    exact = exact_rescore_v2(
+        post_doc, post_score, bucket_pos, light_bucket_pos, starts,
+        slot_dense, slot_light, weights, safe_cand,
+        bs_steps=bs_steps, nd=nd, nl=nl,
+    )
+    exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
+    sval, sdoc = canonical_sort(exact, safe_cand)
+
+    out = jnp.concatenate(
+        [
+            sval[:, :K],
+            sdoc[:, :K].astype(jnp.float32),
+            found[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
         "use_pallas", "use_compact",
     ),
 )

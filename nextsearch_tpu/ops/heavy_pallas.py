@@ -152,6 +152,94 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
     )
 
 
+def _tilestats_kernel(t_ref, smax_ref, cnt_ref):
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    tile = t_ref[:]  # [Q, TILE] f32
+    q = tile.shape[0]
+    sm = jnp.max(tile.reshape(q, _SPT, SUB), axis=2)
+    ct = jnp.sum((tile > 0).astype(jnp.float32), axis=1)
+    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
+    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+
+
+def tile_stats_pallas(totals: jax.Array, *, interpret: bool = False):
+    """Per-sub-tile maxima + per-tile positive counts of a [Q, n_slots]
+    totals matrix, one VMEM pass (the heavy kernel's epilogue without the
+    matmul). Returns (smax f32 [n_sub_pad, Q], counts f32 [n_tiles_pad, Q]).
+
+    The unified sparse pipeline (ops/bm25_sparse.bm25_search_sparse_unified)
+    scatter-adds light contributions INTO H and then reads selection maxima
+    and the exact matched-doc count off the summed matrix in this single
+    pass — replacing the light path's two global sorts, segmented scans,
+    and H-gather (reference accumulation loop being replaced:
+    /root/reference/src/api_engine.cpp:473-496)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, n_slots = totals.shape
+    assert n_slots % TILE == 0, (n_slots, TILE)
+    n_tiles = n_slots // TILE
+    tiles_pad = ((n_tiles + 7) // 8) * 8
+    sub_pad = tiles_pad * _SPT
+
+    out = pl.pallas_call(
+        _tilestats_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Q, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (_SPT, tiles_pad, Q),
+                lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(totals)
+    smax3, cnt = out
+    smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
+    return smax, cnt
+
+
+def tile_stats_xla(totals: jax.Array):
+    """Pure-XLA reference for tile_stats_pallas (and the CPU path)."""
+    Q, n_slots = totals.shape
+    n_tiles = n_slots // TILE
+    n_sub = n_slots // SUB
+    tiles_pad = ((n_tiles + 7) // 8) * 8
+    sub_pad = tiles_pad * _SPT
+    smax = jnp.transpose(jnp.max(totals.reshape(Q, n_sub, SUB), axis=2))
+    cnt = jnp.transpose(
+        jnp.sum(
+            (totals.reshape(Q, n_tiles, TILE) > 0), axis=2
+        ).astype(jnp.float32)
+    )
+    neg = jnp.float32(-jnp.inf)
+    return (
+        jnp.pad(smax, ((0, sub_pad - n_sub), (0, 0)), constant_values=neg),
+        jnp.pad(cnt, ((0, tiles_pad - n_tiles), (0, 0))),
+    )
+
+
 def _rowgather_kernel(ids_ref, dense_ref, out_ref, sems_ref):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -17,13 +17,14 @@ from nextsearch_tpu.index.segment import DeviceIndex
 from conftest import make_synthetic_docs
 
 
-def make_index(segs, dense_ratio=0.02, block=64):
+def make_index(segs, dense_ratio=0.02, block=64, unified=True):
     cfg = EngineConfig(
         device=DeviceConfig(
             mode="sparse",
             posting_block=block,
             chunk_buckets=(64, 256, 1024),
             dense_df_ratio=dense_ratio,
+            unified=unified,
         )
     )
     return DeviceIndex(segs, config=cfg)
@@ -93,8 +94,9 @@ def test_sparse_heavy_only():
     check_parity(di, [seg], queries)
 
 
-def test_sparse_fuzz(segs):
-    di = make_index(segs)
+@pytest.mark.parametrize("unified", [True, False])
+def test_sparse_fuzz(segs, unified):
+    di = make_index(segs, unified=unified)
     r = np.random.default_rng(64)
     words = [f"w{i:04d}" for i in range(220)]
     queries = []
@@ -107,6 +109,44 @@ def test_sparse_fuzz(segs):
             ]
         )
     check_parity(di, segs, queries)
+
+
+@pytest.mark.parametrize("unified", [True, False])
+def test_sparse_unified_vs_packed_parity(segs, unified):
+    """The unified-totals pipeline and the split light/heavy packed kernel
+    must both match the oracle on the same mixed query set (unified is the
+    serving default; packed is the fallback)."""
+    di = make_index(segs, unified=unified)
+    check_parity(di, segs, [
+        [("w0000", 1.0)],
+        [("w0000", 1.0), ("w0150", 0.7)],
+        [("w0001", 0.5), ("w0002", 1.0), ("w0190", 0.9)],
+        [("w0150", 1.0), ("w0180", 0.4)],   # light-only multi-term
+        [("nosuchterm", 1.0)],
+    ])
+
+
+def test_tile_stats_pallas_interpret_parity(segs):
+    """tile_stats_pallas (interpret mode on CPU) agrees with tile_stats_xla
+    on a totals matrix with negatives, zeros, and positives."""
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.heavy_pallas import (
+        TILE,
+        tile_stats_pallas,
+        tile_stats_xla,
+    )
+
+    r = np.random.default_rng(66)
+    n_slots = 3 * TILE
+    totals = r.normal(size=(8, n_slots)).astype(np.float32)
+    totals[totals < 0.3] = 0.0  # plenty of exact zeros (unmatched docs)
+    totals[:, -TILE:] *= -1.0
+    t = jnp.asarray(totals)
+    s1, c1 = tile_stats_pallas(t, interpret=True)
+    s2, c2 = tile_stats_xla(t)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
 
 
 def test_sparse_pallas_interpret_parity(segs):
