@@ -41,46 +41,20 @@ from nextsearch_tpu.models.semantic import SemanticIndex  # noqa: E402
 
 
 def _pinned_index(segs, batches, blk=512, mode="fused", **dev_kw):
-    """DeviceIndex with a single workload-sized chunk bucket (no mid-loop
-    recompiles; same approach as bench.py). The budget probe runs host_only
-    (no dense materialization / device transfers)."""
+    """DeviceIndex with serving shape pins sized from the workload via the
+    first-class pin_shapes API (T/Q/C/U frozen in one call — replaces the
+    ad-hoc probe/mutate dance this file and bench.py used to hand-roll;
+    VERDICT r2 item 3). Any batch in `batches` then hits ONE compiled
+    kernel shape; mid-measurement recompiles (measured at 3.9-141 QPS when
+    they happen) are impossible for the probed workload."""
     from nextsearch_tpu.config import DeviceConfig, EngineConfig
 
-    cfg0 = EngineConfig(
-        device=DeviceConfig(
-            posting_block=blk, heavy_buckets=(256,), mode=mode, **dev_kw
-        )
-    )
-    di0 = DeviceIndex(segs, config=cfg0, host_only=True)
-    max_live = 1
-    for b in batches:
-        _s, _d, _w, light_dfs, _u, _m = di0.plan_full(b)
-        live = int(np.sum((light_dfs.astype(np.int64) + blk - 1) // blk))
-        max_live = max(max_live, live)
-    chunks = ((max_live + 127) // 128) * 128
-    # Pin the term-slot bucket too: multi-segment corpora make per-batch
-    # slot counts straddle bucket boundaries, and every new (T, C) pair is
-    # a full XLA compile mid-measurement (measured: 3.9 QPS at 1M/4-seg
-    # from T flapping 8<->16).
-    t_max = 1
-    for b in batches:
-        for terms in b:
-            n = sum(
-                di0._lex_slices[t][1]
-                for t, _w in terms
-                if t in di0._lex_slices
-            )
-            t_max = max(t_max, n)
     cfg = EngineConfig(
-        device=DeviceConfig(
-            posting_block=blk, heavy_buckets=(256,), chunk_buckets=(chunks,),
-            mode=mode, **dev_kw
-        )
+        device=DeviceConfig(posting_block=blk, mode=mode, **dev_kw)
     )
     di = DeviceIndex(segs, config=cfg)
-    from nextsearch_tpu.index.segment import _bucket as _bkt
-
-    di.T_BUCKETS = (_bkt(t_max, DeviceIndex.T_BUCKETS),)
+    pins = di.pin_shapes(batches)
+    print(f"[eval] pins: {pins}", file=sys.stderr)
     return di
 
 
@@ -167,17 +141,17 @@ def config3():
     probs = 1.0 / np.arange(1, 40_000 + 1) ** 1.07
     probs /= probs.sum()
     if full:
-        # Full 1M scale runs the production sparse configuration (the
-        # bench.py headline path): big batches amortize the per-launch
-        # floor; dense rows + bucket tables finalize on device. Full-table
-        # heavy mode: the compact path's per-batch unique-row count U is a
-        # static kernel arg and flaps across buckets at this shape mix
-        # (measured: 4.7 QPS from mid-measure recompiles).
-        os.environ["NEXTSEARCH_COMPACT_HEAVY"] = "0"
-        batches = sample_queries(probs, 2048, 256, seed=3)
+        # Full 1M scale runs the production sparse serving configuration
+        # (the bench.py headline shape: posting block 64, compact heavy
+        # mode, batch 512, pipeline depth 8). pin_shapes freezes U along
+        # with T/Q/C, so compact heavy mode — which round 2 had to disable
+        # here because its unpinned static U recompiled mid-serving at
+        # this query mix (4.7 QPS) — now serves the multi-segment merge
+        # at its real speed.
+        batches = sample_queries(probs, 4096, 512, seed=3)
         di = _pinned_index(
-            segs, batches, mode="sparse",
-            dense_df_ratio=1 / 1024, dense_max_bytes=6 << 30,
+            segs, batches, blk=64, mode="sparse",
+            dense_df_ratio=1 / 1024, dense_max_bytes=7 << 30,
         )
     else:
         batches = sample_queries(probs, 256, 64, seed=3)
@@ -191,7 +165,7 @@ def config3():
         for (o_s, o_seg, o_doc), d_s, d_slot in zip(hits, res.scores, res.doc_slots):
             assert di.locate(int(d_slot)) == (o_seg, o_doc)
             assert np.float32(d_s) == np.float32(o_s)
-    qps = _throughput(di, batches)
+    qps = _throughput(di, batches, depth=8 if full else 4)
     return {
         "config": 3, "docs": n_per_seg * n_segs, "segments": n_segs,
         "parity": True, "qps": round(qps, 1),
