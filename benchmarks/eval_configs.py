@@ -173,19 +173,50 @@ def config3():
 
 
 def config4():
-    seg, probs = build_corpus(20_000, 30_000, seed=4)
-    ac = AutocompleteIndex()
-    ac.build(
-        {t: int(df) for t, df in zip(seg.terms, seg.term_df)}, 10
-    )
+    """Autocomplete at a 1M-doc-scale vocabulary (VERDICT r2 item 6: the
+    mechanism was measured at 30k terms in round 2; the claim needs
+    terms >= 300k). 400k distinct realistic term strings with Zipf dfs
+    over 1M docs; the workload mixes short prefixes (the per-prefix
+    top-k cache, reference trie analog src/api_autocomplete.cpp:58-86)
+    with long prefixes (the windowed device kernel)."""
+    n_terms = 400_000
     rng = np.random.default_rng(4)
-    prefixes = [f"t{rng.integers(0, 9)}" for _ in range(64)]
-    ac.suggest_batch(prefixes, 10)  # warm
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lp = 1.0 / (np.arange(26) + 5.0)
+    lp /= lp.sum()
+    words: set = set()
+    while len(words) < n_terms:
+        lens = rng.integers(3, 13, size=n_terms)
+        chars = letters[rng.choice(26, size=(n_terms, 12), p=lp)]
+        words.update(
+            "".join(row[:ln]) for row, ln in zip(chars, lens)
+        )
+    terms = sorted(words)
+    dfs = (1_000_000 / np.arange(1, len(terms) + 1) ** 1.07).astype(
+        np.int64
+    ) + 1
+    rng.shuffle(dfs)  # df rank uncorrelated with lexicographic order
+    ac = AutocompleteIndex()
+    ac.build({t: int(d) for t, d in zip(terms, dfs)}, 10)
+
+    # Mixed prefix-length workload sampled from the live vocabulary, as a
+    # typing user produces: mostly short (cache hits), a tail of long
+    # prefixes (windowed kernel) and full terms.
+    plens = rng.choice(
+        [1, 2, 3, 4, 5, 6, 99],
+        size=512,
+        p=[0.10, 0.25, 0.25, 0.20, 0.10, 0.05, 0.05],
+    )
+    picks = rng.integers(0, len(terms), size=512)
+    queries = [terms[i][: min(pl, len(terms[i]))] for i, pl in zip(picks, plens)]
+    batches = [queries[i : i + 64] for i in range(0, 512, 64)]
+    for b in batches:
+        ac.suggest_batch(b, 10)  # warm every window bucket
     n = 0
     t0 = time.time()
     while time.time() - t0 < 5.0:
-        ac.suggest_batch(prefixes, 10)
-        n += len(prefixes)
+        ac.suggest_batch(batches[n // 64 % len(batches)], 10)
+        n += 64
     qps = n / (time.time() - t0)
     return {
         "config": 4, "terms": len(ac.terms), "qps": round(qps, 1),
