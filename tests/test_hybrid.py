@@ -84,6 +84,38 @@ def test_no_candidates(setup):
     assert res.found == 0 and len(res.scores) == 0
 
 
+def test_device_build_matches_host_build(setup, monkeypatch):
+    """The on-device doc-embedding build (chunked scatter + normalize)
+    reproduces the host np.add.at build to float tolerance, including the
+    chunk-boundary padding path."""
+    di, sem = setup
+    monkeypatch.setenv("NEXTSEARCH_HYBRID_DEVICE_BUILD", "1")
+    dev = HybridIndex(di, sem, beta=0.5, chunk=7)  # tiny chunk: many pads
+    monkeypatch.setenv("NEXTSEARCH_HYBRID_DEVICE_BUILD", "0")
+    host = HybridIndex(di, sem, beta=0.5)
+    np.testing.assert_allclose(
+        np.asarray(dev.doc_emb), np.asarray(host.doc_emb),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_async_matches_sync(setup):
+    """Pipelined async/gather returns the same results as the sync call."""
+    hy = HybridIndex(*setup, beta=0.5)
+    queries = [
+        [("covid", 1.0), ("virus", 1.0)],
+        [("banana", 1.0)],
+        [("zzz", 1.0)],
+    ]
+    sync = [hy.search_batch([q], k=4, candidates=4)[0] for q in queries]
+    handles = [hy.search_batch_async([q], 4, 4) for q in queries]
+    for h, s in zip(handles, sync):
+        (a,) = hy.search_batch_gather(h)
+        assert a.found == s.found
+        assert a.doc_slots.tolist() == s.doc_slots.tolist()
+        np.testing.assert_array_equal(a.scores, s.scores)
+
+
 def test_engine_hybrid_endpoint(tmp_path, monkeypatch):
     """Engine.search_hybrid: response shape + fallback without embeddings."""
     import numpy as np
