@@ -51,38 +51,51 @@ def main(argv=None) -> int:
 
     r = np.random.default_rng(args.seed)
     words = vocab_words(args.vocab)
+    wobj = np.asarray(words, dtype=object)
     probs = 1.0 / np.arange(1, args.vocab + 1) ** 1.07
     probs /= probs.sum()
+    # Vectorized Zipf sampling: per-doc r.choice(p=...) rebuilds an O(vocab)
+    # cdf per call — hours at 1M docs x 200k vocab. One cdf + batched
+    # searchsorted generates ~1M tokens per numpy call instead.
+    cdf = np.cumsum(probs)
+    cdf[-1] = 1.0
 
-    meta_lines = [
+    meta_f = open(out / "metadata.csv", "w", encoding="utf-8")
+    meta_f.write(
         "cord_uid,title,authors,publish_time,url,abstract,"
-        "pdf_json_files,pmc_json_files"
-    ]
-    for i in range(args.n):
-        uid = f"syn{i:07d}"
-        length = max(5, int(r.poisson(args.avg_len)))
-        toks = r.choice(args.vocab, size=length, p=probs)
-        body = " ".join(words[t] for t in toks)
-        title_toks = r.choice(args.vocab, size=4, p=probs)
-        title = " ".join(words[t] for t in title_toks)
-        rel = f"document_parses/pmc_json/{uid}.xml.json"
-        doc = {
-            "paper_id": uid,
-            "title": title,
-            "abstract": [{"text": body[: len(body) // 3]}],
-            "body_text": [{"text": body}],
-        }
-        (out / rel).write_text(json.dumps(doc))
-        year = 2019 + int(r.integers(0, 3))
-        meta_lines.append(
-            f'{uid},"{title}","Author{i % 97}, A; Coauthor, B",'
-            f"{year}-01-{1 + i % 28:02d},https://example.org/{uid};mirror,"
-            f'"{body[:80]}",,{rel}'
-        )
-        if (i + 1) % 2000 == 0:
-            print(f"docs: {i + 1}", file=sys.stderr)
+        "pdf_json_files,pmc_json_files\n"
+    )
+    B = 20_000
+    for lo in range(0, args.n, B):
+        nb = min(B, args.n - lo)
+        lens = np.maximum(5, r.poisson(args.avg_len, nb))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        toks = np.searchsorted(cdf, r.random(int(offs[-1])), side="right")
+        ttoks = np.searchsorted(cdf, r.random(4 * nb), side="right")
+        tw = wobj[np.minimum(toks, args.vocab - 1)]
+        ttw = wobj[np.minimum(ttoks, args.vocab - 1)]
+        for j in range(nb):
+            i = lo + j
+            uid = f"syn{i:07d}"
+            body = " ".join(tw[offs[j]:offs[j + 1]])
+            title = " ".join(ttw[4 * j : 4 * j + 4])
+            rel = f"document_parses/pmc_json/{uid}.xml.json"
+            doc = {
+                "paper_id": uid,
+                "title": title,
+                "abstract": [{"text": body[: len(body) // 3]}],
+                "body_text": [{"text": body}],
+            }
+            (out / rel).write_text(json.dumps(doc))
+            year = 2019 + i % 3
+            meta_f.write(
+                f'{uid},"{title}","Author{i % 97}, A; Coauthor, B",'
+                f"{year}-01-{1 + i % 28:02d},https://example.org/{uid};mirror,"
+                f'"{body[:80]}",,{rel}\n'
+            )
+        print(f"docs: {min(lo + B, args.n)}", file=sys.stderr)
 
-    (out / "metadata.csv").write_text("\n".join(meta_lines) + "\n")
+    meta_f.close()
     print(f"Synthetic corpus: {args.n} docs in {out}", file=sys.stderr)
     return 0
 
