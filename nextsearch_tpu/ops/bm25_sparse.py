@@ -282,22 +282,25 @@ def bm25_search_sparse_unified(
     U: int,
     use_pallas: bool = True,
 ):
-    """Unified-totals sparse search: light contributions are scatter-added
-    INTO the heavy matmul output, so selection and the matched-doc count
-    read off ONE exact [Q, n_slots] totals matrix.
+    """Unified-totals sparse search: light contributions are folded INTO
+    the heavy matmul inside one Pallas pass, so selection and the
+    matched-doc count read off ONE exact [Q, n_slots] totals matrix.
 
     Replaces the split light path (global (q, doc) sort + segmented sum +
     selection sort + H-gather + distinct-count scans) with:
 
-      pass 1   compact heavy matmul (Pallas DMA row gather + fused MXU
-               kernel, exactly as bm25_search_sparse_packed)
-      scatter  ONE scatter-add of the expanded light posting windows into
-               H (contributions are the host-precomputed eager f32 scores;
-               every contribution is strictly positive, so totals > 0
-               exactly on the docs the reference's accumulation loop
-               touches — src/api_engine.cpp:473-496)
-      pass 2   tile_stats: per-sub-tile maxima + per-tile positive counts
-               of the totals matrix in one VMEM pass (ops/heavy_pallas)
+      expand   light posting windows -> (doc, query, contribution)
+               entries; contributions are the host-precomputed eager f32
+               scores, strictly positive, so totals > 0 exactly on the
+               docs the reference's accumulation loop touches
+               (src/api_engine.cpp:473-496)
+      sort     ONE device sort of the entries by doc slot (~9 ms at 213k
+               entries; an XLA scatter-add of the same entries costs
+               ~95 ms on TPU — measured, the v1 design's mistake)
+      fuse     unified_fused_pallas: per 2048-doc tile, heavy MXU block +
+               this tile's entry windows applied as a one-hot matmul +
+               per-sub-tile maxima + exact positive counts, single VMEM
+               pass (ops/heavy_pallas)
       found    sum of tile counts — exact (#docs with >= 1 matched term)
       select   ONE K2-wide pool from per-sub-tile maxima of EXACT totals
                (a doc's own sub-tile max >= its total), half the rescore
@@ -307,9 +310,10 @@ def bm25_search_sparse_unified(
     Output packed f32 [Q, 2K+1] like bm25_search_sparse_packed.
     """
     from .heavy_pallas import (
+        ENT_W,
         gather_rows_pallas,
-        tile_stats_pallas,
-        tile_stats_xla,
+        unified_fused_pallas,
+        unified_fused_xla,
     )
 
     starts = plan[0]
@@ -320,9 +324,8 @@ def bm25_search_sparse_unified(
     weights = lax.bitcast_convert_type(plan[5], jnp.float32)
     Q, T = starts.shape
 
-    # ---- pass 1: compact heavy matmul (identical to the packed kernel's
-    # compact path; smax/cnt epilogue outputs are recomputed over the
-    # summed totals in pass 2, the H output is what feeds the scatter).
+    # ---- compact heavy mix (identical to the packed kernel's compact
+    # path); the matmul itself runs inside the unified kernel.
     m = min(U, Q * T)
     ids_flat = plan[6].reshape(-1)[:m]
     uc = _round_up_16(U + 1)
@@ -342,24 +345,39 @@ def bm25_search_sparse_unified(
         gather_rows_pallas(ids, dense_rows) if use_pallas else dense_rows[ids]
     )
     table = table3.reshape(table3.shape[0], n_slots)
-    fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, _smax_h, _cnt_h = fused(mix, table)
 
-    # ---- light scatter-add into H -> exact totals matrix.
+    # ---- light entries: expand, sort by doc slot, tile offsets.
     cs, cl, cq, cw = expand_chunks(starts, light_dfs, weights, C=C, block=block)
     P = post_doc.shape[0]
     offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
     valid = offs < cl[:, None]
     idx = jnp.clip(cs[:, None] + offs, 0, max(P - 1, 0))
-    doc = jnp.where(valid, post_doc[idx], jnp.int32(0))
+    # invalid entries carry doc = n_slots: they sort past every tile bound
+    # and never enter a kernel window
+    doc = jnp.where(valid, post_doc[idx], jnp.int32(n_slots))
     contrib = jnp.where(valid, cw[:, None] * post_score[idx], jnp.float32(0.0))
     qrow = jnp.clip(jnp.broadcast_to(cq[:, None], (C, block)), 0, Q - 1)
-    doc = jnp.clip(doc, 0, n_slots - 1)
-    totals = H.at[qrow.reshape(-1), doc.reshape(-1)].add(contrib.reshape(-1))
+    sd, sq, sv = lax.sort(
+        (doc.reshape(-1), qrow.reshape(-1), contrib.reshape(-1)), num_keys=1
+    )
+    from .heavy_pallas import TILE as _TILE
 
-    # ---- pass 2: selection maxima + exact found off the totals matrix.
-    stats = tile_stats_pallas if use_pallas else tile_stats_xla
-    smax_sq, cnt_tq = stats(totals)
+    n_tiles = n_slots // _TILE
+    bounds = jnp.arange(0, n_tiles + 1, dtype=jnp.int32) * _TILE
+    toff = jnp.searchsorted(sd, bounds, side="left").astype(jnp.int32)
+    # pad so any window start below toff[-1] reads ENT_W rows in bounds
+    N = C * block
+    Np = ((N + ENT_W + 511) // 512) * 512
+    pad = Np - N
+    sd = jnp.concatenate([sd, jnp.full((pad,), n_slots, jnp.int32)])
+    sq = jnp.concatenate([sq, jnp.zeros((pad,), jnp.int32)])
+    sv = jnp.concatenate([sv, jnp.zeros((pad,), jnp.float32)])
+
+    fusedu = unified_fused_pallas if use_pallas else unified_fused_xla
+    totals, smax_sq, cnt_tq = fusedu(
+        mix.astype(table.dtype), table,
+        sd[:, None], sq[:, None], sv[:, None], toff,
+    )
     found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
 
     # ---- single K2 candidate pool by exact totals (one pool: totals

@@ -152,76 +152,9 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
     )
 
 
-def _tilestats_kernel(t_ref, smax_ref, cnt_ref):
-    import jax.experimental.pallas as pl
-
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-    tile = t_ref[:]  # [Q, TILE] f32
-    q = tile.shape[0]
-    sm = jnp.max(tile.reshape(q, _SPT, SUB), axis=2)
-    ct = jnp.sum((tile > 0).astype(jnp.float32), axis=1)
-    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
-    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
-
-
-def tile_stats_pallas(totals: jax.Array, *, interpret: bool = False):
-    """Per-sub-tile maxima + per-tile positive counts of a [Q, n_slots]
-    totals matrix, one VMEM pass (the heavy kernel's epilogue without the
-    matmul). Returns (smax f32 [n_sub_pad, Q], counts f32 [n_tiles_pad, Q]).
-
-    The unified sparse pipeline (ops/bm25_sparse.bm25_search_sparse_unified)
-    scatter-adds light contributions INTO H and then reads selection maxima
-    and the exact matched-doc count off the summed matrix in this single
-    pass — replacing the light path's two global sorts, segmented scans,
-    and H-gather (reference accumulation loop being replaced:
-    /root/reference/src/api_engine.cpp:473-496)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    Q, n_slots = totals.shape
-    assert n_slots % TILE == 0, (n_slots, TILE)
-    n_tiles = n_slots // TILE
-    tiles_pad = ((n_tiles + 7) // 8) * 8
-    sub_pad = tiles_pad * _SPT
-
-    out = pl.pallas_call(
-        _tilestats_kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((Q, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (_SPT, tiles_pad, Q),
-                lambda t: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
-            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(totals)
-    smax3, cnt = out
-    smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
-    return smax, cnt
-
-
 def tile_stats_xla(totals: jax.Array):
-    """Pure-XLA reference for tile_stats_pallas (and the CPU path)."""
+    """Per-sub-tile maxima + per-tile positive counts of a totals matrix
+    (XLA; the epilogue of unified_fused_xla / the CPU path)."""
     Q, n_slots = totals.shape
     n_tiles = n_slots // TILE
     n_sub = n_slots // SUB
@@ -238,6 +171,182 @@ def tile_stats_xla(totals: jax.Array):
         jnp.pad(smax, ((0, sub_pad - n_sub), (0, 0)), constant_values=neg),
         jnp.pad(cnt, ((0, tiles_pad - n_tiles), (0, 0))),
     )
+
+
+ENT_W = 512  # light entries applied per in-kernel window
+
+
+def _unified_kernel(
+    toff_ref, mix_ref, dense_ref, ed_ref, eq_ref, ev_ref,
+    tot_ref, smax_ref, cnt_ref,
+    wd_ref, wq_ref, wv_ref, sems,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    h = jnp.dot(
+        mix_ref[:], dense_ref[:], preferred_element_type=jnp.float32
+    )  # [Q, TILE]
+    q = h.shape[0]
+
+    lo = toff_ref[t]
+    hi = toff_ref[t + 1]
+    nw = (hi - lo + ENT_W - 1) // ENT_W
+    iota_q = lax.broadcasted_iota(jnp.int32, (ENT_W, q), 1)
+    iota_d = lax.broadcasted_iota(jnp.int32, (ENT_W, TILE), 1)
+    iota_w = lax.broadcasted_iota(jnp.int32, (ENT_W, 1), 0)
+
+    def win(w, h):
+        start = lo + w * ENT_W
+        cps = [
+            pltpu.make_async_copy(
+                ed_ref.at[pl.ds(start, ENT_W), :], wd_ref, sems.at[0]
+            ),
+            pltpu.make_async_copy(
+                eq_ref.at[pl.ds(start, ENT_W), :], wq_ref, sems.at[1]
+            ),
+            pltpu.make_async_copy(
+                ev_ref.at[pl.ds(start, ENT_W), :], wv_ref, sems.at[2]
+            ),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        valid = (iota_w + start) < hi  # [W, 1]
+        dl = wd_ref[:] - t * TILE  # [W, 1] local doc in tile
+        # Entries become two one-hot operands and ride the MXU:
+        #   m1[i, q] = v_i where q == q_i;  m2[i, d] = 1 where d == d_i
+        #   A = m1^T @ m2  ->  A[q, d] = sum of v_i landing on (q, d)
+        m1 = jnp.where(
+            (wq_ref[:] == iota_q) & valid, wv_ref[:], jnp.float32(0.0)
+        )
+        m2 = jnp.where(dl == iota_d, jnp.float32(1.0), jnp.float32(0.0))
+        return h + lax.dot_general(
+            m1, m2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    h = lax.fori_loop(0, nw, win, h)
+    tot_ref[:] = h
+    sm = jnp.max(h.reshape(q, _SPT, SUB), axis=2)
+    ct = jnp.sum((h > 0).astype(jnp.float32), axis=1)
+    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
+    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+
+
+def unified_fused_pallas(
+    mix: jax.Array,  # f32 [Q, uc] per-(query, compact row) summed weights
+    dense: jax.Array,  # f32 [uc, n_slots] compact gathered table
+    ent_doc: jax.Array,  # int32 [Np, 1] light-entry doc slots, SORTED asc
+    ent_q: jax.Array,  # int32 [Np, 1] light-entry query rows
+    ent_v: jax.Array,  # f32 [Np, 1] light-entry contributions
+    toff: jax.Array,  # int32 [n_tiles + 1] entry offsets per doc tile
+    *,
+    interpret: bool = False,
+):
+    """Heavy matmul + light-entry application + selection epilogue, one pass.
+
+    The totals matrix never leaves VMEM unsummed: each 2048-doc tile's
+    program computes the heavy MXU block, DMAs its slice of the doc-sorted
+    light entry stream (toff windows of ENT_W), folds the entries in as a
+    one-hot matmul (vector-unit friendly; no scatter — XLA's scatter-add
+    of 213k elements into [Q, n_slots] costs ~95 ms on this toolchain,
+    ~45x this kernel's application cost), and emits per-sub-tile maxima +
+    exact positive counts of the SUMMED tile. Replaces the reference's
+    per-posting accumulation loop (src/api_engine.cpp:473-496) for the
+    whole query, light and heavy terms together.
+
+    Returns (totals f32 [Q, n_slots], smax f32 [n_sub_pad, Q],
+    counts f32 [n_tiles_pad, Q]). Entries must be padded so that any
+    window start below toff[-1] can read ENT_W rows in bounds.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, uc = mix.shape
+    n_slots = dense.shape[1]
+    assert n_slots % TILE == 0, (n_slots, TILE)
+    n_tiles = n_slots // TILE
+    tiles_pad = ((n_tiles + 7) // 8) * 8
+    sub_pad = tiles_pad * _SPT
+
+    out = pl.pallas_call(
+        _unified_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (Q, uc), lambda t, toff: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (uc, TILE), lambda t, toff: (0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (Q, TILE), lambda t, toff: (0, t), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (_SPT, tiles_pad, Q),
+                    lambda t, toff: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tiles_pad, Q), lambda t, toff: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((ENT_W, 1), jnp.int32),
+                pltpu.VMEM((ENT_W, 1), jnp.int32),
+                pltpu.VMEM((ENT_W, 1), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, n_slots), jnp.float32),
+            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(toff, mix, dense, ent_doc, ent_q, ent_v)
+    tot, smax3, cnt = out
+    smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
+    return tot, smax, cnt
+
+
+def unified_fused_xla(mix, dense, ent_doc, ent_q, ent_v, toff):
+    """Pure-XLA reference for unified_fused_pallas (and the CPU path).
+
+    Semantics note: the scatter-add runs fine on CPU; on TPU it is the
+    ~95 ms path the Pallas kernel exists to avoid."""
+    Q = mix.shape[0]
+    n_slots = dense.shape[1]
+    H = jnp.dot(mix, dense, preferred_element_type=jnp.float32)
+    n = toff[-1]
+    iota = lax.broadcasted_iota(jnp.int32, ent_doc.shape, 0)
+    live = iota < n
+    docs = jnp.where(live, jnp.clip(ent_doc, 0, n_slots - 1), 0)[:, 0]
+    qs = jnp.where(live, jnp.clip(ent_q, 0, Q - 1), 0)[:, 0]
+    vs = jnp.where(live, ent_v, 0.0)[:, 0]
+    totals = H.at[qs, docs].add(vs)
+    smax, cnt = tile_stats_xla(totals)
+    return totals, smax, cnt
 
 
 def _rowgather_kernel(ids_ref, dense_ref, out_ref, sems_ref):
@@ -287,8 +396,8 @@ def gather_rows_pallas(ids: jax.Array, dense3: jax.Array):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
         ),
         out_shape=jax.ShapeDtypeStruct(

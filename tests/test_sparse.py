@@ -126,27 +126,61 @@ def test_sparse_unified_vs_packed_parity(segs, unified):
     ])
 
 
-def test_tile_stats_pallas_interpret_parity(segs):
-    """tile_stats_pallas (interpret mode on CPU) agrees with tile_stats_xla
-    on a totals matrix with negatives, zeros, and positives."""
+def test_unified_fused_pallas_interpret_parity(segs):
+    """unified_fused_pallas (interpret mode on CPU) agrees with the XLA
+    reference: heavy matmul + sorted light entries + tile stats, including
+    multi-window tiles, empty tiles, and the invalid-entry tail."""
     import jax.numpy as jnp
 
     from nextsearch_tpu.ops.heavy_pallas import (
+        ENT_W,
         TILE,
-        tile_stats_pallas,
-        tile_stats_xla,
+        unified_fused_pallas,
+        unified_fused_xla,
     )
 
     r = np.random.default_rng(66)
-    n_slots = 3 * TILE
-    totals = r.normal(size=(8, n_slots)).astype(np.float32)
-    totals[totals < 0.3] = 0.0  # plenty of exact zeros (unmatched docs)
-    totals[:, -TILE:] *= -1.0
-    t = jnp.asarray(totals)
-    s1, c1 = tile_stats_pallas(t, interpret=True)
-    s2, c2 = tile_stats_xla(t)
-    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    Q, ND, n_slots = 8, 16, 3 * TILE
+    mix = np.zeros((Q, ND), np.float32)
+    for q in range(Q):
+        mix[q, r.integers(0, ND, size=2)] = r.uniform(0.2, 1.5)
+    dense = np.zeros((ND, n_slots), np.float32)
+    nz = r.integers(0, n_slots, size=(ND, 200))
+    for row in range(ND):
+        dense[row, nz[row]] = r.uniform(0.1, 2.0, size=200)
+    # entries: tile 0 gets > 2*ENT_W (multi-window), tile 2 gets none
+    n_live = 2 * ENT_W + 300
+    docs = np.sort(
+        np.concatenate(
+            [
+                r.integers(0, TILE, size=2 * ENT_W + 100),
+                r.integers(TILE, 2 * TILE, size=200),
+            ]
+        )
+    ).astype(np.int32)
+    qs = r.integers(0, Q, size=n_live).astype(np.int32)
+    vs = r.uniform(0.1, 1.0, size=n_live).astype(np.float32)
+    Np = ((n_live + ENT_W + 511) // 512) * 512
+    pad = Np - n_live
+    sd = np.concatenate([docs, np.full(pad, n_slots, np.int32)])
+    sq = np.concatenate([qs, np.zeros(pad, np.int32)])
+    sv = np.concatenate([vs, np.zeros(pad, np.float32)])
+    bounds = np.arange(0, n_slots + 1, TILE)
+    toff = np.searchsorted(sd, bounds, side="left").astype(np.int32)
+    args = (
+        jnp.asarray(mix), jnp.asarray(dense),
+        jnp.asarray(sd[:, None]), jnp.asarray(sq[:, None]),
+        jnp.asarray(sv[:, None]), jnp.asarray(toff),
+    )
+    t1, s1, c1 = unified_fused_pallas(*args, interpret=True)
+    t2, s2, c2 = unified_fused_xla(*args)
+    np.testing.assert_allclose(
+        np.asarray(t1), np.asarray(t2), rtol=1e-6, atol=1e-6
+    )
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-6, atol=1e-6
+    )
 
 
 def test_sparse_pallas_interpret_parity(segs):
