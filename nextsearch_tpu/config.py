@@ -111,8 +111,12 @@ class DeviceConfig:
     # heavy matmul output and read selection maxima + the exact matched-doc
     # count off one totals matrix — replaces the light path's two global
     # sorts and halves the rescore width. OFF -> the split light/heavy
-    # packed kernel (bm25_search_sparse_packed).
-    unified: bool = True
+    # packed kernel (bm25_search_sparse_packed). Default OFF: the in-kernel
+    # entry DMA slices [Np, 1] streams, which Mosaic rejects on real TPU
+    # ("slice shape along dimension 1 must be aligned to tiling (128)");
+    # flip back on once the lane-aligned window layout is proven on
+    # hardware.
+    unified: bool = False
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     # Gather volume beyond the live chunks is pure waste, so the ladder
     # starts small; each bucket is one XLA compile (cached persistently).
