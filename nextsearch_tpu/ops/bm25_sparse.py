@@ -346,37 +346,47 @@ def bm25_search_sparse_unified(
     )
     table = table3.reshape(table3.shape[0], n_slots)
 
-    # ---- light entries: expand, sort by doc slot, tile offsets.
+    # ---- light entries: expand, sort by doc slot, pack aligned windows.
     cs, cl, cq, cw = expand_chunks(starts, light_dfs, weights, C=C, block=block)
     P = post_doc.shape[0]
     offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
     valid = offs < cl[:, None]
     idx = jnp.clip(cs[:, None] + offs, 0, max(P - 1, 0))
-    # invalid entries carry doc = n_slots: they sort past every tile bound
-    # and never enter a kernel window
+    # invalid entries carry doc = n_slots: they sort past every sub-tile
+    # bound and never enter a kernel window
     doc = jnp.where(valid, post_doc[idx], jnp.int32(n_slots))
     contrib = jnp.where(valid, cw[:, None] * post_score[idx], jnp.float32(0.0))
     qrow = jnp.clip(jnp.broadcast_to(cq[:, None], (C, block)), 0, Q - 1)
     sd, sq, sv = lax.sort(
         (doc.reshape(-1), qrow.reshape(-1), contrib.reshape(-1)), num_keys=1
     )
-    from .heavy_pallas import TILE as _TILE
-
-    n_tiles = n_slots // _TILE
-    bounds = jnp.arange(0, n_tiles + 1, dtype=jnp.int32) * _TILE
-    toff = jnp.searchsorted(sd, bounds, side="left").astype(jnp.int32)
-    # pad so any window start below toff[-1] reads ENT_W rows in bounds
+    # entry offsets per SUB-doc sub-tile (the kernel's window granularity)
+    n_sub = n_slots // SUB
+    bounds = jnp.arange(0, n_sub + 1, dtype=jnp.int32) * SUB
+    eoff = jnp.searchsorted(sd, bounds, side="left").astype(jnp.int32)
+    # pack aligned ENT_W-entry windows [NW, 8, ENT_W] int32 — one memory
+    # tile per window (rows: doc / query / value-bits / 5 spare) so the
+    # kernel's dynamic-index whole-window DMA is tiling-legal
     N = C * block
-    Np = ((N + ENT_W + 511) // 512) * 512
+    Np = ((N + ENT_W - 1) // ENT_W) * ENT_W
     pad = Np - N
     sd = jnp.concatenate([sd, jnp.full((pad,), n_slots, jnp.int32)])
     sq = jnp.concatenate([sq, jnp.zeros((pad,), jnp.int32)])
     sv = jnp.concatenate([sv, jnp.zeros((pad,), jnp.float32)])
+    nw = Np // ENT_W
+    ent_pack = jnp.concatenate(
+        [
+            sd.reshape(nw, 1, ENT_W),
+            sq.reshape(nw, 1, ENT_W),
+            lax.bitcast_convert_type(sv, jnp.int32).reshape(nw, 1, ENT_W),
+            jnp.zeros((nw, 5, ENT_W), jnp.int32),
+        ],
+        axis=1,
+    )
 
     fusedu = unified_fused_pallas if use_pallas else unified_fused_xla
     totals, smax_sq, cnt_tq = fusedu(
-        mix.astype(table.dtype), table,
-        sd[:, None], sq[:, None], sv[:, None], toff,
+        mix.astype(table.dtype), table, ent_pack, eoff,
     )
     found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
 

@@ -49,8 +49,17 @@ def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
         smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
+    # precision=HIGHEST is load-bearing: Mosaic's DEFAULT f32 dot runs a
+    # single bf16 pass (measured relerr 5.8e-4 on hardware) and H feeds
+    # candidate SELECTION — near-uniform heavy terms (per-doc scores within
+    # ~1e-4) then collapse and the K2 pool can exclude true top-K docs, the
+    # exact failure class of bf16 dense rows. HIGHEST (6-pass) measures
+    # 1.4e-7, far below any plateau the f32 eager scores can represent.
     h32 = jnp.dot(
-        mix_ref[:], dense_ref[:], preferred_element_type=jnp.float32
+        mix_ref[:],
+        dense_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # [Q, TILE]
     h_ref[:] = h32.astype(h_ref.dtype)
     q = h32.shape[0]
@@ -126,7 +135,12 @@ def heavy_fused_pallas(
 
 
 def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
-    """Pure-XLA reference for heavy_fused_pallas (and the CPU path)."""
+    """Pure-XLA reference for heavy_fused_pallas (and the CPU path).
+
+    Runs on real TPU in the sharded fallback, where XLA's DEFAULT f32 dot
+    is also a single bf16 pass — HIGHEST for the same selection-fidelity
+    reason as the Pallas kernel (no-op on CPU, where f32 dots are exact).
+    """
     Q = mix.shape[0]
     n_slots = dense.shape[1]
     n_tiles = n_slots // TILE
@@ -134,7 +148,10 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
     tiles_pad = ((n_tiles + 7) // 8) * 8
     sub_pad = tiles_pad * _SPT
     h32 = jnp.dot(
-        mix.astype(dense.dtype), dense, preferred_element_type=jnp.float32
+        mix.astype(dense.dtype),
+        dense,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     smax = jnp.transpose(
         jnp.max(h32.reshape(Q, n_sub, SUB), axis=2)
@@ -173,13 +190,13 @@ def tile_stats_xla(totals: jax.Array):
     )
 
 
-ENT_W = 512  # light entries applied per in-kernel window
+ENT_W = 128  # light entries per packed window (one (8,128) int32 tile)
 
 
 def _unified_kernel(
-    toff_ref, mix_ref, dense_ref, ed_ref, eq_ref, ev_ref,
+    eoff_ref, mix_ref, dense_ref, ent_ref,
     tot_ref, smax_ref, cnt_ref,
-    wd_ref, wq_ref, wv_ref, sems,
+    w_ref, sem,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -191,83 +208,95 @@ def _unified_kernel(
         smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
+    # Heavy block on the MXU. HIGHEST for selection fidelity (see _kernel).
     h = jnp.dot(
-        mix_ref[:], dense_ref[:], preferred_element_type=jnp.float32
+        mix_ref[:],
+        dense_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # [Q, TILE]
     q = h.shape[0]
 
-    lo = toff_ref[t]
-    hi = toff_ref[t + 1]
-    nw = (hi - lo + ENT_W - 1) // ENT_W
-    iota_q = lax.broadcasted_iota(jnp.int32, (ENT_W, q), 1)
-    iota_d = lax.broadcasted_iota(jnp.int32, (ENT_W, TILE), 1)
-    iota_w = lax.broadcasted_iota(jnp.int32, (ENT_W, 1), 0)
+    iota_q = lax.broadcasted_iota(jnp.int32, (q, ENT_W), 0)
+    iota_d = lax.broadcasted_iota(jnp.int32, (SUB, ENT_W), 0)
 
-    def win(w, h):
-        start = lo + w * ENT_W
-        cps = [
-            pltpu.make_async_copy(
-                ed_ref.at[pl.ds(start, ENT_W), :], wd_ref, sems.at[0]
-            ),
-            pltpu.make_async_copy(
-                eq_ref.at[pl.ds(start, ENT_W), :], wq_ref, sems.at[1]
-            ),
-            pltpu.make_async_copy(
-                ev_ref.at[pl.ds(start, ENT_W), :], wv_ref, sems.at[2]
-            ),
-        ]
-        for c in cps:
+    sms = []
+    ct = jnp.zeros((q,), jnp.float32)
+    for s in range(_SPT):  # static sub-tiles per grid tile
+        sg = t * _SPT + s
+        e0 = eoff_ref[sg]
+        e1 = eoff_ref[sg + 1]
+        w_lo = e0 // ENT_W
+        # Windows are ALIGNED 128-entry rows of the doc-sorted stream; a
+        # sub-tile processes every row overlapping its entry range and the
+        # doc-range test below masks neighbours' entries (boundary rows are
+        # visited by both sub-tiles, each applying only its own docs).
+        nw = jnp.where(e1 > e0, (e1 + ENT_W - 1) // ENT_W - w_lo, 0)
+        base = t * TILE + s * SUB
+
+        def win(w, hs):
+            c = pltpu.make_async_copy(ent_ref.at[w_lo + w], w_ref, sem)
             c.start()
-        for c in cps:
             c.wait()
-        valid = (iota_w + start) < hi  # [W, 1]
-        dl = wd_ref[:] - t * TILE  # [W, 1] local doc in tile
-        # Entries become two one-hot operands and ride the MXU:
-        #   m1[i, q] = v_i where q == q_i;  m2[i, d] = 1 where d == d_i
-        #   A = m1^T @ m2  ->  A[q, d] = sum of v_i landing on (q, d)
-        m1 = jnp.where(
-            (wq_ref[:] == iota_q) & valid, wv_ref[:], jnp.float32(0.0)
-        )
-        m2 = jnp.where(dl == iota_d, jnp.float32(1.0), jnp.float32(0.0))
-        return h + lax.dot_general(
-            m1, m2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            wd = w_ref[0:1, :]  # [1, ENT_W] doc slots
+            wq = w_ref[1:2, :]  # [1, ENT_W] query rows
+            wv = lax.bitcast_convert_type(
+                w_ref[2:3, :], jnp.float32
+            )  # [1, ENT_W] contributions (f32 bit patterns)
+            dl = wd - base
+            # Entries become two one-hot operands and ride the MXU:
+            #   m1[q, i] = v_i where q == q_i;  m2[d, i] = 1 where d == d_i
+            #   A = m1 @ m2^T -> A[q, d] = sum of v_i landing on (q, d)
+            # Out-of-sub-tile entries (dl outside [0, SUB)) match no iota_d
+            # column, so masking is free; products are v_i * 1.0 exactly and
+            # HIGHEST keeps the f32 accumulation faithful (bit-exact vs a
+            # host scatter-add on the probe).
+            m1 = jnp.where(wq == iota_q, wv, jnp.float32(0.0))
+            m2 = jnp.where(dl == iota_d, jnp.float32(1.0), jnp.float32(0.0))
+            return hs + lax.dot_general(
+                m1, m2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
 
-    h = lax.fori_loop(0, nw, win, h)
-    tot_ref[:] = h
-    sm = jnp.max(h.reshape(q, _SPT, SUB), axis=2)
-    ct = jnp.sum((h > 0).astype(jnp.float32), axis=1)
-    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
+        hs = lax.fori_loop(0, nw, win, h[:, s * SUB:(s + 1) * SUB])
+        tot_ref[:, s * SUB:(s + 1) * SUB] = hs
+        sms.append(jnp.max(hs, axis=1))
+        ct = ct + jnp.sum((hs > 0).astype(jnp.float32), axis=1)
+
+    sm = jnp.stack(sms)  # [_SPT, Q]
+    smax_ref[:, pl.ds(t, 1), :] = sm.reshape(_SPT, 1, q)
     cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
 
 
 def unified_fused_pallas(
     mix: jax.Array,  # f32 [Q, uc] per-(query, compact row) summed weights
     dense: jax.Array,  # f32 [uc, n_slots] compact gathered table
-    ent_doc: jax.Array,  # int32 [Np, 1] light-entry doc slots, SORTED asc
-    ent_q: jax.Array,  # int32 [Np, 1] light-entry query rows
-    ent_v: jax.Array,  # f32 [Np, 1] light-entry contributions
-    toff: jax.Array,  # int32 [n_tiles + 1] entry offsets per doc tile
+    ent_pack: jax.Array,  # int32 [NW, 8, ENT_W] packed entry windows:
+    #   row 0 = doc slot (sorted asc across windows; sentinel n_slots),
+    #   row 1 = query row, row 2 = contribution f32 bit pattern, rows 3-7
+    #   unused (the (8,128) shape is one int32 memory tile — whole-window
+    #   DMAs at a dynamic untiled index are the only Mosaic-legal dynamic
+    #   copy; lane- or sublane-sliced streams are rejected, measured)
+    eoff: jax.Array,  # int32 [n_sub + 1] entry offsets per SUB-doc sub-tile
     *,
     interpret: bool = False,
 ):
     """Heavy matmul + light-entry application + selection epilogue, one pass.
 
     The totals matrix never leaves VMEM unsummed: each 2048-doc tile's
-    program computes the heavy MXU block, DMAs its slice of the doc-sorted
-    light entry stream (toff windows of ENT_W), folds the entries in as a
-    one-hot matmul (vector-unit friendly; no scatter — XLA's scatter-add
-    of 213k elements into [Q, n_slots] costs ~95 ms on this toolchain,
-    ~45x this kernel's application cost), and emits per-sub-tile maxima +
-    exact positive counts of the SUMMED tile. Replaces the reference's
-    per-posting accumulation loop (src/api_engine.cpp:473-496) for the
-    whole query, light and heavy terms together.
+    program computes the heavy MXU block, then per 512-doc sub-tile DMAs
+    the aligned 128-entry windows overlapping its slice of the doc-sorted
+    light entry stream and folds them in as a one-hot matmul (no scatter —
+    XLA's scatter-add of 213k elements into [Q, n_slots] costs ~95 ms on
+    this toolchain), and emits per-sub-tile maxima + exact positive counts
+    of the SUMMED tile. Replaces the reference's per-posting accumulation
+    loop (src/api_engine.cpp:473-496) for the whole query, light and heavy
+    terms together.
 
     Returns (totals f32 [Q, n_slots], smax f32 [n_sub_pad, Q],
-    counts f32 [n_tiles_pad, Q]). Entries must be padded so that any
-    window start below toff[-1] can read ENT_W rows in bounds.
+    counts f32 [n_tiles_pad, Q]).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -286,33 +315,29 @@ def unified_fused_pallas(
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(
-                    (Q, uc), lambda t, toff: (0, 0), memory_space=pltpu.VMEM
+                    (Q, uc), lambda t, eoff: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (uc, TILE), lambda t, toff: (0, t), memory_space=pltpu.VMEM
+                    (uc, TILE), lambda t, eoff: (0, t), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (Q, TILE), lambda t, toff: (0, t), memory_space=pltpu.VMEM
+                    (Q, TILE), lambda t, eoff: (0, t), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (_SPT, tiles_pad, Q),
-                    lambda t, toff: (0, 0, 0),
+                    lambda t, eoff: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (tiles_pad, Q), lambda t, toff: (0, 0), memory_space=pltpu.VMEM
+                    (tiles_pad, Q), lambda t, eoff: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((ENT_W, 1), jnp.int32),
-                pltpu.VMEM((ENT_W, 1), jnp.int32),
-                pltpu.VMEM((ENT_W, 1), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((8, ENT_W), jnp.int32),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
@@ -324,26 +349,35 @@ def unified_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(toff, mix, dense, ent_doc, ent_q, ent_v)
+    )(eoff, mix, dense, ent_pack)
     tot, smax3, cnt = out
     smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
     return tot, smax, cnt
 
 
-def unified_fused_xla(mix, dense, ent_doc, ent_q, ent_v, toff):
+def unified_fused_xla(mix, dense, ent_pack, eoff):
     """Pure-XLA reference for unified_fused_pallas (and the CPU path).
 
     Semantics note: the scatter-add runs fine on CPU; on TPU it is the
-    ~95 ms path the Pallas kernel exists to avoid."""
+    ~95 ms path the Pallas kernel exists to avoid. HIGHEST on the heavy
+    dot for the same selection fidelity as the kernel (no-op on CPU)."""
     Q = mix.shape[0]
     n_slots = dense.shape[1]
-    H = jnp.dot(mix, dense, preferred_element_type=jnp.float32)
-    n = toff[-1]
-    iota = lax.broadcasted_iota(jnp.int32, ent_doc.shape, 0)
+    H = jnp.dot(
+        mix, dense, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    docs_all = ent_pack[:, 0, :].reshape(-1)
+    qs_all = ent_pack[:, 1, :].reshape(-1)
+    vs_all = lax.bitcast_convert_type(
+        ent_pack[:, 2, :], jnp.float32
+    ).reshape(-1)
+    n = eoff[-1]
+    iota = lax.broadcasted_iota(jnp.int32, docs_all.shape, 0)
     live = iota < n
-    docs = jnp.where(live, jnp.clip(ent_doc, 0, n_slots - 1), 0)[:, 0]
-    qs = jnp.where(live, jnp.clip(ent_q, 0, Q - 1), 0)[:, 0]
-    vs = jnp.where(live, ent_v, 0.0)[:, 0]
+    docs = jnp.where(live, jnp.clip(docs_all, 0, n_slots - 1), 0)
+    qs = jnp.where(live, jnp.clip(qs_all, 0, Q - 1), 0)
+    vs = jnp.where(live, vs_all, 0.0)
     totals = H.at[qs, docs].add(vs)
     smax, cnt = tile_stats_xla(totals)
     return totals, smax, cnt

@@ -129,11 +129,14 @@ def test_sparse_unified_vs_packed_parity(segs, unified):
 def test_unified_fused_pallas_interpret_parity(segs):
     """unified_fused_pallas (interpret mode on CPU) agrees with the XLA
     reference: heavy matmul + sorted light entries + tile stats, including
-    multi-window tiles, empty tiles, and the invalid-entry tail."""
+    multi-window sub-tiles, empty sub-tiles, boundary-straddling windows,
+    and the invalid-entry tail."""
     import jax.numpy as jnp
+    from jax import lax
 
     from nextsearch_tpu.ops.heavy_pallas import (
         ENT_W,
+        SUB,
         TILE,
         unified_fused_pallas,
         unified_fused_xla,
@@ -148,29 +151,39 @@ def test_unified_fused_pallas_interpret_parity(segs):
     nz = r.integers(0, n_slots, size=(ND, 200))
     for row in range(ND):
         dense[row, nz[row]] = r.uniform(0.1, 2.0, size=200)
-    # entries: tile 0 gets > 2*ENT_W (multi-window), tile 2 gets none
+    # entries: sub-tile 0 gets > 2*ENT_W (multi-window), tile 2 gets none
     n_live = 2 * ENT_W + 300
     docs = np.sort(
         np.concatenate(
             [
-                r.integers(0, TILE, size=2 * ENT_W + 100),
+                r.integers(0, SUB, size=2 * ENT_W + 100),
                 r.integers(TILE, 2 * TILE, size=200),
             ]
         )
     ).astype(np.int32)
     qs = r.integers(0, Q, size=n_live).astype(np.int32)
     vs = r.uniform(0.1, 1.0, size=n_live).astype(np.float32)
-    Np = ((n_live + ENT_W + 511) // 512) * 512
+    Np = ((n_live + ENT_W - 1) // ENT_W) * ENT_W
     pad = Np - n_live
     sd = np.concatenate([docs, np.full(pad, n_slots, np.int32)])
     sq = np.concatenate([qs, np.zeros(pad, np.int32)])
     sv = np.concatenate([vs, np.zeros(pad, np.float32)])
-    bounds = np.arange(0, n_slots + 1, TILE)
-    toff = np.searchsorted(sd, bounds, side="left").astype(np.int32)
+    bounds = np.arange(0, n_slots + 1, SUB)
+    eoff = np.searchsorted(sd, bounds, side="left").astype(np.int32)
+    nw = Np // ENT_W
+    ent_pack = jnp.concatenate(
+        [
+            jnp.asarray(sd).reshape(nw, 1, ENT_W),
+            jnp.asarray(sq).reshape(nw, 1, ENT_W),
+            lax.bitcast_convert_type(
+                jnp.asarray(sv), jnp.int32
+            ).reshape(nw, 1, ENT_W),
+            jnp.zeros((nw, 5, ENT_W), jnp.int32),
+        ],
+        axis=1,
+    )
     args = (
-        jnp.asarray(mix), jnp.asarray(dense),
-        jnp.asarray(sd[:, None]), jnp.asarray(sq[:, None]),
-        jnp.asarray(sv[:, None]), jnp.asarray(toff),
+        jnp.asarray(mix), jnp.asarray(dense), ent_pack, jnp.asarray(eoff),
     )
     t1, s1, c1 = unified_fused_pallas(*args, interpret=True)
     t2, s2, c2 = unified_fused_xla(*args)
