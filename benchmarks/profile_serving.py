@@ -110,7 +110,9 @@ def variant_kernel(
         H, smax_sq, cnt_tq = fused(mix, table)
         heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
     else:
-        n_sub_pad = -(-n_slots // 512)
+        from nextsearch_tpu.ops.heavy_pallas import CSUB
+
+        n_sub_pad = -(-n_slots // CSUB)
         H = jnp.zeros((Q, n_slots), jnp.float32)
         smax_sq = jnp.zeros((n_sub_pad, Q), jnp.float32)
         heavy_found = jnp.zeros((Q,), jnp.int32)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .bm25 import canonical_sort, expand_chunks
-from .heavy_pallas import SUB, heavy_fused_pallas, heavy_fused_xla
+from .heavy_pallas import CSUB, SUB, heavy_fused_pallas, heavy_fused_xla
 
 def _segmented_cumsum(vals, first):
     """Inclusive segmented cumsum: resets at each True in `first`."""
@@ -135,20 +135,20 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
 def heavy_candidates(H, smax_sq, k2, Q, n_slots):
     """Top-k2 doc slots per query from per-sub-tile maxima (exact: a top
     doc's own sub-tile max is >= its score, so its sub-tile is among the
-    top-k2 sub-tiles). SUB granularity keeps the H gather at k2*SUB per
+    top-k2 sub-tiles). CSUB granularity keeps the H gather at k2*CSUB per
     query instead of k2*TILE."""
-    n_sub = n_slots // SUB
+    n_sub = n_slots // CSUB
     smax = jnp.transpose(smax_sq)[:, :n_sub]  # [Q, n_sub]
     kt = min(k2, n_sub)
     _tv, tidx = lax.top_k(smax, kt)
     tidx = jnp.sort(tidx, axis=1)  # keep canonical doc-asc tie order
-    tiles = H.reshape(Q, n_sub, SUB)
+    tiles = H.reshape(Q, n_sub, CSUB)
     cand_tiles = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
-    flat = cand_tiles.reshape(Q, kt * SUB).astype(jnp.float32)
-    vals, pos = lax.top_k(flat, min(k2, kt * SUB))
-    which = pos // SUB
-    base = jnp.take_along_axis(tidx, which, axis=1) * SUB
-    docs = jnp.where(vals > 0, base + pos % SUB, jnp.int32(2**30))
+    flat = cand_tiles.reshape(Q, kt * CSUB).astype(jnp.float32)
+    vals, pos = lax.top_k(flat, min(k2, kt * CSUB))
+    which = pos // CSUB
+    base = jnp.take_along_axis(tidx, which, axis=1) * CSUB
+    docs = jnp.where(vals > 0, base + pos % CSUB, jnp.int32(2**30))
     return vals, docs.astype(jnp.int32)
 
 
@@ -357,9 +357,22 @@ def bm25_search_sparse_unified(
     doc = jnp.where(valid, post_doc[idx], jnp.int32(n_slots))
     contrib = jnp.where(valid, cw[:, None] * post_score[idx], jnp.float32(0.0))
     qrow = jnp.clip(jnp.broadcast_to(cq[:, None], (C, block)), 0, Q - 1)
-    sd, sq, sv = lax.sort(
-        (doc.reshape(-1), qrow.reshape(-1), contrib.reshape(-1)), num_keys=1
-    )
+    qshift = max((Q - 1).bit_length(), 1)
+    if (n_slots + 1) << qshift <= 1 << 32:
+        # Pack (doc, q) into one uint32 sort key — one fewer 850k-element
+        # operand in the flat sort; entry application is order-free so the
+        # (doc, q) refinement of the doc order is equivalent.
+        key = (
+            doc.reshape(-1).astype(jnp.uint32) << qshift
+        ) | qrow.reshape(-1).astype(jnp.uint32)
+        skey, sv = lax.sort((key, contrib.reshape(-1)), num_keys=1)
+        sd = (skey >> qshift).astype(jnp.int32)
+        sq = (skey & jnp.uint32((1 << qshift) - 1)).astype(jnp.int32)
+    else:
+        sd, sq, sv = lax.sort(
+            (doc.reshape(-1), qrow.reshape(-1), contrib.reshape(-1)),
+            num_keys=1,
+        )
     # entry offsets per SUB-doc sub-tile (the kernel's window granularity)
     n_sub = n_slots // SUB
     bounds = jnp.arange(0, n_sub + 1, dtype=jnp.int32) * SUB

@@ -32,8 +32,12 @@ import jax.numpy as jnp
 from jax import lax
 
 TILE = 2048  # docs per kernel grid tile (MXU-efficient output block)
-SUB = 512  # docs per candidate sub-tile (maxima granularity)
-_SPT = TILE // SUB  # sub-tiles per grid tile
+SUB = 512  # docs per entry-application slice (unified kernel windows)
+_SPT = TILE // SUB  # entry slices per grid tile
+CSUB = 128  # docs per candidate sub-tile (selection maxima granularity;
+#             finer than SUB so candidate extraction gathers 4x less H
+#             volume for the same provable top-k2 bound)
+_CPT = TILE // CSUB  # candidate sub-tiles per grid tile
 
 
 def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
@@ -63,12 +67,12 @@ def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
     )  # [Q, TILE]
     h_ref[:] = h32.astype(h_ref.dtype)
     q = h32.shape[0]
-    sm = jnp.max(h32.reshape(q, _SPT, SUB), axis=2)  # [Q, _SPT]
+    sm = jnp.max(h32.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
     ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
-    # smax is laid out [_SPT, tiles, Q] so each program writes a size-1
-    # dynamic slice on the sublane dim (Mosaic cannot prove t*_SPT is
-    # 8-aligned for a [_SPT]-sized slice of a [n_sub, Q] layout).
-    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_SPT, 1, q)
+    # smax is laid out [_CPT, tiles, Q] so each program writes a size-1
+    # dynamic slice on the sublane dim (Mosaic cannot prove t*_CPT is
+    # 8-aligned for a [_CPT]-sized slice of a [n_csub, Q] layout).
+    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_CPT, 1, q)
     cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
 
 
@@ -93,7 +97,7 @@ def heavy_fused_pallas(
     assert n_slots % TILE == 0, (n_slots, TILE)
     n_tiles = n_slots // TILE
     tiles_pad = ((n_tiles + 7) // 8) * 8
-    sub_pad = tiles_pad * _SPT
+    sub_pad = tiles_pad * _CPT
 
     grid = (n_tiles,)
     out = pl.pallas_call(
@@ -110,7 +114,7 @@ def heavy_fused_pallas(
             # whole-array blocks revisited by every program; each writes its
             # own rows
             pl.BlockSpec(
-                (_SPT, tiles_pad, Q),
+                (_CPT, tiles_pad, Q),
                 lambda t: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -120,7 +124,7 @@ def heavy_fused_pallas(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Q, n_slots), jnp.float32),
-            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((_CPT, tiles_pad, Q), jnp.float32),
             jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -129,7 +133,7 @@ def heavy_fused_pallas(
         interpret=interpret,
     )(mix.astype(dense.dtype), dense)
     h, smax3, cnt = out
-    # [(sub-in-tile), tile, Q] -> [tile*_SPT + sub, Q] (doc-major sub order)
+    # [(sub-in-tile), tile, Q] -> [tile*_CPT + sub, Q] (doc-major sub order)
     smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
     return h, smax, cnt
 
@@ -144,9 +148,9 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
     Q = mix.shape[0]
     n_slots = dense.shape[1]
     n_tiles = n_slots // TILE
-    n_sub = n_slots // SUB
+    n_sub = n_slots // CSUB
     tiles_pad = ((n_tiles + 7) // 8) * 8
-    sub_pad = tiles_pad * _SPT
+    sub_pad = tiles_pad * _CPT
     h32 = jnp.dot(
         mix.astype(dense.dtype),
         dense,
@@ -154,7 +158,7 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
         precision=lax.Precision.HIGHEST,
     )
     smax = jnp.transpose(
-        jnp.max(h32.reshape(Q, n_sub, SUB), axis=2)
+        jnp.max(h32.reshape(Q, n_sub, CSUB), axis=2)
     )  # [n_sub, Q]
     cnt = jnp.transpose(
         jnp.sum(
@@ -174,10 +178,10 @@ def tile_stats_xla(totals: jax.Array):
     (XLA; the epilogue of unified_fused_xla / the CPU path)."""
     Q, n_slots = totals.shape
     n_tiles = n_slots // TILE
-    n_sub = n_slots // SUB
+    n_sub = n_slots // CSUB
     tiles_pad = ((n_tiles + 7) // 8) * 8
-    sub_pad = tiles_pad * _SPT
-    smax = jnp.transpose(jnp.max(totals.reshape(Q, n_sub, SUB), axis=2))
+    sub_pad = tiles_pad * _CPT
+    smax = jnp.transpose(jnp.max(totals.reshape(Q, n_sub, CSUB), axis=2))
     cnt = jnp.transpose(
         jnp.sum(
             (totals.reshape(Q, n_tiles, TILE) > 0), axis=2
@@ -262,11 +266,17 @@ def _unified_kernel(
 
         hs = lax.fori_loop(0, nw, win, h[:, s * SUB:(s + 1) * SUB])
         tot_ref[:, s * SUB:(s + 1) * SUB] = hs
-        sms.append(jnp.max(hs, axis=1))
+        # selection maxima at CSUB granularity (finer than the SUB-sized
+        # entry slices; candidate extraction gathers 4x less H volume)
+        sms.append(
+            jnp.transpose(
+                jnp.max(hs.reshape(q, SUB // CSUB, CSUB), axis=2)
+            )  # [SUB//CSUB, Q]
+        )
         ct = ct + jnp.sum((hs > 0).astype(jnp.float32), axis=1)
 
-    sm = jnp.stack(sms)  # [_SPT, Q]
-    smax_ref[:, pl.ds(t, 1), :] = sm.reshape(_SPT, 1, q)
+    sm = jnp.concatenate(sms, axis=0)  # [_CPT, Q]
+    smax_ref[:, pl.ds(t, 1), :] = sm.reshape(_CPT, 1, q)
     cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
 
 
@@ -306,7 +316,7 @@ def unified_fused_pallas(
     assert n_slots % TILE == 0, (n_slots, TILE)
     n_tiles = n_slots // TILE
     tiles_pad = ((n_tiles + 7) // 8) * 8
-    sub_pad = tiles_pad * _SPT
+    sub_pad = tiles_pad * _CPT
 
     out = pl.pallas_call(
         _unified_kernel,
@@ -327,7 +337,7 @@ def unified_fused_pallas(
                     (Q, TILE), lambda t, eoff: (0, t), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (_SPT, tiles_pad, Q),
+                    (_CPT, tiles_pad, Q),
                     lambda t, eoff: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -342,7 +352,7 @@ def unified_fused_pallas(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((Q, n_slots), jnp.float32),
-            jax.ShapeDtypeStruct((_SPT, tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((_CPT, tiles_pad, Q), jnp.float32),
             jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
