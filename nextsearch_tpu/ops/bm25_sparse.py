@@ -373,15 +373,19 @@ def bm25_search_sparse_unified(
             (doc.reshape(-1), qrow.reshape(-1), contrib.reshape(-1)),
             num_keys=1,
         )
-    # entry offsets per SUB-doc sub-tile (the kernel's window granularity)
-    n_sub = n_slots // SUB
-    bounds = jnp.arange(0, n_sub + 1, dtype=jnp.int32) * SUB
+    # entry offsets per TILE-doc grid tile (the kernel's stream granularity)
+    from .heavy_pallas import ENT_G, TILE
+
+    n_tiles = n_slots // TILE
+    bounds = jnp.arange(0, n_tiles + 1, dtype=jnp.int32) * TILE
     eoff = jnp.searchsorted(sd, bounds, side="left").astype(jnp.int32)
     # pack aligned ENT_W-entry windows [NW, 8, ENT_W] int32 — one memory
     # tile per window (rows: doc / query / value-bits / 5 spare) so the
-    # kernel's dynamic-index whole-window DMA is tiling-legal
+    # kernel's dynamic-index whole-window DMA is tiling-legal. 2*ENT_G
+    # extra sentinel windows absorb the kernel's group-pair rounding
+    # (over-applied sentinel/neighbour entries match no doc column).
     N = C * block
-    Np = ((N + ENT_W - 1) // ENT_W) * ENT_W
+    Np = ((N + ENT_W - 1) // ENT_W) * ENT_W + 2 * ENT_G * ENT_W
     pad = Np - N
     sd = jnp.concatenate([sd, jnp.full((pad,), n_slots, jnp.int32)])
     sq = jnp.concatenate([sq, jnp.zeros((pad,), jnp.int32)])

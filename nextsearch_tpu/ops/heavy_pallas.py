@@ -195,6 +195,8 @@ def tile_stats_xla(totals: jax.Array):
 
 
 ENT_W = 128  # light entries per packed window (one (8,128) int32 tile)
+ENT_G = 4  # windows per DMA group (one 16KB contiguous copy)
+_RING = 2  # DMA groups in flight (double buffer)
 
 
 def _unified_kernel(
@@ -222,61 +224,93 @@ def _unified_kernel(
     q = h.shape[0]
 
     iota_q = lax.broadcasted_iota(jnp.int32, (q, ENT_W), 0)
-    iota_d = lax.broadcasted_iota(jnp.int32, (SUB, ENT_W), 0)
+    iota_d = lax.broadcasted_iota(jnp.int32, (TILE, ENT_W), 0)
+    base = t * TILE
 
-    sms = []
-    ct = jnp.zeros((q,), jnp.float32)
-    for s in range(_SPT):  # static sub-tiles per grid tile
-        sg = t * _SPT + s
-        e0 = eoff_ref[sg]
-        e1 = eoff_ref[sg + 1]
-        w_lo = e0 // ENT_W
-        # Windows are ALIGNED 128-entry rows of the doc-sorted stream; a
-        # sub-tile processes every row overlapping its entry range and the
-        # doc-range test below masks neighbours' entries (boundary rows are
-        # visited by both sub-tiles, each applying only its own docs).
-        nw = jnp.where(e1 > e0, (e1 + ENT_W - 1) // ENT_W - w_lo, 0)
-        base = t * TILE + s * SUB
+    # This tile's slice of the doc-sorted entry stream, in aligned
+    # ENT_G-window groups. Over-application is SAFE: an entry whose doc
+    # falls outside [base, base + TILE) matches no iota_d column, so
+    # neighbouring tiles' entries in boundary/overflow groups contribute
+    # exactly zero — which lets the group count round up to pairs with no
+    # per-window validity logic (stale-buffer reuse would NOT be safe:
+    # a prior program's boundary window can hold this tile's docs, so
+    # every applied group is freshly DMA'd).
+    e0 = eoff_ref[t]
+    e1 = eoff_ref[t + 1]
+    w_lo = e0 // ENT_W
+    nwin = jnp.where(e1 > e0, (e1 + ENT_W - 1) // ENT_W - w_lo, 0)
+    ngp = (nwin + 2 * ENT_G - 1) // (2 * ENT_G)  # group PAIRS
 
-        def win(w, hs):
-            c = pltpu.make_async_copy(ent_ref.at[w_lo + w], w_ref, sem)
-            c.start()
-            c.wait()
-            wd = w_ref[0:1, :]  # [1, ENT_W] doc slots
-            wq = w_ref[1:2, :]  # [1, ENT_W] query rows
+    def copy(g, b):
+        return pltpu.make_async_copy(
+            ent_ref.at[pl.ds(w_lo + g * ENT_G, ENT_G)],
+            w_ref.at[b],
+            sem.at[b],
+        )
+
+    @pl.when(ngp > 0)
+    def _():
+        copy(0, 0).start()
+        copy(1, 1).start()
+
+    def apply(hs, b):
+        for j in range(ENT_G):
+            wd = w_ref[b, j, 0:1, :]  # [1, ENT_W] doc slots
+            wq = w_ref[b, j, 1:2, :]  # [1, ENT_W] query rows
             wv = lax.bitcast_convert_type(
-                w_ref[2:3, :], jnp.float32
+                w_ref[b, j, 2:3, :], jnp.float32
             )  # [1, ENT_W] contributions (f32 bit patterns)
             dl = wd - base
             # Entries become two one-hot operands and ride the MXU:
             #   m1[q, i] = v_i where q == q_i;  m2[d, i] = 1 where d == d_i
             #   A = m1 @ m2^T -> A[q, d] = sum of v_i landing on (q, d)
-            # Out-of-sub-tile entries (dl outside [0, SUB)) match no iota_d
-            # column, so masking is free; products are v_i * 1.0 exactly and
-            # HIGHEST keeps the f32 accumulation faithful (bit-exact vs a
-            # host scatter-add on the probe).
-            m1 = jnp.where(wq == iota_q, wv, jnp.float32(0.0))
-            m2 = jnp.where(dl == iota_d, jnp.float32(1.0), jnp.float32(0.0))
-            return hs + lax.dot_general(
-                m1, m2,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
+            # The value operand is split into three bf16 parts with
+            # non-overlapping mantissas (8+8+8 >= f32's 24 bits, each
+            # residual exact by Sterbenz), so three DEFAULT single-pass
+            # bf16 dots reproduce v_i EXACTLY — same f32-faithful totals
+            # as a HIGHEST dot at half the MXU passes. The one-hot operand
+            # is exact in bf16 by construction.
+            v1 = wv.astype(jnp.bfloat16)
+            r1 = wv - v1.astype(jnp.float32)
+            v2 = r1.astype(jnp.bfloat16)
+            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+            m2 = jnp.where(
+                dl == iota_d, jnp.bfloat16(1.0), jnp.bfloat16(0.0)
+            )  # [TILE, ENT_W]
+            for vk in (v1, v2, v3):
+                m1 = jnp.where(wq == iota_q, vk, jnp.bfloat16(0.0))
+                hs = hs + lax.dot_general(
+                    m1, m2,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        return hs
 
-        hs = lax.fori_loop(0, nw, win, h[:, s * SUB:(s + 1) * SUB])
-        tot_ref[:, s * SUB:(s + 1) * SUB] = hs
-        # selection maxima at CSUB granularity (finer than the SUB-sized
-        # entry slices; candidate extraction gathers 4x less H volume)
-        sms.append(
-            jnp.transpose(
-                jnp.max(hs.reshape(q, SUB // CSUB, CSUB), axis=2)
-            )  # [SUB//CSUB, Q]
-        )
-        ct = ct + jnp.sum((hs > 0).astype(jnp.float32), axis=1)
+    def pair(p, hs):
+        # consume buffer 0, then immediately refill it for the next pair
+        # while buffer 1's in-flight copy finishes behind this compute
+        copy(2 * p, 0).wait()
+        hs = apply(hs, 0)
 
-    sm = jnp.concatenate(sms, axis=0)  # [_CPT, Q]
-    smax_ref[:, pl.ds(t, 1), :] = sm.reshape(_CPT, 1, q)
+        @pl.when(p + 1 < ngp)
+        def _():
+            copy(2 * p + 2, 0).start()
+
+        copy(2 * p + 1, 1).wait()
+        hs = apply(hs, 1)
+
+        @pl.when(p + 1 < ngp)
+        def _():
+            copy(2 * p + 3, 1).start()
+
+        return hs
+
+    hs = lax.fori_loop(0, ngp, pair, h)
+
+    tot_ref[:] = hs
+    sm = jnp.max(hs.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
+    ct = jnp.sum((hs > 0).astype(jnp.float32), axis=1)
+    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_CPT, 1, q)
     cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
 
 
@@ -288,20 +322,25 @@ def unified_fused_pallas(
     #   row 1 = query row, row 2 = contribution f32 bit pattern, rows 3-7
     #   unused (the (8,128) shape is one int32 memory tile — whole-window
     #   DMAs at a dynamic untiled index are the only Mosaic-legal dynamic
-    #   copy; lane- or sublane-sliced streams are rejected, measured)
-    eoff: jax.Array,  # int32 [n_sub + 1] entry offsets per SUB-doc sub-tile
+    #   copy; lane- or sublane-sliced streams are rejected, measured).
+    #   MUST carry >= 2*ENT_G trailing sentinel windows: group rounding
+    #   reads up to 2*ENT_G - 1 windows past a tile's last entry.
+    eoff: jax.Array,  # int32 [n_tiles + 1] entry offsets per TILE-doc tile
     *,
     interpret: bool = False,
 ):
     """Heavy matmul + light-entry application + selection epilogue, one pass.
 
     The totals matrix never leaves VMEM unsummed: each 2048-doc tile's
-    program computes the heavy MXU block, then per 512-doc sub-tile DMAs
-    the aligned 128-entry windows overlapping its slice of the doc-sorted
-    light entry stream and folds them in as a one-hot matmul (no scatter —
-    XLA's scatter-add of 213k elements into [Q, n_slots] costs ~95 ms on
-    this toolchain), and emits per-sub-tile maxima + exact positive counts
-    of the SUMMED tile. Replaces the reference's per-posting accumulation
+    program computes the heavy MXU block, then streams the aligned
+    128-entry windows overlapping its slice of the doc-sorted light entry
+    stream — ENT_G windows per contiguous DMA, double-buffered so copies
+    hide behind the one-hot matmuls (v3 issued one serial start/wait per
+    window: ~2us x thousands of windows of dead time) — and folds them in
+    as exact 3-way-bf16-split one-hot matmuls (no scatter — XLA's
+    scatter-add of 213k elements into [Q, n_slots] costs ~95 ms on this
+    toolchain), and emits per-sub-tile maxima + exact positive counts of
+    the SUMMED tile. Replaces the reference's per-posting accumulation
     loop (src/api_engine.cpp:473-496) for the whole query, light and heavy
     terms together.
 
@@ -346,8 +385,8 @@ def unified_fused_pallas(
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((8, ENT_W), jnp.int32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((_RING, ENT_G, 8, ENT_W), jnp.int32),
+                pltpu.SemaphoreType.DMA((_RING,)),
             ],
         ),
         out_shape=[

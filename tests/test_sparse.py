@@ -135,6 +135,7 @@ def test_unified_fused_pallas_interpret_parity(segs):
     from jax import lax
 
     from nextsearch_tpu.ops.heavy_pallas import (
+        ENT_G,
         ENT_W,
         SUB,
         TILE,
@@ -163,12 +164,12 @@ def test_unified_fused_pallas_interpret_parity(segs):
     ).astype(np.int32)
     qs = r.integers(0, Q, size=n_live).astype(np.int32)
     vs = r.uniform(0.1, 1.0, size=n_live).astype(np.float32)
-    Np = ((n_live + ENT_W - 1) // ENT_W) * ENT_W
+    Np = ((n_live + ENT_W - 1) // ENT_W) * ENT_W + 2 * ENT_G * ENT_W
     pad = Np - n_live
     sd = np.concatenate([docs, np.full(pad, n_slots, np.int32)])
     sq = np.concatenate([qs, np.zeros(pad, np.int32)])
     sv = np.concatenate([vs, np.zeros(pad, np.float32)])
-    bounds = np.arange(0, n_slots + 1, SUB)
+    bounds = np.arange(0, n_slots + 1, TILE)
     eoff = np.searchsorted(sd, bounds, side="left").astype(np.int32)
     nw = Np // ENT_W
     ent_pack = jnp.concatenate(
