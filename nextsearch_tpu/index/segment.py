@@ -268,10 +268,16 @@ class DeviceIndex:
         # (_bs_depth) is the measured max occupancy of either table.
         from ..ops.bm25_sparse import BUCKET_LOG2, LIGHT_BUCKET_LOG2
 
+        # Heavy bucket positions exist ONLY for the bf16-rows opt-in: with
+        # f32 rows the rescore reads a candidate's exact heavy score
+        # straight off the dense table (exact_rescore_v3), so the ~1GB
+        # heavy table would be dead weight.
+        self._heavy_direct = not dcfg.dense_rows_bf16
         nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
         bucket_host = (
             np.zeros((nd1_pad, nb + 1), np.int32)
             if self._sparse and not host_only and not device_build
+            and not self._heavy_direct
             else None
         )
         bounds = (np.arange(nb + 1, dtype=np.int64) << BUCKET_LOG2)
@@ -394,7 +400,7 @@ class DeviceIndex:
                     self.post_doc, self.post_score, h_starts, h_dfs,
                     n_rows_pad=nd1_pad, n_slots=self.n_slots,
                     bf16=dcfg.dense_rows_bf16,
-                    with_buckets=self._sparse,
+                    with_buckets=self._sparse and not self._heavy_direct,
                     three_d=self._sparse,
                 )
             )
@@ -745,6 +751,7 @@ class DeviceIndex:
                 n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
                 bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
                 U=U, use_pallas=use_pallas,
+                heavy_direct=self._heavy_direct,
             )
             out.copy_to_host_async()
             return ("packed", nq, k, K, out)
@@ -767,6 +774,7 @@ class DeviceIndex:
             U=U,
             use_pallas=use_pallas,
             use_compact=use_compact,
+            heavy_direct=self._heavy_direct,
         )
         out.copy_to_host_async()
         return ("packed", nq, k, K, out)

@@ -153,7 +153,12 @@ def heavy_candidates(H, smax_sq, k2, Q, n_slots):
 
 
 BUCKET_LOG2 = 3  # heavy bucket-position granularity (8 doc slots)
-LIGHT_BUCKET_LOG2 = 11  # light bucket-position granularity (2048 doc slots)
+# Light bucket-position granularity (512 doc slots). Finer buckets cost
+# 4x table memory vs the old 2048-slot buckets (~1.6GB at 1M docs x 200k
+# vocab, device-built) but cut the measured max bucket occupancy — and the
+# rescore's binary-search depth is exactly that occupancy's bit length,
+# each step one [Q, T, kc] random gather at ~27ns/element.
+LIGHT_BUCKET_LOG2 = 9
 
 
 def _round_up_16(n: int) -> int:
@@ -245,6 +250,81 @@ def exact_rescore_v2(
     return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
 
 
+def exact_rescore_v3(
+    post_doc,
+    post_score,
+    dense_rows3,
+    light_bucket_pos,
+    starts,
+    slot_dense,
+    slot_light,
+    weights,
+    cand,
+    *,
+    bs_steps,
+    nd,
+    nl,
+):
+    """Bit-exact rescore with heavy values read straight off the dense rows.
+
+    A heavy term's per-doc eager score IS its dense-row entry (the table is
+    scattered from post_score bit-for-bit, f32), so the candidate's heavy
+    contribution is ONE gather dense_rows3[row, c >> 7, c & 127] — no
+    binary search and no heavy bucket-position table (v2 spent 4 of its 10
+    per-element gathers selecting between two bucket tables; the ~1GB
+    heavy table at 1M docs exists only for that search). Light slots keep
+    the bucket-narrowed lower_bound over their posting ranges; bs_steps
+    now covers the LIGHT table's max occupancy only. Requires f32 dense
+    rows (bf16 rows are not the exact scores — the bf16 opt-in keeps the
+    v2 path). Accumulation order and fma-blocking match v2 exactly.
+    """
+    Q, T = starts.shape
+    kc = cand.shape[1]
+    P = post_doc.shape[0]
+    c = cand[:, None, :]  # [Q, 1, kc]
+
+    s = starts[:, :, None].astype(jnp.int32)
+    is_heavy = slot_dense[:, :, None] < nd  # [Q, T, 1]
+    row = jnp.where(is_heavy, slot_dense[:, :, None], nd)  # nd = zero row
+    rowb = jnp.broadcast_to(row, (Q, T, kc))
+    cb = jnp.broadcast_to(c, (Q, T, kc))
+    dv = dense_rows3[
+        rowb, lax.shift_right_logical(cb, 7), cb & jnp.int32(127)
+    ]  # f32 [Q, T, kc]: exact eager score, 0 where the doc lacks the term
+
+    lrow = jnp.clip(slot_light[:, :, None], 0, nl)
+    cbl = lax.shift_right_logical(c, LIGHT_BUCKET_LOG2)
+    lo0 = light_bucket_pos[lrow, cbl]
+    hi0 = light_bucket_pos[lrow, cbl + 1]
+    lo = jnp.broadcast_to(lo0, (Q, T, kc))
+    hi = jnp.broadcast_to(hi0, (Q, T, kc))
+
+    def bs_step(_i, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
+        go_right = v < c
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
+    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
+    w = weights[:, :, None]
+    lhit = (lo < hi0) & (post_doc[pos] == c)
+    v = jnp.where(is_heavy, dv, jnp.where(lhit, post_score[pos], 0.0))
+    hit = (v > 0.0) & (w != 0.0)
+    # jnp.abs blocks XLA from contracting `acc + w*score` into an fma,
+    # which would skip the intermediate rounding the C++ engine performs
+    # (all contributions are non-negative, so abs is bit-exact).
+    term_contrib = jnp.where(hit, jnp.abs(w * v), jnp.float32(0.0))
+
+    def acc_step(t, acc):
+        return acc + lax.dynamic_index_in_dim(
+            term_contrib, t, axis=1, keepdims=False
+        )
+
+    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
+
+
 def _dedup_sorted(vals, docs):
     """Kill duplicate docs in a (score desc, doc asc)-sorted candidate list."""
     dup = jnp.concatenate(
@@ -260,7 +340,7 @@ def _dedup_sorted(vals, docs):
     jax.jit,
     static_argnames=(
         "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-        "use_pallas",
+        "use_pallas", "heavy_direct",
     ),
 )
 def bm25_search_sparse_unified(
@@ -281,6 +361,7 @@ def bm25_search_sparse_unified(
     nl: int,
     U: int,
     use_pallas: bool = True,
+    heavy_direct: bool = True,
 ):
     """Unified-totals sparse search: light contributions are folded INTO
     the heavy matmul inside one Pallas pass, so selection and the
@@ -414,11 +495,18 @@ def bm25_search_sparse_unified(
     cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
 
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
-    exact = exact_rescore_v2(
-        post_doc, post_score, bucket_pos, light_bucket_pos, starts,
-        slot_dense, slot_light, weights, safe_cand,
-        bs_steps=bs_steps, nd=nd, nl=nl,
-    )
+    if heavy_direct:
+        exact = exact_rescore_v3(
+            post_doc, post_score, dense_rows, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl,
+        )
+    else:
+        exact = exact_rescore_v2(
+            post_doc, post_score, bucket_pos, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl,
+        )
     exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
 
@@ -437,7 +525,7 @@ def bm25_search_sparse_unified(
     jax.jit,
     static_argnames=(
         "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-        "use_pallas", "use_compact",
+        "use_pallas", "use_compact", "heavy_direct",
     ),
 )
 def bm25_search_sparse_packed(
@@ -465,6 +553,7 @@ def bm25_search_sparse_packed(
     U: int,
     use_pallas: bool = True,
     use_compact: bool = False,
+    heavy_direct: bool = True,
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
     bm25_search_packed (vals | doc slots | found as exact f32 values)."""
@@ -567,11 +656,18 @@ def bm25_search_sparse_packed(
 
     # ---- exact rescore + canonical order + dedup
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
-    exact = exact_rescore_v2(
-        post_doc, post_score, bucket_pos, light_bucket_pos, starts,
-        slot_dense, slot_light, weights, safe_cand,
-        bs_steps=bs_steps, nd=nd, nl=nl,
-    )
+    if heavy_direct:
+        exact = exact_rescore_v3(
+            post_doc, post_score, dense_rows, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl,
+        )
+    else:
+        exact = exact_rescore_v2(
+            post_doc, post_score, bucket_pos, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl,
+        )
     exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
     sval, sdoc = _dedup_sorted(sval, sdoc)

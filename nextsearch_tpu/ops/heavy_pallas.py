@@ -270,15 +270,20 @@ def _unified_kernel(
             # bf16 dots reproduce v_i EXACTLY — same f32-faithful totals
             # as a HIGHEST dot at half the MXU passes. The one-hot operand
             # is exact in bf16 by construction.
-            v1 = wv.astype(jnp.bfloat16)
-            r1 = wv - v1.astype(jnp.float32)
-            v2 = r1.astype(jnp.bfloat16)
-            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+            # selects stay in f32 (an i1 mask in the bf16 (16,128) tiling
+            # is a Mosaic-illegal relayout, measured); the f32->bf16 casts
+            # are exact because every selected value is bf16-representable
+            v1 = wv.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = wv - v1
+            v2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            v3 = r1 - v2
             m2 = jnp.where(
-                dl == iota_d, jnp.bfloat16(1.0), jnp.bfloat16(0.0)
-            )  # [TILE, ENT_W]
+                dl == iota_d, jnp.float32(1.0), jnp.float32(0.0)
+            ).astype(jnp.bfloat16)  # [TILE, ENT_W]
             for vk in (v1, v2, v3):
-                m1 = jnp.where(wq == iota_q, vk, jnp.bfloat16(0.0))
+                m1 = jnp.where(
+                    wq == iota_q, vk, jnp.float32(0.0)
+                ).astype(jnp.bfloat16)
                 hs = hs + lax.dot_general(
                     m1, m2,
                     dimension_numbers=(((1,), (1,)), ((), ())),

@@ -95,6 +95,27 @@ def test_sparse_heavy_only():
 
 
 @pytest.mark.parametrize("unified", [True, False])
+def test_sparse_bf16_rows_exact_scores(segs, unified):
+    """The bf16 dense-rows opt-in keeps the v2 bucket-table rescore (bf16
+    row values are NOT the exact eager scores, so heavy slots must binary-
+    search postings): reported scores stay bit-exact vs the oracle."""
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, unified=unified, dense_rows_bf16=True,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    assert di.n_dense > 0 and not di._heavy_direct
+    assert di.bucket_pos is not None
+    check_parity(di, segs, [
+        [("w0000", 1.0)],
+        [("w0001", 1.0), ("w0180", 0.7)],
+        [("w0002", 0.9), ("w0003", 0.8), ("w0160", 0.5)],
+    ])
+
+
+@pytest.mark.parametrize("unified", [True, False])
 def test_sparse_fuzz(segs, unified):
     di = make_index(segs, unified=unified)
     r = np.random.default_rng(64)
@@ -308,9 +329,9 @@ def test_device_build_matches_host_build(segs, monkeypatch):
     assert drows.shape[0] >= hrows.shape[0]
     assert np.array_equal(hrows, drows[: hrows.shape[0]])
     assert not drows[hrows.shape[0]:].any()
-    assert np.array_equal(
-        np.asarray(host.bucket_pos), np.asarray(dev.bucket_pos)
-    )
+    # f32 rows rescore heavy slots straight off the dense table: neither
+    # build produces a heavy bucket table (exact_rescore_v3)
+    assert host.bucket_pos is None and dev.bucket_pos is None
     assert np.array_equal(
         np.asarray(host.light_bucket_pos), np.asarray(dev.light_bucket_pos)
     )
