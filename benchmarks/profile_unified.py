@@ -1,26 +1,22 @@
-"""Sparse-kernel stage profiling AT THE SERVING OPERATING POINT.
+"""Unified-pipeline stage profiling AT THE SERVING OPERATING POINT.
 
-profile_sparse.py measures the full-table heavy path at posting block 512;
-the serving configuration (bench.py defaults) is posting block 64 + compact
-heavy mode (Pallas DMA row gather, U pinned at 512). Stage costs shift a
-lot between the two, so round-3 optimization decisions are driven by THIS
-harness: full-kernel variants that each drop one stage (isolated
-sub-programs hit a compile pathology through the remote-compile relay).
+Mirror of ops/bm25_sparse.bm25_search_sparse_unified with per-stage
+toggles (same methodology as profile_serving.py for the packed path —
+full-kernel variants, deltas vs "full" attribute each stage):
 
-Variants (deltas vs "full" attribute each stage):
-    full           the exact serving kernel configuration
-    no_rescore     skip exact_rescore_v2 (candidates scored 1.0)
-    no_sort2       skip per_query_topk_flat (light selection sort)
-    no_light       skip light_totals entirely (sort1+segsum+sort2+found)
-    no_hgather     light totals but H gathered as zeros
-    no_cand_heavy  skip heavy_candidates (tile top-k + gather)
-    no_heavy_mm    skip compact gather + fused matmul (H = zeros)
+    full           the exact serving unified pipeline
+    no_rescore     exact_rescore_v3 off (candidates scored 1.0)
+    no_cand        heavy_candidates off (selection gather + top-k)
+    no_entries     entry expand+sort+pack off, kernel sees zero windows
+                   (eoff = 0): measures the whole light-entry feed
+    no_entry_sort  expansion runs, global sort skipped (entries fed
+                   doc-unsorted; results wrong, timing only)
+    no_kernel      unified_fused_pallas replaced by zeros (totals/smax/cnt)
     base           everything off (launch + plan transport floor)
 
-Run on the real TPU:  python benchmarks/profile_serving.py
+Run on the real TPU:  python benchmarks/profile_unified.py
 Env: NEXTSEARCH_PROF_DOCS (1000000), NEXTSEARCH_PROF_BATCH (512),
-     NEXTSEARCH_PROF_BLOCK (64), NEXTSEARCH_PROF_HEAVYB (512),
-     NEXTSEARCH_PROF_VARIANTS (comma list).
+     NEXTSEARCH_PROF_BLOCK (64), NEXTSEARCH_PROF_VARIANTS (comma list).
 """
 
 from __future__ import annotations
@@ -41,20 +37,19 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 
-from nextsearch_tpu.ops.bm25 import canonical_sort  # noqa: E402
+from nextsearch_tpu.ops.bm25 import canonical_sort, expand_chunks  # noqa: E402
 from nextsearch_tpu.ops.bm25_sparse import (  # noqa: E402
-    _dedup_sorted,
     _round_up_16,
     exact_rescore_v3,
     heavy_candidates,
-    light_totals,
-    per_query_counts,
-    per_query_topk_flat,
 )
 from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
+    CSUB,
+    ENT_G,
+    ENT_W,
+    TILE,
     gather_rows_pallas,
-    heavy_fused_pallas,
-    heavy_fused_xla,
+    unified_fused_pallas,
 )
 
 
@@ -62,20 +57,16 @@ from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
     jax.jit,
     static_argnames=(
         "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-        "use_pallas",
-        "do_heavy", "do_light", "do_sort2", "do_hgather", "do_cand_heavy",
-        "do_rescore",
+        "do_kernel", "do_entries", "do_entry_sort", "do_cand", "do_rescore",
     ),
 )
-def variant_kernel(
-    post_doc, post_score, dense_rows, bucket_pos, light_bucket_pos,
-    plan,
-    *, n_slots, K, K2, C, block, bs_steps, nd, nl, U, use_pallas,
-    do_heavy=True, do_light=True, do_sort2=True, do_hgather=True,
-    do_cand_heavy=True, do_rescore=True,
+def variant_unified(
+    post_doc, post_score, dense_rows, light_bucket_pos, plan,
+    *, n_slots, K, K2, C, block, bs_steps, nd, nl, U,
+    do_kernel=True, do_entries=True, do_entry_sort=True, do_cand=True,
+    do_rescore=True,
 ):
-    """Mirror of bm25_search_sparse_packed (compact heavy path) with
-    per-stage toggles. Keep in sync with ops/bm25_sparse.py."""
+    """Keep in sync with ops/bm25_sparse.bm25_search_sparse_unified."""
     starts = plan[0]
     light_dfs = plan[1]
     slot_dense = plan[2]
@@ -98,56 +89,72 @@ def variant_kernel(
 
     mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
     mix = mix.at[:, U].set(0.0)
+    table3 = gather_rows_pallas(ids, dense_rows)
+    table = table3.reshape(table3.shape[0], n_slots)
 
-    if do_heavy:
-        table3 = (
-            gather_rows_pallas(ids, dense_rows)
-            if use_pallas
-            else dense_rows[ids]
+    n_tiles = n_slots // TILE
+    N = C * block
+    Np = ((N + ENT_W - 1) // ENT_W) * ENT_W + 2 * ENT_G * ENT_W
+    nw = Np // ENT_W
+    if do_entries:
+        cs, cl, cq, cw = expand_chunks(
+            starts, light_dfs, weights, C=C, block=block
         )
-        table = table3.reshape(table3.shape[0], n_slots)
-        fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, smax_sq, cnt_tq = fused(mix, table)
-        heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
-    else:
-        from nextsearch_tpu.ops.heavy_pallas import CSUB
-
-        n_sub_pad = -(-n_slots // CSUB)
-        H = jnp.zeros((Q, n_slots), jnp.float32)
-        smax_sq = jnp.zeros((n_sub_pad, Q), jnp.float32)
-        heavy_found = jnp.zeros((Q,), jnp.int32)
-
-    if do_light:
-        sq, sd, stot, last = light_totals(
-            post_doc, post_score, starts, light_dfs, weights,
-            C=C, block=block, Q=Q, n_slots=n_slots,
+        P = post_doc.shape[0]
+        offs = lax.broadcasted_iota(jnp.int32, (C, block), 1)
+        valid = offs < cl[:, None]
+        idx = jnp.clip(cs[:, None] + offs, 0, max(P - 1, 0))
+        doc = jnp.where(valid, post_doc[idx], jnp.int32(n_slots))
+        contrib = jnp.where(
+            valid, cw[:, None] * post_score[idx], jnp.float32(0.0)
         )
-        sd_clip = jnp.clip(sd, 0, n_slots - 1)
-        if do_hgather:
-            hval = H[jnp.clip(sq, 0, Q - 1), sd_clip].astype(jnp.float32)
+        qrow = jnp.clip(jnp.broadcast_to(cq[:, None], (C, block)), 0, Q - 1)
+        if do_entry_sort:
+            qshift = max((Q - 1).bit_length(), 1)
+            key = (
+                doc.reshape(-1).astype(jnp.uint32) << qshift
+            ) | qrow.reshape(-1).astype(jnp.uint32)
+            skey, sv = lax.sort((key, contrib.reshape(-1)), num_keys=1)
+            sd = (skey >> qshift).astype(jnp.int32)
+            sq = (skey & jnp.uint32((1 << qshift) - 1)).astype(jnp.int32)
         else:
-            hval = jnp.zeros(sq.shape, jnp.float32)
-        valid_last = last & (sq < Q)
-        light_only = valid_last & (hval == 0.0)
-        found = heavy_found + per_query_counts(sq, light_only, Q)
-        if do_sort2:
-            sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
-            ldocs = per_query_topk_flat(
-                sq, sel_score, sd, Q, K2, jnp.int32(2**30)
-            )
-        else:
-            ldocs = jnp.full((Q, K2), 2**30, jnp.int32)
+            sd, sq, sv = doc.reshape(-1), qrow.reshape(-1), contrib.reshape(-1)
+        bounds = jnp.arange(0, n_tiles + 1, dtype=jnp.int32) * TILE
+        eoff = jnp.searchsorted(sd, bounds, side="left").astype(jnp.int32)
+        pad = Np - N
+        sd = jnp.concatenate([sd, jnp.full((pad,), n_slots, jnp.int32)])
+        sq = jnp.concatenate([sq, jnp.zeros((pad,), jnp.int32)])
+        sv = jnp.concatenate([sv, jnp.zeros((pad,), jnp.float32)])
+        ent_pack = jnp.concatenate(
+            [
+                sd.reshape(nw, 1, ENT_W),
+                sq.reshape(nw, 1, ENT_W),
+                lax.bitcast_convert_type(sv, jnp.int32).reshape(nw, 1, ENT_W),
+                jnp.zeros((nw, 5, ENT_W), jnp.int32),
+            ],
+            axis=1,
+        )
     else:
-        found = heavy_found
-        ldocs = jnp.full((Q, K2), 2**30, jnp.int32)
+        ent_pack = jnp.full((nw, 8, ENT_W), n_slots, jnp.int32)
+        eoff = jnp.zeros((n_tiles + 1,), jnp.int32)
 
-    if do_cand_heavy:
-        hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
+    if do_kernel:
+        totals, smax_sq, cnt_tq = unified_fused_pallas(
+            mix.astype(table.dtype), table, ent_pack, eoff
+        )
+        found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
     else:
-        hdocs = jnp.full((Q, K2), 2**30, jnp.int32)
+        tiles_pad = ((n_tiles + 7) // 8) * 8
+        sub_pad = tiles_pad * (TILE // CSUB)
+        totals = jnp.zeros((Q, n_slots), jnp.float32)
+        smax_sq = jnp.zeros((sub_pad, Q), jnp.float32)
+        found = jnp.zeros((Q,), jnp.int32)
 
-    cand = jnp.concatenate([ldocs, hdocs], axis=1)
-    cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
+    if do_cand:
+        _vals, cand = heavy_candidates(totals, smax_sq, K2, Q, n_slots)
+        cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
+    else:
+        cand = jnp.full((Q, K2), 2**30, jnp.int32)
 
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     if do_rescore:
@@ -160,7 +167,6 @@ def variant_kernel(
     else:
         exact = jnp.where(cand < n_slots, 1.0, 0.0).astype(jnp.float32)
     sval, sdoc = canonical_sort(exact, safe_cand)
-    sval, sdoc = _dedup_sorted(sval, sdoc)
 
     out = jnp.concatenate(
         [sval[:, :K], sdoc[:, :K].astype(jnp.float32),
@@ -173,13 +179,12 @@ def variant_kernel(
 VARIANTS = {
     "full": {},
     "no_rescore": {"do_rescore": False},
-    "no_sort2": {"do_sort2": False},
-    "no_hgather": {"do_hgather": False},
-    "no_light": {"do_light": False, "do_hgather": False, "do_sort2": False},
-    "no_cand_heavy": {"do_cand_heavy": False},
-    "no_heavy_mm": {"do_heavy": False},
-    "base": {"do_heavy": False, "do_light": False, "do_hgather": False,
-             "do_sort2": False, "do_cand_heavy": False, "do_rescore": False},
+    "no_cand": {"do_cand": False},
+    "no_entry_sort": {"do_entry_sort": False},
+    "no_entries": {"do_entries": False, "do_entry_sort": False},
+    "no_kernel": {"do_kernel": False},
+    "base": {"do_kernel": False, "do_entries": False, "do_entry_sort": False,
+             "do_cand": False, "do_rescore": False},
 }
 
 
@@ -189,7 +194,6 @@ def main():
     batch = int(os.environ.get("NEXTSEARCH_PROF_BATCH", 512))
     blk = int(os.environ.get("NEXTSEARCH_PROF_BLOCK", 64))
     heavy_b = int(os.environ.get("NEXTSEARCH_PROF_HEAVYB", 512))
-    use_pallas = jax.default_backend() == "tpu"
     names = os.environ.get("NEXTSEARCH_PROF_VARIANTS")
     names = names.split(",") if names else list(VARIANTS)
 
@@ -215,7 +219,7 @@ def main():
     cfg = EngineConfig(
         device=DeviceConfig(
             mode="sparse", posting_block=blk, heavy_buckets=(heavy_b,),
-            dense_df_ratio=1 / 1024, dense_max_bytes=7 << 30,
+            dense_df_ratio=1 / 1024, dense_max_bytes=7 << 30, unified=True,
         )
     )
     t0 = time.time()
@@ -225,7 +229,7 @@ def main():
     pins = di.pin_shapes(batches)
     print(
         f"[prof] {n_docs} docs n_dense={di.n_dense} n_slots={di.n_slots} "
-        f"pins={pins} bs_steps={di._bs_depth} pallas={use_pallas}",
+        f"pins={pins} bs_steps={di._bs_depth}",
         file=sys.stderr,
     )
 
@@ -240,16 +244,16 @@ def main():
     for name in names:
         kw = VARIANTS[name]
         fn = functools.partial(
-            variant_kernel,
+            variant_unified,
             n_slots=di.n_slots, K=K, K2=K2, C=C, block=blk,
             bs_steps=di._bs_depth, nd=di.n_dense, nl=di.n_light,
-            use_pallas=use_pallas, U=U, **kw,
+            U=U, **kw,
         )
 
         def call(plan):
             pi, _u = plan
             return fn(di.post_doc, di.post_score, di.dense_rows,
-                      di.bucket_pos, di.light_bucket_pos, pi)
+                      di.light_bucket_pos, pi)
 
         t0 = time.time()
         jax.device_get(call(plans[0]))
@@ -269,7 +273,7 @@ def main():
         print(f"[prof] {name}: {ms:.1f} ms/batch "
               f"({batch/ms*1000:.0f} qps)", file=sys.stderr)
 
-    print("\n=== serving-point stage attribution (ms/batch) ===")
+    print("\n=== unified serving-point stage attribution (ms/batch) ===")
     full = results.get("full")
     for name, ms in results.items():
         delta = f"  (full - this = {full - ms:+.1f})" if full and name != "full" else ""
