@@ -133,9 +133,13 @@ def sample_queries(probs, n_queries: int, batch: int, seed: int = 1):
 def main():
     n_docs = int(os.environ.get("NEXTSEARCH_BENCH_DOCS", 1_000_000))
     vocab = int(os.environ.get("NEXTSEARCH_BENCH_VOCAB", 200_000))
-    # Large batches amortize the ~25-30ms per-launch overhead of the
-    # tunneled TPU (measured: per-call floor dominates below ~1M elements).
-    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 512))
+    # The relay's ~25ms per-launch round trip does NOT overlap device
+    # compute, so the serving shape is a 2048-query megabatch that the
+    # engine splits into 4 block-diagonal 512-query groups inside ONE
+    # launch (launch_group) — same per-query device cost, 1/4 the
+    # per-launch floor. Depth 3 suffices: the pipeline only needs to hide
+    # host planning (~tens of ms) behind device compute (~hundreds).
+    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 2048))
     secs = float(os.environ.get("NEXTSEARCH_BENCH_SECS", 10))
     mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "sparse")
 
@@ -199,14 +203,22 @@ def main():
         chunks = int(chunks_env)
     else:
         # Planning-only probe: host_only skips the dense-row build and all
-        # device transfers (minutes at 1M-doc scale).
+        # device transfers (minutes at 1M-doc scale). The budget is per
+        # LAUNCH GROUP (the multi-launch kernel expands each sub-batch
+        # against its own C), so probe at group granularity.
         di = DeviceIndex([seg], config=cfg0, host_only=True)
         block = cfg0.device.posting_block
+        group = min(batch, cfg0.device.launch_group or batch)
         max_live = 1
         for b in batches:
-            _s, _d, _w, light_dfs, _u, _m = di.plan_full(b)
-            live = int(np.sum((light_dfs.astype(np.int64) + block - 1) // block))
-            max_live = max(max_live, live)
+            for gi in range(0, len(b), group):
+                _s, _d, _w, light_dfs, _u, _m = di.plan_full(
+                    b[gi : gi + group]
+                )
+                live = int(
+                    np.sum((light_dfs.astype(np.int64) + block - 1) // block)
+                )
+                max_live = max(max_live, live)
         chunks = ((max_live + 127) // 128) * 128  # tight static budget
         print(f"[bench] max live chunks {max_live} -> budget {chunks}",
               file=sys.stderr)
@@ -222,7 +234,9 @@ def main():
     di = DeviceIndex([seg], config=cfg)
     print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
-    depth = int(os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 8))
+    depth = int(
+        os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 3 if batch >= 2048 else 8)
+    )
 
     # Warmup / compile.
     t0 = time.time()

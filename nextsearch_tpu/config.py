@@ -117,6 +117,17 @@ class DeviceConfig:
     # flip back on once the lane-aligned window layout is proven on
     # hardware.
     unified: bool = False
+    # Multi-launch group size (sparse mode): a batch larger than this is
+    # split into block-diagonal sub-batches that run through ONE device
+    # launch (lax.scan over the packed pipeline,
+    # bm25_search_sparse_packed_multi). The tunneled TPU's ~25 ms
+    # per-launch round trip does NOT overlap device compute on this relay,
+    # so at G sub-batches per launch it amortizes G-fold; sub-batches keep
+    # their own compact-U mix and chunk budget, so per-query device cost
+    # matches the single-batch kernel (a monolithic 2x batch references
+    # ~2x the distinct heavy rows and scales the matmul per query —
+    # measured as the round-2 batch-1024 regression). 0 disables.
+    launch_group: int = 512
     # Fixed chunk-count buckets for the fused/fast scatter (per batch).
     # Gather volume beyond the live chunks is pure waste, so the ladder
     # starts small; each bucket is one XLA compile (cached persistently).

@@ -649,9 +649,18 @@ class DeviceIndex:
             )
         return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
-    def plan_sparse(self, queries: Sequence[Sequence[WeightedTerm]]):
+    def plan_sparse(
+        self,
+        queries: Sequence[Sequence[WeightedTerm]],
+        q_override: Optional[int] = None,
+        t_override: Optional[int] = None,
+    ):
         """Sparse-mode plan: packed int/f32 plan blocks for
         ops/bm25_sparse.bm25_search_sparse_packed.
+
+        q_override/t_override force the Qb/T envelope (multi-launch groups
+        must stack into one [G, 7, Qb, T] block; _pick_shape treats them
+        like pins, so an overflowing group still escapes loudly).
 
         Returns (plan int32 [7, Qb, T], U) — one device upload:
           rows: starts / light_dfs (0 for heavy: excluded from chunk
@@ -668,9 +677,12 @@ class DeviceIndex:
         q_rows, q_ws = _probe_queries(self._lex_slices, queries)
         t_max = max((r.shape[0] for r in q_rows), default=0)
 
-        T = _pick_shape(t_max, self.T_BUCKETS, self._pins.get("T"), "T")
+        T = _pick_shape(
+            t_max, self.T_BUCKETS, t_override or self._pins.get("T"), "T"
+        )
         Qb = _pick_shape(
-            len(queries), self.Q_BUCKETS, self._pins.get("Q"), "Q"
+            len(queries), self.Q_BUCKETS,
+            q_override or self._pins.get("Q"), "Q",
         )
         plan_ints = np.zeros((7, Qb, T), np.int32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
@@ -720,18 +732,80 @@ class DeviceIndex:
 
     # ---------------- execution ----------------
 
+    def _plan_groups(self, queries, g: int):
+        """Plan G block-diagonal sub-batches with ONE [G, 7, Qb, T] shape.
+
+        Qb is forced to the group size; T starts at the pin (or group 1's
+        envelope) and the loop restarts if a later group overflows it —
+        rare, and the escape is already logged by _pick_shape. U is the
+        max over groups: a plan built under a smaller U stays valid in a
+        larger-U kernel (its padding slots point at zero dense rows).
+        """
+        n = len(queries)
+        gn = -(-n // g)
+        t_ov = self._pins.get("T")
+        while True:
+            plans = []
+            us = []
+            for gi in range(gn):
+                p, u = self.plan_sparse(
+                    queries[gi * g : (gi + 1) * g],
+                    q_override=g, t_override=t_ov,
+                )
+                if t_ov is None:
+                    t_ov = p.shape[2]
+                elif p.shape[2] != t_ov:
+                    t_ov = max(t_ov, p.shape[2])
+                    break
+                plans.append(p)
+                us.append(u)
+            else:
+                return np.stack(plans), max(us)
+
     def _search_sparse_async(self, queries, k: int):
         """Launch the sparse-light kernel (mode='sparse')."""
         import jax
 
         from ..ops.bm25_sparse import (
             bm25_search_sparse_packed,
+            bm25_search_sparse_packed_multi,
             bm25_search_sparse_unified,
         )
 
         nq = len(queries)
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
+
+        g = self._pins.get("Q") or self.config.device.launch_group
+        use_pallas_m = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
+        )
+        if g and nq > g:
+            plans, U = self._plan_groups(queries, g)
+            block = self.config.device.posting_block
+            C = max(
+                self._chunk_budget(plans[gi, 1], block)
+                for gi in range(plans.shape[0])
+            )
+            K2 = min(
+                max(2 * K, self.config.device.rescore_margin), self.n_slots
+            )
+            use_compact = (
+                os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
+            )
+            out = bm25_search_sparse_packed_multi(
+                self.post_doc, self.post_score, self.dense_rows,
+                self.bucket_pos, self.light_bucket_pos, plans,
+                n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
+                bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
+                U=U if use_compact else 0,
+                use_pallas=use_pallas_m,
+                use_compact=use_compact,
+                heavy_direct=self._heavy_direct,
+            )
+            out.copy_to_host_async()
+            return ("packed", nq, k, K, out)
 
         plan, U = self.plan_sparse(queries)
         block = self.config.device.posting_block

@@ -521,14 +521,7 @@ def bm25_search_sparse_unified(
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-        "use_pallas", "use_compact", "heavy_direct",
-    ),
-)
-def bm25_search_sparse_packed(
+def _packed_impl(
     post_doc: jax.Array,  # int32 [P]
     post_score: jax.Array,  # f32 [P]
     dense_rows: jax.Array,  # bf16/f32 3D [rows, n_slots/128, 128]
@@ -681,3 +674,63 @@ def bm25_search_sparse_packed(
         axis=1,
     )
     return out
+
+
+_PACKED_STATICS = (
+    "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
+    "use_pallas", "use_compact", "heavy_direct",
+)
+
+bm25_search_sparse_packed = functools.partial(
+    jax.jit, static_argnames=_PACKED_STATICS
+)(_packed_impl)
+
+
+@functools.partial(jax.jit, static_argnames=_PACKED_STATICS)
+def bm25_search_sparse_packed_multi(
+    post_doc: jax.Array,
+    post_score: jax.Array,
+    dense_rows: jax.Array,
+    bucket_pos: jax.Array,
+    light_bucket_pos: jax.Array,
+    plans: jax.Array,  # int32 [G, 7, Q, T] — G block-diagonal sub-batches
+    *,
+    n_slots: int,
+    K: int,
+    K2: int,
+    C: int,
+    block: int,
+    bs_steps: int,
+    nd: int,
+    nl: int,
+    U: int,
+    use_pallas: bool = True,
+    use_compact: bool = False,
+    heavy_direct: bool = True,
+):
+    """G sub-batches through the packed pipeline in ONE device launch.
+
+    The tunneled TPU's per-launch round trip (~25 ms measured, and it does
+    NOT overlap with device compute on this relay — upload/download
+    serialize against execution) is paid once per G sub-batches instead of
+    once per batch. The sub-batches stay BLOCK-DIAGONAL via lax.scan: each
+    keeps its own compact-U heavy mix (a monolithic G*Q-query batch would
+    reference ~2-3x more distinct heavy rows, scaling the matmul FLOPs per
+    query — measured as the round-2 batch-1024 regression), its own chunk
+    budget, and its own candidate pools, so per-query device cost is
+    identical to the single-batch kernel. One [G, 7, Q, T] int32 upload,
+    one [G*Q, 2K+1] packed download.
+    """
+    def body(carry, plan):
+        out = _packed_impl(
+            post_doc, post_score, dense_rows, bucket_pos,
+            light_bucket_pos, plan,
+            n_slots=n_slots, K=K, K2=K2, C=C, block=block,
+            bs_steps=bs_steps, nd=nd, nl=nl, U=U,
+            use_pallas=use_pallas, use_compact=use_compact,
+            heavy_direct=heavy_direct,
+        )
+        return carry, out
+
+    _c, outs = lax.scan(body, 0, plans)
+    return outs.reshape(outs.shape[0] * outs.shape[1], outs.shape[2])

@@ -94,6 +94,38 @@ def test_sparse_heavy_only():
     check_parity(di, [seg], queries)
 
 
+def test_sparse_multi_launch_parity(segs):
+    """A batch above launch_group runs G block-diagonal sub-batches in one
+    device launch (bm25_search_sparse_packed_multi); results must be
+    bit-identical to the oracle and to per-group single launches, with the
+    last group padded."""
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, launch_group=8,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    r = np.random.default_rng(99)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = []
+    for _ in range(19):  # 3 groups of 8, last partial
+        nt = int(r.integers(1, 5))
+        queries.append(
+            [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+             for _ in range(nt)]
+        )
+    check_parity(di, segs, queries)
+    multi = di.search_batch(queries, k=10)
+    singles = []
+    for gi in range(0, len(queries), 8):
+        singles.extend(di.search_batch(queries[gi:gi + 8], k=10))
+    for a, b in zip(multi, singles):
+        assert a.found == b.found
+        assert np.array_equal(a.scores, b.scores)
+        assert np.array_equal(a.doc_slots, b.doc_slots)
+
+
 @pytest.mark.parametrize("unified", [True, False])
 def test_sparse_bf16_rows_exact_scores(segs, unified):
     """The bf16 dense-rows opt-in keeps the v2 bucket-table rescore (bf16
