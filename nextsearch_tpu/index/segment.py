@@ -127,6 +127,36 @@ def _probe_queries(slices, queries):
     return q_rows, q_ws
 
 
+def _probe_queries_flat(slices, queries):
+    """Flat variant of _probe_queries for the serving-path planner: one
+    dict probe per (query, term), ONE numpy expansion for the whole batch
+    (the per-query list-of-arrays variant costs ~10 small numpy calls per
+    query — ~20 ms of serial host time at batch 512, measured).
+
+    Returns (rows_flat int64, ws_flat f32, q_lens int64[len(queries)]):
+    merged-table row ids and weights in (query, term-occurrence) order,
+    plus per-query row counts.
+    """
+    offs: List[int] = []
+    cnts: List[int] = []
+    ws: List[float] = []
+    q_lens = np.zeros(len(queries), np.int64)
+    for qi, terms in enumerate(queries):
+        tot = 0
+        for term, w in terms:
+            oc = slices.get(term)
+            if oc is not None:
+                offs.append(oc[0])
+                cnts.append(oc[1])
+                ws.append(w)
+                tot += oc[1]
+        q_lens[qi] = tot
+    cnts_a = np.asarray(cnts, np.int64)
+    rows = np.repeat(np.asarray(offs, np.int64), cnts_a) + _ranges(cnts_a)
+    ws_flat = np.repeat(np.asarray(ws, np.float32), cnts_a)
+    return rows, ws_flat, q_lens
+
+
 @dataclass
 class QueryResult:
     """One query's hits as global doc slots (segment/docId via locate())."""
@@ -674,8 +704,10 @@ class DeviceIndex:
           U:    static compact-table size (bucketed via heavy_buckets)
         """
         table = self._lex_table
-        q_rows, q_ws = _probe_queries(self._lex_slices, queries)
-        t_max = max((r.shape[0] for r in q_rows), default=0)
+        rows_all, ws_all, q_lens = _probe_queries_flat(
+            self._lex_slices, queries
+        )
+        t_max = int(q_lens.max()) if q_lens.size else 0
 
         T = _pick_shape(
             t_max, self.T_BUCKETS, t_override or self._pins.get("T"), "T"
@@ -688,31 +720,39 @@ class DeviceIndex:
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
         plan_ints[3] += np.int32(self.n_light)  # default: sentinel row
         weights = np.zeros((Qb, T), np.float32)
-        hv_q: List[np.ndarray] = []
-        hv_t: List[np.ndarray] = []
-        hv_id: List[np.ndarray] = []
-        for qi, (rows, ws) in enumerate(zip(q_rows, q_ws)):
-            n = min(rows.shape[0], T)
-            if n == 0:
-                continue
-            ent = table[rows[:n]]
+        # Flat vectorized fill: the per-query Python loop this replaces
+        # cost ~22 ms per 512-query batch (measured) — serial host time
+        # that caps serving QPS no matter how fast the device is.
+        ti_all = _ranges(q_lens)
+        keep = ti_all < T  # clip each query's rows to the T envelope
+        total = int(keep.sum())
+        if total:
+            rows_flat = rows_all[keep]
+            ws_flat = ws_all[keep]
+            qi_flat = np.repeat(
+                np.arange(len(queries), dtype=np.int64), q_lens
+            )[keep]
+            ti_flat = ti_all[keep]
+            ent = table[rows_flat]  # [total, 6]
             dense = ent[:, 2]
             light = dense < 0
-            plan_ints[0, qi, :n] = ent[:, 0]
-            plan_ints[1, qi, :n] = np.where(light, ent[:, 1], 0)
-            plan_ints[2, qi, :n] = np.where(light, self.n_dense, dense)
-            plan_ints[3, qi, :n] = np.where(light, ent[:, 5], self.n_light)
-            weights[qi, :n] = ws[:n]
-            if not light.all():
-                hm = ~light
-                hv_q.append(np.full(int(hm.sum()), qi, np.int64))
-                hv_t.append(np.nonzero(hm)[0])
-                hv_id.append(dense[hm])
+            plan_ints[0, qi_flat, ti_flat] = ent[:, 0]
+            plan_ints[1, qi_flat, ti_flat] = np.where(light, ent[:, 1], 0)
+            plan_ints[2, qi_flat, ti_flat] = np.where(
+                light, self.n_dense, dense
+            )
+            plan_ints[3, qi_flat, ti_flat] = np.where(
+                light, ent[:, 5], self.n_light
+            )
+            weights[qi_flat, ti_flat] = ws_flat
+            hm = ~light
+            ids = dense[hm]
+        else:
+            ids = _EMPTY_I64
 
         # Compact heavy-row table for this batch (kernel gathers these rows
         # and runs the MXU mix over compact ids instead of the full table).
-        if hv_id:
-            ids = np.concatenate(hv_id)
+        if ids.size:
             uniq, inv = np.unique(ids, return_inverse=True)
             n_uniq = uniq.shape[0]
         else:
@@ -723,7 +763,7 @@ class DeviceIndex:
         U = _pick_shape(n_uniq, hb, self._pins.get("U"), "U")
         plan_ints[4] = np.int32(U)  # default: light/padding -> zero row
         if n_uniq:
-            plan_ints[4, np.concatenate(hv_q), np.concatenate(hv_t)] = inv
+            plan_ints[4, qi_flat[hm], ti_flat[hm]] = inv
         plan_ints[5] = weights.view(np.int32)
         idbuf = np.full(Qb * T, self.n_dense, np.int32)
         idbuf[:n_uniq] = uniq
