@@ -133,13 +133,12 @@ def sample_queries(probs, n_queries: int, batch: int, seed: int = 1):
 def main():
     n_docs = int(os.environ.get("NEXTSEARCH_BENCH_DOCS", 1_000_000))
     vocab = int(os.environ.get("NEXTSEARCH_BENCH_VOCAB", 200_000))
-    # The relay's ~25ms per-launch round trip does NOT overlap device
-    # compute, so the serving shape is a 2048-query megabatch that the
-    # engine splits into 4 block-diagonal 512-query groups inside ONE
-    # launch (launch_group) — same per-query device cost, 1/4 the
-    # per-launch floor. Depth 3 suffices: the pipeline only needs to hide
-    # host planning (~tens of ms) behind device compute (~hundreds).
-    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 2048))
+    # Serving is DEVICE-BOUND at this scale: the depth-8 pipeline already
+    # hides the relay's per-launch round trip (measured: a 2048-query
+    # 4-group megabatch lost ~6% — the 4-subgraph program compiles ~1.7x
+    # slower per group than the single-batch program, and there was no
+    # transport to win back). Batch 512 is the serving sweet spot.
+    batch = int(os.environ.get("NEXTSEARCH_BENCH_BATCH", 512))
     secs = float(os.environ.get("NEXTSEARCH_BENCH_SECS", 10))
     mode = os.environ.get("NEXTSEARCH_BENCH_MODE", "sparse")
 

@@ -106,7 +106,7 @@ def variant_kernel(
         light_only = valid_last & (hval == 0.0)
         found = heavy_found + per_query_counts(sq, light_only, Q)
         sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
-        ldocs = per_query_topk_flat(
+        ldocs, _lvals = per_query_topk_flat(
             sq, sel_score, sd, Q, K2, jnp.int32(2**30)
         )
     else:

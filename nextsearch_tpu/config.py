@@ -117,6 +117,18 @@ class DeviceConfig:
     # flip back on once the lane-aligned window layout is proven on
     # hardware.
     unified: bool = False
+    # Guarded fast path (sparse + f32 rows): heavy matmul at DEFAULT
+    # precision (1 bf16 MXU pass vs HIGHEST's 6) and ONE merged K2-wide
+    # candidate pool (half the rescore gathers). The kernel emits a
+    # per-query proof that the approximations could not have changed the
+    # top-K (exact K-th rescored score > (1+eps) * the selection
+    # threshold); when the proof fails — near-uniform score plateaus —
+    # the engine relaunches the HIGHEST wide-pool kernel for that batch,
+    # so reported results are ALWAYS bit-exact. eps bounds the DEFAULT
+    # dot's relative error (measured 5.8e-4 on v5e; 2e-3 adds ~3.4x
+    # safety).
+    fast_heavy: bool = True
+    fast_heavy_eps: float = 2e-3
     # Multi-launch group size (sparse mode): a batch larger than this is
     # split into block-diagonal sub-batches that run through ONE device
     # launch (lax.scan over the packed pipeline,

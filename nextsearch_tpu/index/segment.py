@@ -821,6 +821,12 @@ class DeviceIndex:
             jax.default_backend() == "tpu"
             and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
         )
+        fast = (
+            self.config.device.fast_heavy
+            and self._heavy_direct
+            and os.environ.get("NEXTSEARCH_FAST_HEAVY", "1") == "1"
+        )
+        eps = self.config.device.fast_heavy_eps
         if g and nq > g:
             plans, U = self._plan_groups(queries, g)
             block = self.config.device.posting_block
@@ -834,18 +840,29 @@ class DeviceIndex:
             use_compact = (
                 os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
             )
-            out = bm25_search_sparse_packed_multi(
-                self.post_doc, self.post_score, self.dense_rows,
-                self.bucket_pos, self.light_bucket_pos, plans,
-                n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
-                bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
-                U=U if use_compact else 0,
-                use_pallas=use_pallas_m,
-                use_compact=use_compact,
-                heavy_direct=self._heavy_direct,
-            )
-            out.copy_to_host_async()
-            return ("packed", nq, k, K, out)
+
+            def launch_multi(fh: bool):
+                out = bm25_search_sparse_packed_multi(
+                    self.post_doc, self.post_score, self.dense_rows,
+                    self.bucket_pos, self.light_bucket_pos, plans,
+                    n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
+                    bs_steps=self._bs_depth, nd=self.n_dense,
+                    nl=self.n_light,
+                    U=U if use_compact else 0,
+                    use_pallas=use_pallas_m,
+                    use_compact=use_compact,
+                    heavy_direct=self._heavy_direct,
+                    fast_heavy=fh, guard_eps=eps,
+                )
+                out.copy_to_host_async()
+                return out
+
+            if fast:
+                return (
+                    "packedg", nq, k, K, launch_multi(True),
+                    lambda: launch_multi(False),
+                )
+            return ("packed", nq, k, K, launch_multi(False))
 
         plan, U = self.plan_sparse(queries)
         block = self.config.device.posting_block
@@ -878,20 +895,29 @@ class DeviceIndex:
             # recompile mid-serving (measured: U flapping 512<->1024 at
             # batch 1024 collapsed throughput to 141 QPS on recompiles).
             U = 0
-        # Depth = measured max bucket occupancy of the heavy + light
-        # bucket-position tables (exact_rescore_v2).
-        out = bm25_search_sparse_packed(
-            self.post_doc, self.post_score, self.dense_rows, self.bucket_pos,
-            self.light_bucket_pos, plan,
-            n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
-            bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
-            U=U,
-            use_pallas=use_pallas,
-            use_compact=use_compact,
-            heavy_direct=self._heavy_direct,
-        )
-        out.copy_to_host_async()
-        return ("packed", nq, k, K, out)
+        # Depth = measured max bucket occupancy of the light bucket-
+        # position table (exact_rescore_v3; + heavy when bf16 rows use v2).
+        def launch_single(fh: bool):
+            out = bm25_search_sparse_packed(
+                self.post_doc, self.post_score, self.dense_rows,
+                self.bucket_pos, self.light_bucket_pos, plan,
+                n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
+                bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
+                U=U,
+                use_pallas=use_pallas,
+                use_compact=use_compact,
+                heavy_direct=self._heavy_direct,
+                fast_heavy=fh, guard_eps=eps,
+            )
+            out.copy_to_host_async()
+            return out
+
+        if fast:
+            return (
+                "packedg", nq, k, K, launch_single(True),
+                lambda: launch_single(False),
+            )
+        return ("packed", nq, k, K, launch_single(False))
 
     def search_batch_async(self, queries: Sequence[Sequence[WeightedTerm]], k: int):
         """Launch one batched BM25 top-k kernel; returns an opaque handle.
@@ -966,9 +992,27 @@ class DeviceIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
-        if handle[0] == "packed":
-            _tag, nq, k, K, out = handle
-            out = np.asarray(jax.device_get(out))
+        if handle[0] in ("packed", "packedg"):
+            if handle[0] == "packedg":
+                _tag, nq, k, K, dev_out, relaunch = handle
+                out = np.asarray(jax.device_get(dev_out))
+                if not np.all(out[:nq, 2 * K + 1] >= 0.5):
+                    # Guard failed for >=1 query: the DEFAULT-precision
+                    # merged-pool selection could not prove the top-K.
+                    # Relaunch the HIGHEST wide-pool kernel — results stay
+                    # bit-exact; only this batch pays the slow path.
+                    from ..utils.logging import log
+
+                    log(
+                        "sparse",
+                        f"fast-heavy guard tripped "
+                        f"({int((out[:nq, 2 * K + 1] < 0.5).sum())}/{nq} "
+                        f"queries); relaunching exact-precision kernel",
+                    )
+                    out = np.asarray(jax.device_get(relaunch()))
+            else:
+                _tag, nq, k, K, out = handle
+                out = np.asarray(jax.device_get(out))
             vals = out[:, :K]
             idx = out[:, K : 2 * K].astype(np.int32)
             found = out[:, 2 * K].astype(np.int32)

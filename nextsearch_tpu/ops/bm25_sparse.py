@@ -111,8 +111,8 @@ def per_query_counts(sq, indicator, Q):
 
 def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
     """Top-k2 payload ids per query by (score desc, payload asc) from a
-    flat list; returns docs only (candidates feed the exact rescore, so
-    the selection scores themselves are never consumed).
+    flat list; returns (docs, vals) — vals are the selection scores (0 at
+    invalid slots), consumed only by the fast-path guard threshold.
 
     The sort keys stay FULL f32: a quantized packed key was tried and
     collapses near-uniform scores into false ties, where any K2-wide pool
@@ -128,8 +128,10 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
     idx = pos[:, None] + lax.broadcasted_iota(jnp.int32, (Q, k2), 1)
     in_q = idx < jnp.searchsorted(q2, jnp.arange(1, Q + 1, dtype=jnp.int32))[:, None]
     idx = jnp.clip(idx, 0, n - 1)
-    docs = jnp.where(in_q & ~invalid[idx], pay2[idx], pad_payload)
-    return docs
+    live = in_q & ~invalid[idx]
+    docs = jnp.where(live, pay2[idx], pad_payload)
+    vals = jnp.where(live, -neg2[idx], jnp.float32(0.0))
+    return docs, vals
 
 
 def heavy_candidates(H, smax_sq, k2, Q, n_slots):
@@ -547,9 +549,29 @@ def _packed_impl(
     use_pallas: bool = True,
     use_compact: bool = False,
     heavy_direct: bool = True,
+    fast_heavy: bool = False,
+    guard_eps: float = 2e-3,
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
-    bm25_search_packed (vals | doc slots | found as exact f32 values)."""
+    bm25_search_packed (vals | doc slots | found as exact f32 values).
+
+    fast_heavy=True is the GUARDED fast path: the heavy matmul runs at
+    DEFAULT precision (one bf16 MXU pass instead of HIGHEST's six) and the
+    light/heavy pools merge into ONE K2-wide candidate set (half the
+    rescore width). Both approximations are covered by a per-query proof
+    emitted as an extra output column: every doc excluded from the pool
+    has approximate selection score <= tau (the K2-th approx value at each
+    of the three selection stages), hence TRUE score <= (1+eps)*tau, where
+    eps bounds the DEFAULT dot's relative error (measured 5.8e-4; the
+    stot part of light selection scores is exact, which only tightens the
+    bound). If the exact K-th rescored score > (1+eps)*tau, no excluded
+    doc can reach the top K and the result equals the HIGHEST path's
+    bit-for-bit; otherwise the guard column reads 0 and the CALLER MUST
+    relaunch with fast_heavy=False (index/segment.py does). Positivity —
+    and therefore `found` and the light/heavy doc classification — is
+    exact at any precision: every operand is positive, so no cancellation.
+    Output gains the guard column: [Q, 2K+2].
+    """
     starts = plan[0]
     light_dfs = plan[1]
     slot_dense = plan[2]
@@ -622,7 +644,7 @@ def _packed_impl(
     else:
         table = dense_rows.reshape(dense_rows.shape[0], n_slots)
     fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, smax_sq, cnt_tq = fused(mix, table)
+    H, smax_sq, cnt_tq = fused(mix, table, fast=fast_heavy)
     heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals
@@ -638,13 +660,29 @@ def _packed_impl(
 
     # ---- candidates
     sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
-    ldocs = per_query_topk_flat(
+    ldocs, lvals = per_query_topk_flat(
         sq, sel_score, sd, Q, K2, jnp.int32(2**30)
     )
     # A half-width heavy pool was tried and BREAKS parity (bf16 near-tie
     # reordering needs the full K2 margin here too).
     hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
-    cand = jnp.concatenate([ldocs, hdocs], axis=1)
+    if fast_heavy:
+        # ONE merged K2-wide pool: top-K2 of the two pools' 2*K2 entries
+        # by approximate selection score. tau = the K2-th approx value at
+        # every stage a doc can be excluded (light pool, heavy pool,
+        # merge); a not-full stage contributes 0 (then no positive-score
+        # doc was excluded there). The guard below proves the width was
+        # enough or the caller relaunches the wide HIGHEST path.
+        allv = jnp.concatenate([lvals, hvals], axis=1)  # [Q, 2*K2]
+        alld = jnp.concatenate([ldocs, hdocs], axis=1)
+        mvals, midx = lax.top_k(allv, K2)
+        cand = jnp.take_along_axis(alld, midx, axis=1)
+        tau = jnp.maximum(
+            jnp.maximum(lvals[:, K2 - 1], hvals[:, K2 - 1]),
+            mvals[:, K2 - 1],
+        )
+    else:
+        cand = jnp.concatenate([ldocs, hdocs], axis=1)
     cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
 
     # ---- exact rescore + canonical order + dedup
@@ -665,20 +703,24 @@ def _packed_impl(
     sval, sdoc = canonical_sort(exact, safe_cand)
     sval, sdoc = _dedup_sorted(sval, sdoc)
 
-    out = jnp.concatenate(
-        [
-            sval[:, :K],
-            sdoc[:, :K].astype(jnp.float32),
-            found[:, None].astype(jnp.float32),
-        ],
-        axis=1,
-    )
-    return out
+    cols = [
+        sval[:, :K],
+        sdoc[:, :K].astype(jnp.float32),
+        found[:, None].astype(jnp.float32),
+    ]
+    if fast_heavy:
+        # Guard: every excluded doc's true score <= (1+eps)*tau; strict >
+        # keeps boundary ties (reference breaks ties doc-ascending) on the
+        # relaunch path.
+        kth = sval[:, K - 1]
+        ok = (kth > (1.0 + guard_eps) * tau) | (tau <= 0.0)
+        cols.append(ok.astype(jnp.float32)[:, None])
+    return jnp.concatenate(cols, axis=1)
 
 
 _PACKED_STATICS = (
     "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-    "use_pallas", "use_compact", "heavy_direct",
+    "use_pallas", "use_compact", "heavy_direct", "fast_heavy", "guard_eps",
 )
 
 bm25_search_sparse_packed = functools.partial(
@@ -707,6 +749,8 @@ def bm25_search_sparse_packed_multi(
     use_pallas: bool = True,
     use_compact: bool = False,
     heavy_direct: bool = True,
+    fast_heavy: bool = False,
+    guard_eps: float = 2e-3,
 ):
     """G sub-batches through the packed pipeline in ONE device launch.
 
@@ -735,7 +779,8 @@ def bm25_search_sparse_packed_multi(
             n_slots=n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=bs_steps, nd=nd, nl=nl, U=U,
             use_pallas=use_pallas, use_compact=use_compact,
-            heavy_direct=heavy_direct,
+            heavy_direct=heavy_direct, fast_heavy=fast_heavy,
+            guard_eps=guard_eps,
         )
         for g in range(plans.shape[0])
     ]

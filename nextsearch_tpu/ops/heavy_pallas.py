@@ -40,46 +40,62 @@ CSUB = 128  # docs per candidate sub-tile (selection maxima granularity;
 _CPT = TILE // CSUB  # candidate sub-tiles per grid tile
 
 
-def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
-    import jax.experimental.pallas as pl
+def _make_kernel(fast: bool):
+    def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
+        import jax.experimental.pallas as pl
 
-    t = pl.program_id(0)
+        t = pl.program_id(0)
 
-    # The smax/cnt blocks are revisited by every program; rows past the
-    # real tile count are never written per-tile, so initialize the whole
-    # block once.
-    @pl.when(t == 0)
-    def _():
-        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        # The smax/cnt blocks are revisited by every program; rows past the
+        # real tile count are never written per-tile, so initialize the
+        # whole block once.
+        @pl.when(t == 0)
+        def _():
+            smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    # precision=HIGHEST is load-bearing: Mosaic's DEFAULT f32 dot runs a
-    # single bf16 pass (measured relerr 5.8e-4 on hardware) and H feeds
-    # candidate SELECTION — near-uniform heavy terms (per-doc scores within
-    # ~1e-4) then collapse and the K2 pool can exclude true top-K docs, the
-    # exact failure class of bf16 dense rows. HIGHEST (6-pass) measures
-    # 1.4e-7, far below any plateau the f32 eager scores can represent.
-    h32 = jnp.dot(
-        mix_ref[:],
-        dense_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )  # [Q, TILE]
-    h_ref[:] = h32.astype(h_ref.dtype)
-    q = h32.shape[0]
-    sm = jnp.max(h32.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
-    ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
-    # smax is laid out [_CPT, tiles, Q] so each program writes a size-1
-    # dynamic slice on the sublane dim (Mosaic cannot prove t*_CPT is
-    # 8-aligned for a [_CPT]-sized slice of a [n_csub, Q] layout).
-    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_CPT, 1, q)
-    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+        # precision=HIGHEST is load-bearing for UNGUARDED selection:
+        # Mosaic's DEFAULT f32 dot runs a single bf16 pass (measured relerr
+        # 5.8e-4 on hardware) and H feeds candidate SELECTION — near-uniform
+        # heavy terms (per-doc scores within ~1e-4) then collapse and the K2
+        # pool can exclude true top-K docs, the exact failure class of bf16
+        # dense rows. HIGHEST (6-pass) measures 1.4e-7, far below any
+        # plateau the f32 eager scores can represent. fast=True (1-pass
+        # DEFAULT, 6x fewer MXU passes) is ONLY legal under the guarded
+        # pipeline (bm25_sparse fast path), whose post-rescore threshold
+        # check relaunches the HIGHEST kernel whenever the margin could
+        # matter. Positivity is exact either way (all operands positive, no
+        # cancellation), so found counts never depend on the precision.
+        h32 = jnp.dot(
+            mix_ref[:],
+            dense_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=(
+                lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
+            ),
+        )  # [Q, TILE]
+        h_ref[:] = h32.astype(h_ref.dtype)
+        q = h32.shape[0]
+        sm = jnp.max(h32.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
+        ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
+        # smax is laid out [_CPT, tiles, Q] so each program writes a size-1
+        # dynamic slice on the sublane dim (Mosaic cannot prove t*_CPT is
+        # 8-aligned for a [_CPT]-sized slice of a [n_csub, Q] layout).
+        smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_CPT, 1, q)
+        cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+
+    return _kernel
+
+
+_kernel = _make_kernel(fast=False)
+_kernel_fast = _make_kernel(fast=True)
 
 
 def heavy_fused_pallas(
     mix: jax.Array,  # f32 [Q, ND] per-(query, dense row) summed weights
     dense: jax.Array,  # bf16/f32 [ND, n_slots]
     *,
+    fast: bool = False,
     interpret: bool = False,
 ):
     """Returns (H f32 [Q, n_slots], smax f32 [n_sub_pad, Q],
@@ -101,7 +117,7 @@ def heavy_fused_pallas(
 
     grid = (n_tiles,)
     out = pl.pallas_call(
-        _kernel,
+        _kernel_fast if fast else _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((Q, ND), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -138,12 +154,13 @@ def heavy_fused_pallas(
     return h, smax, cnt
 
 
-def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
+def heavy_fused_xla(mix: jax.Array, dense: jax.Array, *, fast: bool = False):
     """Pure-XLA reference for heavy_fused_pallas (and the CPU path).
 
     Runs on real TPU in the sharded fallback, where XLA's DEFAULT f32 dot
     is also a single bf16 pass — HIGHEST for the same selection-fidelity
     reason as the Pallas kernel (no-op on CPU, where f32 dots are exact).
+    fast=True mirrors the kernel's guarded 1-pass mode.
     """
     Q = mix.shape[0]
     n_slots = dense.shape[1]
@@ -155,7 +172,7 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array):
         mix.astype(dense.dtype),
         dense,
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST,
     )
     smax = jnp.transpose(
         jnp.max(h32.reshape(Q, n_sub, CSUB), axis=2)

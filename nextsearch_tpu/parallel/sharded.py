@@ -153,7 +153,7 @@ def _sharded_search_fn(
             sel_score = jnp.where(
                 valid_last, stot + hval, jnp.float32(0.0)
             )
-            ldocs = per_query_topk_flat(
+            ldocs, _lvals = per_query_topk_flat(
                 sq, sel_score, sd, Qd, K2, jnp.int32(2**30)
             )
             hvals, hdocs = heavy_candidates(H, smax_sq, K2, Qd, n_slots)

@@ -94,6 +94,30 @@ def test_sparse_heavy_only():
     check_parity(di, [seg], queries)
 
 
+@pytest.mark.parametrize("eps", [2e-3, 1e9])
+def test_sparse_fast_heavy_guard(segs, eps):
+    """The guarded fast path (DEFAULT matmul + merged K2 pool) must stay
+    bit-exact: with the default eps the guard mostly passes (CPU dots are
+    exact); with eps=1e9 the guard trips on every non-trivial query and
+    every batch goes through the relaunch path — both must match the
+    oracle exactly."""
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, fast_heavy=True, fast_heavy_eps=eps,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    r = np.random.default_rng(43)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(24)
+    ]
+    check_parity(di, segs, queries)
+
+
 def test_sparse_multi_launch_parity(segs):
     """A batch above launch_group runs G block-diagonal sub-batches in one
     device launch (bm25_search_sparse_packed_multi); results must be
