@@ -16,16 +16,20 @@ This module replaces the scatter pipeline (reference hot loop:
                 segmented f32 sum in term-slot order -> per-(q, doc) totals
                 (stable sort keeps the C++ accumulation order within a doc)
   found         heavy hit counts (from the kernel) + light-only docs
-                (H == 0 at the light doc), both exact
+                (H == 0 at the light doc), both exact at ANY matmul
+                precision (all operands positive, no cancellation)
   candidates    top-K2 heavy docs from tile maxima UNION top-K2 light docs
-                by (light total + H); a true top-K2 doc is either light-
-                touched (in the light pool) or heavy-only (if > K2 docs had
-                higher H they would also have higher full scores)
-  rescore       bit-exact f32 re-accumulation in term-slot order: one
-                unified lower_bound binary search over every slot's full
-                posting range (depth covers max df), contribution =
-                w * host-precomputed eager score (exact_rescore_v2 — device
-                does only fixed-order f32 add/mul, so parity is portable)
+                by (light total + H); the default guarded fast path merges
+                the two pools into ONE K2-wide set and PROVES per query
+                that the narrowing and the 1-pass matmul could not change
+                the top-K (else the caller relaunches the HIGHEST
+                wide-pool kernel — see _packed_impl's fast_heavy docs)
+  rescore       bit-exact f32 re-accumulation in term-slot order: heavy
+                slots read their exact eager score straight off the f32
+                dense rows (exact_rescore_v3); light slots run a bucket-
+                narrowed lower_bound over their posting range. The device
+                only does fixed-order f32 add/mul on host-precomputed
+                scores, so parity is portable across backends.
 """
 
 from __future__ import annotations
