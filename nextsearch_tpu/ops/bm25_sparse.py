@@ -555,9 +555,18 @@ def _packed_impl(
     heavy_direct: bool = True,
     fast_heavy: bool = False,
     guard_eps: float = 2e-3,
+    prof_skip: tuple = (),
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
     bm25_search_packed (vals | doc slots | found as exact f32 values).
+
+    prof_skip (static, profiling only — results are WRONG when non-empty)
+    disables named stages so benchmarks/profile_serving.py can attribute
+    per-stage cost by timing the REAL kernel minus one stage at a time:
+    "rowgather" (compact DMA gather -> zero table), "heavy_mm" (whole heavy
+    block), "light" (light totals chain), "hgather" (H values at light
+    docs), "sort2" (light selection sort), "cand_heavy" (heavy candidate
+    extraction), "rescore" (exact rescore).
 
     fast_heavy=True is the GUARDED fast path: the heavy matmul runs at
     DEFAULT precision (one bf16 MXU pass instead of HIGHEST's six) and the
@@ -635,41 +644,70 @@ def _packed_impl(
     # are only tiling-legal on a 3D ref, and reshaping the 6GB table per
     # launch is a real relayout copy on TPU. Only the (small) operand that
     # feeds the matmul kernel is reshaped to 2D.
-    if use_compact:
-        # DMA exactly the referenced rows from the HBM table (XLA's row
-        # gather runs ~10x off roofline; measured on hardware), then run
-        # the proven fused kernel on the small compact table.
-        table3 = (
-            gather_rows_pallas(ids, dense_rows)
-            if use_pallas
-            else dense_rows[ids]
-        )
-        table = table3.reshape(table3.shape[0], n_slots)
+    if "heavy_mm" in prof_skip:
+        from .heavy_pallas import _CPT, TILE
+
+        tiles_pad = ((n_slots // TILE + 7) // 8) * 8
+        H = jnp.zeros((Q, n_slots), jnp.float32)
+        smax_sq = jnp.zeros((tiles_pad * _CPT, Q), jnp.float32)
+        heavy_found = jnp.zeros((Q,), jnp.int32)
     else:
-        table = dense_rows.reshape(dense_rows.shape[0], n_slots)
-    fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-    H, smax_sq, cnt_tq = fused(mix, table, fast=fast_heavy)
-    heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
+        if use_compact:
+            # DMA exactly the referenced rows from the HBM table (XLA's row
+            # gather runs ~10x off roofline; measured on hardware), then run
+            # the proven fused kernel on the small compact table.
+            if "rowgather" in prof_skip:
+                table3 = jnp.zeros(
+                    (ids.shape[0],) + dense_rows.shape[1:], dense_rows.dtype
+                )
+            else:
+                table3 = (
+                    gather_rows_pallas(ids, dense_rows)
+                    if use_pallas
+                    else dense_rows[ids]
+                )
+            table = table3.reshape(table3.shape[0], n_slots)
+        else:
+            table = dense_rows.reshape(dense_rows.shape[0], n_slots)
+        fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
+        H, smax_sq, cnt_tq = fused(mix, table, fast=fast_heavy)
+        heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals
-    sq, sd, stot, last = light_totals(
-        post_doc, post_score, starts, light_dfs, weights,
-        C=C, block=block, Q=Q, n_slots=n_slots,
-    )
-    sd_clip = jnp.clip(sd, 0, n_slots - 1)
-    hval = H[jnp.clip(sq, 0, Q - 1), sd_clip]
-    valid_last = last & (sq < Q)
-    light_only = valid_last & (hval == 0.0)
-    found = heavy_found + per_query_counts(sq, light_only, Q)
+    if "light" in prof_skip:
+        found = heavy_found
+        ldocs = jnp.full((Q, K2), 2**30, jnp.int32)
+        lvals = jnp.zeros((Q, K2), jnp.float32)
+    else:
+        sq, sd, stot, last = light_totals(
+            post_doc, post_score, starts, light_dfs, weights,
+            C=C, block=block, Q=Q, n_slots=n_slots,
+        )
+        sd_clip = jnp.clip(sd, 0, n_slots - 1)
+        if "hgather" in prof_skip:
+            hval = jnp.zeros(sq.shape, jnp.float32)
+        else:
+            hval = H[jnp.clip(sq, 0, Q - 1), sd_clip]
+        valid_last = last & (sq < Q)
+        light_only = valid_last & (hval == 0.0)
+        found = heavy_found + per_query_counts(sq, light_only, Q)
 
-    # ---- candidates
-    sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
-    ldocs, lvals = per_query_topk_flat(
-        sq, sel_score, sd, Q, K2, jnp.int32(2**30)
-    )
+        # ---- candidates
+        sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
+        if "sort2" in prof_skip:
+            ldocs = jnp.full((Q, K2), 2**30, jnp.int32)
+            lvals = jnp.zeros((Q, K2), jnp.float32)
+        else:
+            ldocs, lvals = per_query_topk_flat(
+                sq, sel_score, sd, Q, K2, jnp.int32(2**30)
+            )
     # A half-width heavy pool was tried and BREAKS parity (bf16 near-tie
     # reordering needs the full K2 margin here too).
-    hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
+    if "cand_heavy" in prof_skip:
+        hdocs = jnp.full((Q, K2), 2**30, jnp.int32)
+        hvals = jnp.zeros((Q, K2), jnp.float32)
+    else:
+        hvals, hdocs = heavy_candidates(H, smax_sq, K2, Q, n_slots)
     if fast_heavy:
         # ONE merged K2-wide pool: top-K2 of the two pools' 2*K2 entries
         # by approximate selection score. tau = the K2-th approx value at
@@ -691,19 +729,22 @@ def _packed_impl(
 
     # ---- exact rescore + canonical order + dedup
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
-    if heavy_direct:
+    if "rescore" in prof_skip:
+        exact = jnp.where(cand < n_slots, 1.0, 0.0).astype(jnp.float32)
+    elif heavy_direct:
         exact = exact_rescore_v3(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
             bs_steps=bs_steps, nd=nd, nl=nl,
         )
+        exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     else:
         exact = exact_rescore_v2(
             post_doc, post_score, bucket_pos, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
             bs_steps=bs_steps, nd=nd, nl=nl,
         )
-    exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
+        exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
     sval, sdoc = _dedup_sorted(sval, sdoc)
 
@@ -725,6 +766,7 @@ def _packed_impl(
 _PACKED_STATICS = (
     "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
     "use_pallas", "use_compact", "heavy_direct", "fast_heavy", "guard_eps",
+    "prof_skip",
 )
 
 bm25_search_sparse_packed = functools.partial(
@@ -755,6 +797,7 @@ def bm25_search_sparse_packed_multi(
     heavy_direct: bool = True,
     fast_heavy: bool = False,
     guard_eps: float = 2e-3,
+    prof_skip: tuple = (),
 ):
     """G sub-batches through the packed pipeline in ONE device launch.
 
@@ -784,7 +827,7 @@ def bm25_search_sparse_packed_multi(
             bs_steps=bs_steps, nd=nd, nl=nl, U=U,
             use_pallas=use_pallas, use_compact=use_compact,
             heavy_direct=heavy_direct, fast_heavy=fast_heavy,
-            guard_eps=guard_eps,
+            guard_eps=guard_eps, prof_skip=prof_skip,
         )
         for g in range(plans.shape[0])
     ]
