@@ -819,16 +819,30 @@ def bm25_search_sparse_packed_multi(
     # acceptable; XLA's scheduler still reuses the per-group intermediate
     # buffers because the groups are data-independent but serialized by
     # the shared output concatenate.
-    outs = [
-        _packed_impl(
+    # Chain each group's plan behind the previous group's output with an
+    # optimization barrier: the groups are data-independent, and without
+    # the explicit edge XLA's scheduler interleaves their stages, keeping
+    # several [Q, n_slots] f32 H buffers (2GB each at 1M docs) and compact
+    # tables live at once — measured as the 1.75x-per-group slowdown that
+    # made the round-2 G=4 megabatch a net loss. Strict serialization
+    # bounds peak HBM at one group's working set so per-group cost stays
+    # at the single-launch kernel's, and the ~18ms relay launch floor
+    # (measured: profile_serving "base") is paid once per G groups.
+    outs = []
+    dep = None
+    for g in range(plans.shape[0]):
+        plan_g = plans[g]
+        if dep is not None:
+            plan_g, _ = lax.optimization_barrier((plan_g, dep))
+        out = _packed_impl(
             post_doc, post_score, dense_rows, bucket_pos,
-            light_bucket_pos, plans[g],
+            light_bucket_pos, plan_g,
             n_slots=n_slots, K=K, K2=K2, C=C, block=block,
             bs_steps=bs_steps, nd=nd, nl=nl, U=U,
             use_pallas=use_pallas, use_compact=use_compact,
             heavy_direct=heavy_direct, fast_heavy=fast_heavy,
             guard_eps=guard_eps, prof_skip=prof_skip,
         )
-        for g in range(plans.shape[0])
-    ]
+        dep = out
+        outs.append(out)
     return jnp.concatenate(outs, axis=0)

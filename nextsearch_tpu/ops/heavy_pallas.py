@@ -459,7 +459,9 @@ def _rowgather_kernel(ids_ref, dense_ref, out_ref, sems_ref):
     from jax.experimental.pallas import tpu as pltpu
 
     uc = out_ref.shape[0]
-    NS = 8  # DMA copies kept in flight
+    NS = 32  # DMA copies kept in flight (8 measured 211GB/s effective on
+    #          the 4MB-row gather at 1M slots — well under HBM; a deeper
+    #          ring hides more per-copy issue/complete latency)
 
     def copy(u):
         return pltpu.make_async_copy(
@@ -503,7 +505,7 @@ def gather_rows_pallas(ids: jax.Array, dense3: jax.Array):
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((32,))],
         ),
         out_shape=jax.ShapeDtypeStruct(
             (uc,) + dense3.shape[1:], dense3.dtype
