@@ -209,6 +209,7 @@ def main():
         block = cfg0.device.posting_block
         group = min(batch, cfg0.device.launch_group or batch)
         max_live = 1
+        max_w = 1
         for b in batches:
             for gi in range(0, len(b), group):
                 _s, _d, _w, light_dfs, _u, _m = di.plan_full(
@@ -218,8 +219,13 @@ def main():
                     np.sum((light_dfs.astype(np.int64) + block - 1) // block)
                 )
                 max_live = max(max_live, live)
+                max_w = max(
+                    max_w,
+                    int(light_dfs.astype(np.int64).sum(axis=1).max(initial=0)),
+                )
         chunks = ((max_live + 127) // 128) * 128  # tight static budget
-        print(f"[bench] max live chunks {max_live} -> budget {chunks}",
+        print(f"[bench] max live chunks {max_live} -> budget {chunks} "
+              f"(max query window {max_w})",
               file=sys.stderr)
     cfg = EngineConfig(
         device=DeviceConfig(
@@ -233,6 +239,13 @@ def main():
     di = DeviceIndex([seg], config=cfg)
     print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
+    if not chunks_env:
+        # Pin the selection window to the probed workload max so W cannot
+        # flap across batches mid-measurement (same failure class as C/U).
+        from nextsearch_tpu.index.segment import _bucket
+
+        pins = di.pin_shapes(W=_bucket(max_w, di.W_BUCKETS))
+        print(f"[bench] pins: {pins}", file=sys.stderr)
     depth = int(
         os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 3 if batch >= 2048 else 8)
     )

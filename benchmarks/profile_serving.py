@@ -23,7 +23,10 @@ Variants:
 Run on the real TPU:  python benchmarks/profile_serving.py
 Env: NEXTSEARCH_PROF_DOCS (1000000), NEXTSEARCH_PROF_BATCH (512),
      NEXTSEARCH_PROF_BLOCK (64), NEXTSEARCH_PROF_HEAVYB (512),
-     NEXTSEARCH_PROF_K2 (32), NEXTSEARCH_PROF_VARIANTS (comma list).
+     NEXTSEARCH_PROF_K2 (32), NEXTSEARCH_PROF_VARIANTS (comma list),
+     NEXTSEARCH_PROF_GROUPS (1; >1 profiles the multi-launch kernel with
+     G barrier-chained sub-batches of NEXTSEARCH_PROF_BATCH queries each —
+     per-group stage attribution of the G-launch amortization).
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ import jax  # noqa: E402
 
 from nextsearch_tpu.ops.bm25_sparse import (  # noqa: E402
     bm25_search_sparse_packed,
+    bm25_search_sparse_packed_multi,
 )
 
 VARIANTS = {
@@ -108,13 +112,21 @@ def main():
         file=sys.stderr,
     )
 
+    groups = int(os.environ.get("NEXTSEARCH_PROF_GROUPS", 1))
     plans = [di.plan_sparse(b) for b in batches]
     K = 10
     K2 = min(max(2 * K, margin), di.n_slots)
     C = max(di._chunk_budget(p[0][1], blk) for p in plans)
     U = plans[0][1]
     T = plans[0][0].shape[2]
-    print(f"[prof] C={C} U={U} T={T} K2={K2}", file=sys.stderr)
+    print(f"[prof] C={C} U={U} T={T} K2={K2} G={groups}", file=sys.stderr)
+    if groups > 1:
+        # Stack G single-group plans into multi-launch blocks; per-"batch"
+        # numbers below are then per G*batch queries.
+        plans = [
+            (np.stack([plans[i + g][0] for g in range(groups)]), U)
+            for i in range(0, len(plans) - groups + 1, groups)
+        ]
 
     results = {}
     for name in names:
@@ -123,14 +135,21 @@ def main():
 
         def call(plan):
             pi, _u = plan
-            out = bm25_search_sparse_packed(
+            kern = (
+                bm25_search_sparse_packed_multi
+                if groups > 1
+                else bm25_search_sparse_packed
+            )
+            out = kern(
                 di.post_doc, di.post_score, di.dense_rows,
                 di.bucket_pos, di.light_bucket_pos, pi,
                 n_slots=di.n_slots, K=K, K2=K2, C=C, block=blk,
                 bs_steps=di._bs_depth, nd=di.n_dense, nl=di.n_light,
                 U=U, use_pallas=use_pallas, use_compact=True,
                 heavy_direct=di._heavy_direct,
-                fast_heavy=fast, prof_skip=skip,
+                fast_heavy=fast,
+                w_max=di._sel_window(pi[:, 1] if groups > 1 else pi[1]),
+                prof_skip=skip,
             )
             out.copy_to_host_async()
             return out

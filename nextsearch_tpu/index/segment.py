@@ -172,6 +172,14 @@ class DeviceIndex:
     T_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
     Q_BUCKETS = (1, 8, 16, 32, 64, 128)
     K_BUCKETS = (10, 32, 100)
+    # Selection-window envelope (ops/select_pallas.py): max entries of one
+    # query's contiguous run of the flat light array = that query's summed
+    # light dfs. Scan volume scales with the bucket, so serving pins it to
+    # the measured workload (p100 of probe batches) instead of the
+    # theoretical T * max-light-df bound (4096 at the 1M serving point,
+    # ~10x the typical query - measured as a selection kernel that cost as
+    # much as the sort it replaced).
+    W_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 
     def __init__(
         self,
@@ -550,12 +558,13 @@ class DeviceIndex:
 
         Returns {"T": max term slots per query, "Q": max batch size,
         "C": max live posting chunks per batch, "U": max unique dense
-        rows per batch} — the inputs pin_shapes() freezes. Costs one
-        lexicon probe per (query, term); no device work.
+        rows per batch, "W": max summed light dfs of one query (the
+        selection-window driver)} — the inputs pin_shapes() freezes.
+        Costs one lexicon probe per (query, term); no device work.
         """
         block = self.config.device.posting_block
         table = self._lex_table
-        t = q = c = u = 1
+        t = q = c = u = w = 1
         for b in batches:
             q = max(q, len(b))
             q_rows, _q_ws = _probe_queries(self._lex_slices, b)
@@ -563,12 +572,15 @@ class DeviceIndex:
             if not rows_all:
                 continue
             t = max(t, max(r.shape[0] for r in rows_all))
+            for r in rows_all:
+                ent_q = table[r]
+                w = max(w, int(ent_q[ent_q[:, 2] < 0, 1].sum()))
             ent = table[np.concatenate(rows_all)]
             dense = ent[:, 2]
             light_df = ent[dense < 0, 1]
             c = max(c, int(np.sum((light_df + block - 1) // block)))
             u = max(u, int(np.unique(dense[dense >= 0]).shape[0]))
-        return {"T": t, "Q": q, "C": c, "U": u}
+        return {"T": t, "Q": q, "C": c, "U": u, "W": w}
 
     def pin_shapes(
         self,
@@ -578,6 +590,7 @@ class DeviceIndex:
         Q: Optional[int] = None,
         C: Optional[int] = None,
         U: Optional[int] = None,
+        W: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
     ) -> Dict[str, int]:
@@ -599,7 +612,8 @@ class DeviceIndex:
             Q = Q or _bucket(m["Q"], self.Q_BUCKETS)
             C = C or _round_up(m["C"], c_pad)
             U = U or _round_up(m["U"] + 1, u_pad)
-        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U)):
+            W = W or _bucket(m["W"], self.W_BUCKETS)
+        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U), ("W", W)):
             if v:
                 self._pins[k] = int(v)
         return dict(self._pins)
@@ -853,6 +867,8 @@ class DeviceIndex:
                     use_compact=use_compact,
                     heavy_direct=self._heavy_direct,
                     fast_heavy=fh, guard_eps=eps,
+                    w_max=self._sel_window(plans[:, 1]),
+                    h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
                 )
                 out.copy_to_host_async()
                 return out
@@ -908,6 +924,8 @@ class DeviceIndex:
                 use_compact=use_compact,
                 heavy_direct=self._heavy_direct,
                 fast_heavy=fh, guard_eps=eps,
+                w_max=self._sel_window(plan[1]),
+                h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
             )
             out.copy_to_host_async()
             return out
@@ -1046,6 +1064,16 @@ class DeviceIndex:
         return _pick_shape(
             total, self.config.device.chunk_buckets,
             self._pins.get("C"), "C",
+        )
+
+    def _sel_window(self, light_dfs) -> int:
+        """Static selection-window W for this batch (ops/select_pallas.py):
+        the max over queries of summed light dfs — one query's contiguous
+        run of the flat sorted array — bucketed/pinned like C so serving
+        keeps one compiled shape."""
+        w = int(light_dfs.astype(np.int64).sum(axis=-1).max(initial=0))
+        return _pick_shape(
+            max(w, 1), self.W_BUCKETS, self._pins.get("W"), "W"
         )
 
     def _chunk_plan(self, starts, dfs, weights, block):

@@ -113,17 +113,67 @@ def per_query_counts(sq, indicator, Q):
     return csz[bounds[1:]] - csz[bounds[:-1]]
 
 
-def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
+def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload, *,
+                        quantized: bool = False):
     """Top-k2 payload ids per query by (score desc, payload asc) from a
     flat list; returns (docs, vals) — vals are the selection scores (0 at
     invalid slots), consumed only by the fast-path guard threshold.
 
-    The sort keys stay FULL f32: a quantized packed key was tried and
-    collapses near-uniform scores into false ties, where any K2-wide pool
-    can exclude true top-K docs (same failure class as a bf16 H — found
-    on a df=N term whose per-doc scores differ only in the 4th digit).
+    quantized=False (the exact/wide path) keeps FULL f32 sort keys: a
+    quantized packed key collapses near-uniform scores into false ties,
+    where any K2-wide pool can exclude true top-K docs (same failure
+    class as a bf16 H — found on a df=N term whose per-doc scores differ
+    only in the 4th digit). There is no guard on that path, so the keys
+    must be faithful.
+
+    quantized=True (ONLY legal under the guarded fast path) packs
+    (q, score) into ONE uint32 sort key — q in the high bits, the top
+    (32 - qbits) bits of the positive-f32 score pattern (order-preserving
+    truncation) inverted below — cutting the selection sort from 3
+    operands to 2. Returned vals are the DEQUANTIZED FLOOR of each key
+    (true score < floor * (1 + 2^-(22-qbits)) + ulp), and the caller
+    widens its guard epsilon by that truncation bound, so any batch where
+    a collapsed near-tie could reorder the top-K relaunches the exact
+    wide kernel.
     """
     n = sq.shape[0]
+    if quantized:
+        qbits = (Q + 1).bit_length()
+        shift = 32 - qbits
+        max_sc = jnp.uint32((1 << shift) - 1)
+        # positive normal f32 -> pattern >> qbits is a monotone, nonzero
+        # (exp bits survive the shift for any qbits <= 22) selection key
+        sc_hi = jnp.where(
+            score > 0,
+            lax.bitcast_convert_type(score, jnp.uint32) >> jnp.uint32(qbits),
+            jnp.uint32(0),
+        )
+        qv = jnp.where(score > 0, sq.astype(jnp.uint32), jnp.uint32(Q))
+        key = (qv << jnp.uint32(shift)) | (max_sc - sc_hi)
+        pay = jnp.where(score > 0, payload, pad_payload)
+        key2, pay2 = lax.sort((key, pay), num_keys=2)
+        q2 = (key2 >> jnp.uint32(shift)).astype(jnp.int32)
+        sc2 = max_sc - (key2 & max_sc)
+        pos = jnp.searchsorted(q2, jnp.arange(Q, dtype=jnp.int32))
+        idx = pos[:, None] + lax.broadcasted_iota(jnp.int32, (Q, k2), 1)
+        in_q = (
+            idx
+            < jnp.searchsorted(q2, jnp.arange(1, Q + 1, dtype=jnp.int32))[
+                :, None
+            ]
+        )
+        idx = jnp.clip(idx, 0, n - 1)
+        sc_at = sc2[idx]
+        live = in_q & (sc_at > 0)
+        docs = jnp.where(live, pay2[idx], pad_payload)
+        vals = jnp.where(
+            live,
+            lax.bitcast_convert_type(
+                sc_at << jnp.uint32(qbits), jnp.float32
+            ),
+            jnp.float32(0.0),
+        )
+        return docs, vals
     neg = jnp.where(score > 0, -score, jnp.float32(jnp.inf))
     pay = jnp.where(score > 0, payload, pad_payload)
     q2, neg2, pay2 = lax.sort((sq, neg, pay), num_keys=3)
@@ -138,6 +188,24 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload):
     return docs, vals
 
 
+def _bf16_pair_words(H, Q, n):
+    """uint32 word view of a bf16 array's element pairs: XLA's sub-word
+    (16-bit) gather runs orders of magnitude off the 32-bit gather path on
+    this toolchain (measured: the bf16-H serving kernel collapsed from
+    ~52 ms to ~5.9 s/batch on exactly this), so every random access into a
+    bf16 H goes through a 32-bit gather of the containing pair."""
+    return lax.bitcast_convert_type(
+        H.reshape(Q, n // 2, 2), jnp.uint32
+    )  # [Q, n/2]; element 0 = low 16 bits (little-endian)
+
+
+def _bf16_hi_f32(word16):
+    """uint32 whose low 16 bits are a bf16 pattern -> that value as f32."""
+    return lax.bitcast_convert_type(
+        (word16 & jnp.uint32(0xFFFF)) << jnp.uint32(16), jnp.float32
+    )
+
+
 def heavy_candidates(H, smax_sq, k2, Q, n_slots):
     """Top-k2 doc slots per query from per-sub-tile maxima (exact: a top
     doc's own sub-tile max is >= its score, so its sub-tile is among the
@@ -148,9 +216,19 @@ def heavy_candidates(H, smax_sq, k2, Q, n_slots):
     kt = min(k2, n_sub)
     _tv, tidx = lax.top_k(smax, kt)
     tidx = jnp.sort(tidx, axis=1)  # keep canonical doc-asc tie order
-    tiles = H.reshape(Q, n_sub, CSUB)
-    cand_tiles = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
-    flat = cand_tiles.reshape(Q, kt * CSUB).astype(jnp.float32)
+    if H.dtype == jnp.bfloat16:
+        # gather whole sub-tiles as uint32 pairs, then unpack both halves
+        # (doc order: word w half h -> doc w*2 + h)
+        csw = CSUB // 2
+        tiles = _bf16_pair_words(H, Q, n_slots).reshape(Q, n_sub, csw)
+        cand = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
+        lo = _bf16_hi_f32(cand)
+        hi = _bf16_hi_f32(cand >> jnp.uint32(16))
+        flat = jnp.stack([lo, hi], axis=-1).reshape(Q, kt * CSUB)
+    else:
+        tiles = H.reshape(Q, n_sub, CSUB)
+        cand_tiles = jnp.take_along_axis(tiles, tidx[:, :, None], axis=1)
+        flat = cand_tiles.reshape(Q, kt * CSUB).astype(jnp.float32)
     vals, pos = lax.top_k(flat, min(k2, kt * CSUB))
     which = pos // CSUB
     base = jnp.take_along_axis(tidx, which, axis=1) * CSUB
@@ -555,6 +633,8 @@ def _packed_impl(
     heavy_direct: bool = True,
     fast_heavy: bool = False,
     guard_eps: float = 2e-3,
+    w_max: int = 0,
+    h_bf16: bool = False,
     prof_skip: tuple = (),
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
@@ -644,11 +724,26 @@ def _packed_impl(
     # are only tiling-legal on a 3D ref, and reshaping the 6GB table per
     # launch is a real relayout copy on TPU. Only the (small) operand that
     # feeds the matmul kernel is reshaped to 2D.
+    # Guarded bf16 H storage (h_bf16, OFF by default — measured a net
+    # loss at the 1M serving point): the [Q, n_slots] H tile is the
+    # kernel's dominant HBM write (2GB at Q=512) and storing it bf16
+    # halves that plus the downstream H-gather traffic (~2-3 ms), BUT the
+    # guard's tau then inflates by the storage rounding no matter which
+    # way it rounds — round-to-nearest costs 2^-9 of epsilon (measured
+    # 12/512 queries tripping), round-toward-+inf (_round_up_store, what
+    # this flag uses) moves the same 2^-9 into the K2-th pool value
+    # itself (measured 2/512 tripping). This corpus's heavy tails are
+    # near-uniform (Zipf at 1M docs: the 10th..32nd candidates sit within
+    # ~0.1% of each other), so either variant trips persistently and each
+    # trip pays the wide relaunch. Kept behind a static for workloads
+    # with separated heavy tails. Positivity (found counts, light/heavy
+    # classification) is exact at any storage precision.
+    h_dtype = jnp.bfloat16 if (fast_heavy and h_bf16) else jnp.float32
     if "heavy_mm" in prof_skip:
         from .heavy_pallas import _CPT, TILE
 
         tiles_pad = ((n_slots // TILE + 7) // 8) * 8
-        H = jnp.zeros((Q, n_slots), jnp.float32)
+        H = jnp.zeros((Q, n_slots), h_dtype)
         smax_sq = jnp.zeros((tiles_pad * _CPT, Q), jnp.float32)
         heavy_found = jnp.zeros((Q,), jnp.int32)
     else:
@@ -670,7 +765,7 @@ def _packed_impl(
         else:
             table = dense_rows.reshape(dense_rows.shape[0], n_slots)
         fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, smax_sq, cnt_tq = fused(mix, table, fast=fast_heavy)
+        H, smax_sq, cnt_tq = fused(mix, table, fast=fast_heavy, h_dtype=h_dtype)
         heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals
@@ -686,8 +781,16 @@ def _packed_impl(
         sd_clip = jnp.clip(sd, 0, n_slots - 1)
         if "hgather" in prof_skip:
             hval = jnp.zeros(sq.shape, jnp.float32)
+        elif H.dtype == jnp.bfloat16:
+            # 32-bit gather of the containing pair + half select (sub-word
+            # gathers are the slow path — see _bf16_pair_words)
+            w = _bf16_pair_words(H, Q, n_slots)[
+                jnp.clip(sq, 0, Q - 1), sd_clip >> 1
+            ]
+            half = (sd_clip & 1).astype(jnp.uint32) * jnp.uint32(16)
+            hval = _bf16_hi_f32(w >> half)
         else:
-            hval = H[jnp.clip(sq, 0, Q - 1), sd_clip]
+            hval = H[jnp.clip(sq, 0, Q - 1), sd_clip].astype(jnp.float32)
         valid_last = last & (sq < Q)
         light_only = valid_last & (hval == 0.0)
         found = heavy_found + per_query_counts(sq, light_only, Q)
@@ -697,9 +800,31 @@ def _packed_impl(
         if "sort2" in prof_skip:
             ldocs = jnp.full((Q, K2), 2**30, jnp.int32)
             lvals = jnp.zeros((Q, K2), jnp.float32)
+        elif use_pallas and 0 < w_max <= 32768:
+            # Windowed per-query max-extraction instead of re-sorting all
+            # C*block entries: exact f32 values and the sort path's
+            # (score desc, doc asc) tie order bit-for-bit, so it is legal
+            # on the unguarded wide path too. w_max (static) bounds any
+            # single query's contiguous run; 0 (unknown) falls back to
+            # the flat sort.
+            from .select_pallas import per_query_topk_pallas
+
+            bounds = jnp.searchsorted(
+                sq, jnp.arange(Q + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            lvals, gidx = per_query_topk_pallas(
+                sel_score, bounds, Q=Q, k2=K2, w_max=w_max
+            )
+            nflat = sel_score.shape[0]
+            ldocs = jnp.where(
+                lvals > 0,
+                sd[jnp.clip(gidx, 0, nflat - 1)],
+                jnp.int32(2**30),
+            )
         else:
             ldocs, lvals = per_query_topk_flat(
-                sq, sel_score, sd, Q, K2, jnp.int32(2**30)
+                sq, sel_score, sd, Q, K2, jnp.int32(2**30),
+                quantized=fast_heavy,
             )
     # A half-width heavy pool was tried and BREAKS parity (bf16 near-tie
     # reordering needs the full K2 margin here too).
@@ -756,9 +881,21 @@ def _packed_impl(
     if fast_heavy:
         # Guard: every excluded doc's true score <= (1+eps)*tau; strict >
         # keeps boundary ties (reference breaks ties doc-ascending) on the
-        # relaunch path.
+        # relaunch path. eps covers the DEFAULT dot's relative error
+        # (guard_eps, measured bound); when light selection went through
+        # the packed-key QUANTIZED sort (the non-Pallas fallback), it
+        # composes with that sort's score truncation (2^-(23-qbits),
+        # doubled for the floor-dequant ulp): approx >= true/((1+e1)(1+e2)).
+        # The Pallas selection kernel returns exact f32 values (no term),
+        # and the bf16 H storage costs NO margin either: it rounds toward
+        # +inf (_round_up_store), so stored selection values upper-bound
+        # the f32 accumulator.
+        qbits = (Q + 1).bit_length()
+        quant_sel = not (use_pallas and 0 < w_max <= 32768)
+        e2 = (2.0 ** -(22 - qbits)) if quant_sel else 0.0
+        eps_eff = guard_eps + e2 * (1.0 + guard_eps)
         kth = sval[:, K - 1]
-        ok = (kth > (1.0 + guard_eps) * tau) | (tau <= 0.0)
+        ok = (kth > (1.0 + eps_eff) * tau) | (tau <= 0.0)
         cols.append(ok.astype(jnp.float32)[:, None])
     return jnp.concatenate(cols, axis=1)
 
@@ -766,7 +903,7 @@ def _packed_impl(
 _PACKED_STATICS = (
     "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
     "use_pallas", "use_compact", "heavy_direct", "fast_heavy", "guard_eps",
-    "prof_skip",
+    "w_max", "h_bf16", "prof_skip",
 )
 
 bm25_search_sparse_packed = functools.partial(
@@ -797,6 +934,8 @@ def bm25_search_sparse_packed_multi(
     heavy_direct: bool = True,
     fast_heavy: bool = False,
     guard_eps: float = 2e-3,
+    w_max: int = 0,
+    h_bf16: bool = False,
     prof_skip: tuple = (),
 ):
     """G sub-batches through the packed pipeline in ONE device launch.
@@ -841,7 +980,8 @@ def bm25_search_sparse_packed_multi(
             bs_steps=bs_steps, nd=nd, nl=nl, U=U,
             use_pallas=use_pallas, use_compact=use_compact,
             heavy_direct=heavy_direct, fast_heavy=fast_heavy,
-            guard_eps=guard_eps, prof_skip=prof_skip,
+            guard_eps=guard_eps, w_max=w_max, h_bf16=h_bf16,
+            prof_skip=prof_skip,
         )
         dep = out
         outs.append(out)

@@ -40,6 +40,27 @@ CSUB = 128  # docs per candidate sub-tile (selection maxima granularity;
 _CPT = TILE // CSUB  # candidate sub-tiles per grid tile
 
 
+def _round_up_store(h32, dtype):
+    """Cast a NON-NEGATIVE f32 array for storage; bf16 rounds toward +inf.
+
+    Round-up makes every stored selection value an UPPER bound on the f32
+    accumulator, so the guarded fast path's exclusion proof ("every doc
+    left out of the pool has approx <= tau, hence true <= (1+eps)*tau")
+    needs NO epsilon for the storage rounding at all — round-to-nearest
+    would cost 2^-9 of guard margin, measured as 12/512 queries tripping
+    the guard (whole-batch wide relaunches) at the 1M serving point.
+    For positive f32, adding 0xFFFF before truncating the mantissa to 8
+    bits implements round-up exactly (mantissa carry rolls into the
+    exponent, which is correct); zero stays zero, so positivity — and
+    with it `found` — is preserved bit-exactly.
+    """
+    if dtype == jnp.float32:
+        return h32
+    bits = lax.bitcast_convert_type(h32, jnp.uint32)
+    up = ((bits + jnp.uint32(0xFFFF)) >> jnp.uint32(16)).astype(jnp.uint16)
+    return lax.bitcast_convert_type(up, jnp.bfloat16)
+
+
 def _make_kernel(fast: bool):
     def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
         import jax.experimental.pallas as pl
@@ -74,7 +95,7 @@ def _make_kernel(fast: bool):
                 lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
             ),
         )  # [Q, TILE]
-        h_ref[:] = h32.astype(h_ref.dtype)
+        h_ref[:] = _round_up_store(h32, h_ref.dtype)
         q = h32.shape[0]
         sm = jnp.max(h32.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
         ct = jnp.sum((h32 > 0).astype(jnp.float32), axis=1)  # [Q]
@@ -97,13 +118,23 @@ def heavy_fused_pallas(
     *,
     fast: bool = False,
     interpret: bool = False,
+    h_dtype=jnp.float32,
 ):
-    """Returns (H f32 [Q, n_slots], smax f32 [n_sub_pad, Q],
+    """Returns (H [Q, n_slots] in h_dtype, smax f32 [n_sub_pad, Q],
     counts f32 [n_tiles_pad, Q]). n_slots must be a multiple of TILE.
 
-    H is kept in f32: a bf16 H collapses near-uniform heavy scores into
+    H defaults to f32: a bf16 H collapses near-uniform heavy scores into
     false ties, and any K2-wide candidate pool can then exclude true
     top-K docs (measured: 2/64 queries wrong at 25k docs on a df=N term).
+    h_dtype=bf16 is ONLY legal under the guarded fast path (bm25_sparse
+    fast_heavy), which widens its guard epsilon by the bf16 rounding bound
+    (2^-9) and relaunches the exact wide kernel when the margin could
+    matter; it halves the kernel's dominant HBM write (the [Q, n_slots]
+    H tile) and the downstream H-gather traffic. Positivity is preserved
+    exactly either way (bf16 shares f32's exponent range, so a positive
+    normal f32 never rounds to zero) — found counts and the light/heavy
+    doc classification stay exact. smax stays f32 from the pre-rounding
+    accumulator.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -139,7 +170,7 @@ def heavy_fused_pallas(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Q, n_slots), jnp.float32),
+            jax.ShapeDtypeStruct((Q, n_slots), h_dtype),
             jax.ShapeDtypeStruct((_CPT, tiles_pad, Q), jnp.float32),
             jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
         ],
@@ -154,13 +185,17 @@ def heavy_fused_pallas(
     return h, smax, cnt
 
 
-def heavy_fused_xla(mix: jax.Array, dense: jax.Array, *, fast: bool = False):
+def heavy_fused_xla(
+    mix: jax.Array, dense: jax.Array, *, fast: bool = False,
+    h_dtype=jnp.float32,
+):
     """Pure-XLA reference for heavy_fused_pallas (and the CPU path).
 
     Runs on real TPU in the sharded fallback, where XLA's DEFAULT f32 dot
     is also a single bf16 pass — HIGHEST for the same selection-fidelity
     reason as the Pallas kernel (no-op on CPU, where f32 dots are exact).
-    fast=True mirrors the kernel's guarded 1-pass mode.
+    fast=True mirrors the kernel's guarded 1-pass mode; h_dtype mirrors
+    its guarded bf16 H storage (smax/counts still from the f32 values).
     """
     Q = mix.shape[0]
     n_slots = dense.shape[1]
@@ -184,7 +219,7 @@ def heavy_fused_xla(mix: jax.Array, dense: jax.Array, *, fast: bool = False):
     )
     neg = jnp.float32(-jnp.inf)
     return (
-        h32,
+        _round_up_store(h32, h_dtype),
         jnp.pad(smax, ((0, sub_pad - n_sub), (0, 0)), constant_values=neg),
         jnp.pad(cnt, ((0, tiles_pad - n_tiles), (0, 0))),
     )

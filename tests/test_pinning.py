@@ -56,7 +56,7 @@ def test_pinned_sparse_shapes_are_batch_invariant(sparse_index):
     rng = np.random.default_rng(0)
     probe = [_queries(rng, 48, n) for n in (8, 16)]
     pins = di.pin_shapes(probe)
-    assert set(pins) == {"T", "Q", "C", "U"}
+    assert set(pins) == {"T", "Q", "C", "U", "W"}
 
     shapes = set()
     for n in (1, 3, 8, 11, 16):

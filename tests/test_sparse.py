@@ -431,3 +431,42 @@ def test_near_uniform_heavy_term_exact():
     di = DeviceIndex([seg], config=cfg)
     assert di.lex[0]["common"][2] >= 0  # dense row engaged
     check_parity(di, [seg], [[("common", 1.0)]])
+
+
+def test_select_pallas_interpret_parity():
+    """The per-query top-k selection kernel (ops/select_pallas.py,
+    interpret mode on CPU) agrees bit-for-bit — values, global indices,
+    and the canonical (score desc, doc asc) tie order — with the exact
+    sorted reference over segmented flat arrays with empty, partial,
+    full-width and tied segments."""
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.select_pallas import (
+        per_query_topk_pallas,
+        per_query_topk_xla_ref,
+    )
+
+    r = np.random.default_rng(7)
+    for Q, k2, w_max in [(40, 8, 512), (17, 32, 1024), (64, 5, 64)]:
+        lens = r.integers(0, w_max + 1, size=Q)
+        lens[0] = 0
+        lens[-1] = w_max
+        N = ((int(lens.sum()) + 1023) // 1024 + 1) * 1024
+        bounds = np.zeros(Q + 1, np.int32)
+        bounds[1:] = np.cumsum(lens)
+        scores = np.zeros(N, np.float32)
+        for q in range(Q):
+            seg = r.random(lens[q]).astype(np.float32)
+            seg[r.random(lens[q]) < 0.3] = 0.0  # invalid (non-last) slots
+            # inject exact duplicates -> tie order must match
+            if lens[q] > 4:
+                seg[1] = seg[lens[q] - 1] = np.float32(0.25)
+            scores[bounds[q] : bounds[q + 1]] = seg
+        sj = jnp.asarray(scores)
+        bj = jnp.asarray(bounds)
+        v1, g1 = per_query_topk_pallas(
+            sj, bj, Q=Q, k2=k2, w_max=w_max, interpret=True
+        )
+        v2, g2 = per_query_topk_xla_ref(sj, bj, Q=Q, k2=k2)
+        assert np.array_equal(np.asarray(v1), np.asarray(v2)), (Q, k2)
+        assert np.array_equal(np.asarray(g1), np.asarray(g2)), (Q, k2)
