@@ -835,6 +835,23 @@ class DeviceIndex:
             jax.default_backend() == "tpu"
             and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
         )
+        # Order queries by light-window size (summed light dfs) so the
+        # selection kernel's big windows cluster into FEW grid programs:
+        # its per-program block count is the max over the program's QB
+        # queries, and with windows scattered randomly nearly every
+        # program pays the worst query's width (measured: unsorted, the
+        # kernel only matched the sort it replaces). Results are
+        # un-permuted on the host at gather time. Stable order keeps
+        # everything deterministic; with multi-launch groups the global
+        # sort also concentrates big windows into the last group.
+        perm = None
+        forced = os.environ.get("NEXTSEARCH_SORT_QUERIES") == "1"  # tests
+        if (use_pallas_m or forced) and nq > 1:
+            wins = self._query_windows(queries)
+            # below ~1 block per query the kernel is already minimal
+            if wins.size and (wins.max() > 1024 or forced):
+                perm = np.argsort(wins, kind="stable")
+                queries = [queries[i] for i in perm]
         fast = (
             self.config.device.fast_heavy
             and self._heavy_direct
@@ -876,9 +893,9 @@ class DeviceIndex:
             if fast:
                 return (
                     "packedg", nq, k, K, launch_multi(True),
-                    lambda: launch_multi(False),
+                    lambda: launch_multi(False), perm,
                 )
-            return ("packed", nq, k, K, launch_multi(False))
+            return ("packed", nq, k, K, launch_multi(False), perm)
 
         plan, U = self.plan_sparse(queries)
         block = self.config.device.posting_block
@@ -933,9 +950,9 @@ class DeviceIndex:
         if fast:
             return (
                 "packedg", nq, k, K, launch_single(True),
-                lambda: launch_single(False),
+                lambda: launch_single(False), perm,
             )
-        return ("packed", nq, k, K, launch_single(False))
+        return ("packed", nq, k, K, launch_single(False), perm)
 
     def search_batch_async(self, queries: Sequence[Sequence[WeightedTerm]], k: int):
         """Launch one batched BM25 top-k kernel; returns an opaque handle.
@@ -1011,8 +1028,11 @@ class DeviceIndex:
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
         if handle[0] in ("packed", "packedg"):
+            perm = handle[6] if handle[0] == "packedg" and len(handle) > 6 \
+                else handle[5] if handle[0] == "packed" and len(handle) > 5 \
+                else None
             if handle[0] == "packedg":
-                _tag, nq, k, K, dev_out, relaunch = handle
+                _tag, nq, k, K, dev_out, relaunch = handle[:6]
                 out = np.asarray(jax.device_get(dev_out))
                 if not np.all(out[:nq, 2 * K + 1] >= 0.5):
                     # Guard failed for >=1 query: the DEFAULT-precision
@@ -1029,12 +1049,13 @@ class DeviceIndex:
                     )
                     out = np.asarray(jax.device_get(relaunch()))
             else:
-                _tag, nq, k, K, out = handle
+                _tag, nq, k, K, out = handle[:5]
                 out = np.asarray(jax.device_get(out))
             vals = out[:, :K]
             idx = out[:, K : 2 * K].astype(np.int32)
             found = out[:, 2 * K].astype(np.int32)
         else:
+            perm = None
             _tag, nq, k, K, vals, idx, found = handle
             # One batched device->host fetch: per-array np.asarray costs a
             # full relay round trip each (~25ms vs ~380ms x3).
@@ -1050,6 +1071,13 @@ class DeviceIndex:
                     found=int(found[qi]),
                 )
             )
+        if perm is not None:
+            # undo the window-size query ordering (row j held the query
+            # originally at index perm[j])
+            res = [out[0]] * nq
+            for j in range(nq):
+                res[perm[j]] = out[j]
+            return res
         return out
 
     def search_batch(
@@ -1066,11 +1094,34 @@ class DeviceIndex:
             self._pins.get("C"), "C",
         )
 
+    def _query_windows(self, queries) -> np.ndarray:
+        """Per-query summed light dfs (= the query's contiguous run length
+        in the flat sorted light array). One lexicon probe; no device
+        work."""
+        rows_all, _ws, q_lens = _probe_queries_flat(
+            self._lex_slices, queries
+        )
+        ent = self._lex_table[rows_all]
+        dfs = np.where(ent[:, 2] < 0, ent[:, 1], 0).astype(np.int64)
+        qi = np.repeat(np.arange(len(queries), dtype=np.int64), q_lens)
+        w = np.zeros(len(queries), np.int64)
+        np.add.at(w, qi, dfs)
+        return w
+
     def _sel_window(self, light_dfs) -> int:
         """Static selection-window W for this batch (ops/select_pallas.py):
         the max over queries of summed light dfs — one query's contiguous
         run of the flat sorted array — bucketed/pinned like C so serving
-        keeps one compiled shape."""
+        keeps one compiled shape.
+
+        Returns 0 (kernel disabled -> flat-sort selection) unless
+        NEXTSEARCH_SELECT_PALLAS=1: measured at the 1M serving point the
+        kernel only MATCHES the sort it replaces (9,085 vs 9,209 QPS with
+        window-ordered queries; per-iteration scalar overhead and the
+        per-query DMA latency eat the scan-volume win), so the sort stays
+        the default until the kernel beats it."""
+        if os.environ.get("NEXTSEARCH_SELECT_PALLAS", "0") != "1":
+            return 0
         w = int(light_dfs.astype(np.int64).sum(axis=-1).max(initial=0))
         return _pick_shape(
             max(w, 1), self.W_BUCKETS, self._pins.get("W"), "W"

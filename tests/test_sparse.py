@@ -470,3 +470,37 @@ def test_select_pallas_interpret_parity():
         v2, g2 = per_query_topk_xla_ref(sj, bj, Q=Q, k2=k2)
         assert np.array_equal(np.asarray(v1), np.asarray(v2)), (Q, k2)
         assert np.array_equal(np.asarray(g1), np.asarray(g2)), (Q, k2)
+
+
+def test_query_window_ordering_parity(segs, monkeypatch):
+    """The window-size query ordering (selection-kernel locality) must be
+    invisible: results come back in the caller's original query order,
+    bit-identical to the unordered path."""
+    monkeypatch.setenv("NEXTSEARCH_SORT_QUERIES", "1")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    # wins.max() must exceed 1024 to trigger the reorder: use repeated
+    # multi-term queries over the biggest light terms
+    r = np.random.default_rng(17)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 6)))]
+        for _ in range(24)
+    ]
+    wins = di._query_windows(queries)
+    res_sorted = di.search_batch(queries, k=10)
+    monkeypatch.delenv("NEXTSEARCH_SORT_QUERIES")
+    res_plain = di.search_batch(queries, k=10)
+    assert len(res_sorted) == len(res_plain)
+    for a, b in zip(res_sorted, res_plain):
+        assert np.array_equal(a.scores, b.scores)
+        assert np.array_equal(a.doc_slots, b.doc_slots)
+        assert a.found == b.found
+    # and against the oracle
+    check_parity(di, segs, queries)
