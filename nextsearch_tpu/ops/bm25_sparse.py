@@ -755,12 +755,19 @@ def _packed_impl(
                 table3 = jnp.zeros(
                     (ids.shape[0],) + dense_rows.shape[1:], dense_rows.dtype
                 )
+            elif use_pallas:
+                if fast_heavy and dense_rows.dtype == jnp.float32:
+                    # fast path: gather + RN-bf16 convert in one pass —
+                    # bit-identical input to the DEFAULT (single bf16
+                    # pass) dot, half the compact-table write/read
+                    # traffic. The wide HIGHEST relaunch keeps f32.
+                    from .heavy_pallas import gather_rows_bf16_pallas
+
+                    table3 = gather_rows_bf16_pallas(ids, dense_rows)
+                else:
+                    table3 = gather_rows_pallas(ids, dense_rows)
             else:
-                table3 = (
-                    gather_rows_pallas(ids, dense_rows)
-                    if use_pallas
-                    else dense_rows[ids]
-                )
+                table3 = dense_rows[ids]
             table = table3.reshape(table3.shape[0], n_slots)
         else:
             table = dense_rows.reshape(dense_rows.shape[0], n_slots)

@@ -550,3 +550,84 @@ def gather_rows_pallas(ids: jax.Array, dense3: jax.Array):
         ),
     )(ids, dense3)
     return out
+
+
+_GBF_NS = 4  # converting-gather ring depth (slots x 4MB rows in VMEM)
+
+
+def _make_gbf_kernel(nprog: int):
+    def _kernel(ids_ref, dense_ref, out_ref, *refs):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        x_refs, sems_ref = refs[:-1], refs[-1]
+        u = pl.program_id(0)
+
+        def start(slot, uu):
+            pltpu.make_async_copy(
+                dense_ref.at[ids_ref[uu]], x_refs[slot], sems_ref.at[slot]
+            ).start()
+
+        @pl.when(u == 0)
+        def _():
+            for i in range(min(_GBF_NS, nprog)):
+                start(i, i)
+
+        # the refilled slot is always u's own (u + NS ≡ u mod NS)
+        for slot in range(_GBF_NS):
+            @pl.when(u % _GBF_NS == slot)
+            def _(slot=slot):
+                pltpu.make_async_copy(
+                    dense_ref.at[ids_ref[0]],
+                    x_refs[slot],
+                    sems_ref.at[slot],
+                ).wait()
+                out_ref[0] = x_refs[slot][:].astype(jnp.bfloat16)
+
+                @pl.when(u + _GBF_NS < nprog)
+                def _():
+                    start(slot, u + _GBF_NS)
+
+    return _kernel
+
+
+def gather_rows_bf16_pallas(ids: jax.Array, dense3: jax.Array):
+    """gather_rows_pallas + round-to-nearest bf16 conversion in one pass.
+
+    For the GUARDED fast kernel only: its heavy dot runs at DEFAULT
+    precision, which truncates both operands to bf16 (RN) before the
+    single MXU pass — so pre-rounding the gathered table is bit-identical
+    to feeding it f32 (verified on hardware: H matches the f32-table fast
+    kernel exactly), while the compact-table HBM write and the fused
+    kernel's table reads halve (measured: the f32 HBM->HBM gather runs at
+    ~423 GB/s combined, 7.1 ms/batch — conversion cuts its write half and
+    the downstream reads). A _GBF_NS-slot VMEM ring keeps copies in
+    flight while converting (a 2-slot version measured SLOWER than the
+    pure-DMA f32 gather: one outstanding copy cannot hide the per-row DMA
+    latency); the wide HIGHEST relaunch keeps the f32 gather — 6-pass
+    needs full-precision operands.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    uc = ids.shape[0]
+    r, lanes = dense3.shape[1], dense3.shape[2]
+    out = pl.pallas_call(
+        _make_gbf_kernel(uc),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(uc,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, r, lanes), lambda u, _i: (u, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((r, lanes), dense3.dtype)
+                for _ in range(_GBF_NS)
+            ]
+            + [pltpu.SemaphoreType.DMA((_GBF_NS,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((uc, r, lanes), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(ids, dense3)
+    return out
