@@ -156,11 +156,13 @@ def config3():
     else:
         batches = sample_queries(probs, 256, 64, seed=3)
         di = _pinned_index(segs, batches)
-    # parity across the multi-segment merge
+    # parity across the multi-segment merge (ONE batched launch: a
+    # 1-query batch pads to the pinned Q=512 envelope and costs a full
+    # launch each)
     oracle_segs = [s.to_oracle_segment() for s in segs]
-    for terms in batches[0][:10]:
+    spot = batches[0][:10]
+    for terms, res in zip(spot, di.search_batch(spot, k=10)):
         hits, found = oracle_search(oracle_segs, terms, k=10)
-        res = di.search_batch([terms], k=10)[0]
         assert res.found == found
         for (o_s, o_seg, o_doc), d_s, d_slot in zip(hits, res.scores, res.doc_slots):
             assert di.locate(int(d_slot)) == (o_seg, o_doc)

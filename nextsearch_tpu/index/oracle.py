@@ -98,3 +98,69 @@ def oracle_search(
         total_found += len(score)
     hits.sort(key=lambda h: (-h[0], h[1], h[2]))
     return hits[:k], total_found
+
+
+def oracle_search_vec(
+    segments: Sequence[dict],
+    weighted_terms: Sequence[Tuple[str, float]],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Tuple[List[Tuple[float, int, int]], int]:
+    """oracle_search, vectorized — bit-identical results.
+
+    The scalar oracle's per-posting dict loop costs ~1s for a df-500k
+    heavy term; this variant accumulates each term's contributions with
+    one fancy-indexed f32 assignment per (segment, term), which performs
+    the SAME f32 multiply-then-add per doc in the SAME term order (each
+    doc appears once per term), so every score is bit-identical. Used by
+    the serving path to rescue fast-path guard trips per QUERY on the
+    host (segment.py) — the device-wide exact relaunch kernel cannot
+    compile at every shape (the f32 compact table + light bucket table
+    of a 16-term 1M-doc envelope exceed HBM), and a host rescue of a few
+    queries beats an 80ms whole-batch relaunch anyway.
+
+    Tie handling matches the scalar oracle's canonical (score desc, seg
+    asc, doc asc): boundary ties are kept via a >=-threshold cut before
+    the exact sort, never split by argpartition order.
+    """
+    per_seg: List[Tuple[np.ndarray, np.ndarray, int]] = []
+    total_found = 0
+    for seg_idx, seg in enumerate(segments):
+        score = np.zeros(seg["N"], F32)
+        for term, qweight in weighted_terms:
+            entry = seg["postings"].get(term)
+            if entry is None:
+                continue
+            doc_ids, tfs = entry
+            df = len(doc_ids)
+            if df == 0:
+                continue
+            doc_lens = seg["doc_len"][doc_ids]
+            s = oracle_posting_scores(
+                seg["N"], seg["avgdl"], df, tfs, doc_lens, k1, b
+            )
+            qw = F32(qweight)
+            score[doc_ids] = score[doc_ids] + qw * s
+        idx = np.flatnonzero(score > 0)
+        total_found += idx.size
+        if idx.size > k:
+            sv = score[idx]
+            thr = np.partition(sv, idx.size - k)[idx.size - k]
+            keep = sv >= thr  # keep ALL boundary ties
+            idx = idx[keep]
+        order = np.lexsort((idx, -score[idx].astype(np.float64)))
+        idx = idx[order][: max(k * 4, k)]  # ample tie margin for merge
+        per_seg.append((score[idx], idx, seg_idx))
+    if not per_seg:
+        return [], 0
+    scores = np.concatenate([p[0] for p in per_seg])
+    docs = np.concatenate([p[1] for p in per_seg])
+    segs_arr = np.concatenate(
+        [np.full(p[1].shape, p[2], np.int64) for p in per_seg]
+    )
+    order = np.lexsort((docs, segs_arr, -scores.astype(np.float64)))[:k]
+    return (
+        [(float(scores[i]), int(segs_arr[i]), int(docs[i])) for i in order],
+        total_found,
+    )

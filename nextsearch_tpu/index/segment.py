@@ -893,7 +893,7 @@ class DeviceIndex:
             if fast:
                 return (
                     "packedg", nq, k, K, launch_multi(True),
-                    lambda: launch_multi(False), perm,
+                    lambda: launch_multi(False), perm, queries,
                 )
             return ("packed", nq, k, K, launch_multi(False), perm)
 
@@ -950,7 +950,7 @@ class DeviceIndex:
         if fast:
             return (
                 "packedg", nq, k, K, launch_single(True),
-                lambda: launch_single(False), perm,
+                lambda: launch_single(False), perm, queries,
             )
         return ("packed", nq, k, K, launch_single(False), perm)
 
@@ -1033,21 +1033,44 @@ class DeviceIndex:
                 else None
             if handle[0] == "packedg":
                 _tag, nq, k, K, dev_out, relaunch = handle[:6]
+                queries = handle[7] if len(handle) > 7 else None
                 out = np.asarray(jax.device_get(dev_out))
-                if not np.all(out[:nq, 2 * K + 1] >= 0.5):
+                tripped = np.flatnonzero(out[:nq, 2 * K + 1] < 0.5)
+                if tripped.size:
                     # Guard failed for >=1 query: the DEFAULT-precision
                     # merged-pool selection could not prove the top-K.
-                    # Relaunch the HIGHEST wide-pool kernel — results stay
-                    # bit-exact; only this batch pays the slow path.
+                    # Results must stay bit-exact either way:
+                    #  - few trips: rescore those QUERIES on the host with
+                    #    the vectorized exact oracle (~10-20 ms/query) —
+                    #    cheaper than an 80 ms whole-batch relaunch, and
+                    #    the only exact path at envelopes where the wide
+                    #    kernel's f32 compact + light tables exceed HBM
+                    #    (EVAL config 3: T=16/U=960/nl=158k fails to
+                    #    compile).
+                    #  - many trips: one wide HIGHEST relaunch.
                     from ..utils.logging import log
 
-                    log(
-                        "sparse",
-                        f"fast-heavy guard tripped "
-                        f"({int((out[:nq, 2 * K + 1] < 0.5).sum())}/{nq} "
-                        f"queries); relaunching exact-precision kernel",
+                    cap = int(
+                        os.environ.get("NEXTSEARCH_TRIP_RESCUE", "8")
                     )
-                    out = np.asarray(jax.device_get(relaunch()))
+                    if queries is not None and tripped.size <= cap:
+                        log(
+                            "sparse",
+                            f"fast-heavy guard tripped ({tripped.size}/"
+                            f"{nq} queries); host-oracle rescue",
+                        )
+                        out = np.array(out)  # device_get view is read-only
+                        for j in tripped:
+                            self._host_rescue_row(out, int(j), queries,
+                                                  K)
+                    else:
+                        log(
+                            "sparse",
+                            f"fast-heavy guard tripped "
+                            f"({tripped.size}/{nq} queries); relaunching "
+                            f"exact-precision kernel",
+                        )
+                        out = np.asarray(jax.device_get(relaunch()))
             else:
                 _tag, nq, k, K, out = handle[:5]
                 out = np.asarray(jax.device_get(out))
@@ -1093,6 +1116,30 @@ class DeviceIndex:
             total, self.config.device.chunk_buckets,
             self._pins.get("C"), "C",
         )
+
+    def _host_rescue_row(self, out, j, queries, K):
+        """Overwrite packed row j with the exact host-oracle result for
+        queries[j] (guard-trip rescue; oracle_search_vec is bit-identical
+        to the device's exact path)."""
+        from .oracle import oracle_search_vec
+
+        hits, found = oracle_search_vec(
+            self._oracle_segs(), queries[j], K,
+            k1=self.config.bm25.k1, b=self.config.bm25.b,
+        )
+        out[j, : 2 * K + 1] = 0.0
+        for i, (score, seg_idx, doc) in enumerate(hits[:K]):
+            out[j, i] = np.float32(score)
+            out[j, K + i] = np.float32(self.doc_bases[seg_idx] + doc)
+        out[j, 2 * K] = np.float32(found)
+
+    def _oracle_segs(self):
+        """Lazy host-side oracle segment views (guard-trip rescue)."""
+        segs = getattr(self, "_oracle_segs_cache", None)
+        if segs is None:
+            segs = [s.to_oracle_segment() for s in self.segments]
+            self._oracle_segs_cache = segs
+        return segs
 
     def _query_windows(self, queries) -> np.ndarray:
         """Per-query summed light dfs (= the query's contiguous run length

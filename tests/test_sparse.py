@@ -504,3 +504,25 @@ def test_query_window_ordering_parity(segs, monkeypatch):
         assert a.found == b.found
     # and against the oracle
     check_parity(di, segs, queries)
+
+
+def test_guard_trip_host_rescue(segs, monkeypatch):
+    """With the rescue cap raised, every tripped query is re-scored by the
+    vectorized host oracle instead of the wide device relaunch — results
+    must stay bit-exact (eps=1e9 forces every query to trip)."""
+    monkeypatch.setenv("NEXTSEARCH_TRIP_RESCUE", "100")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, fast_heavy=True, fast_heavy_eps=1e9,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    r = np.random.default_rng(47)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(24)
+    ]
+    check_parity(di, segs, queries)
