@@ -873,15 +873,22 @@ class DeviceIndex:
             )
 
             def launch_multi(fh: bool):
+                # The exact HIGHEST relaunch (fh=False under fast mode)
+                # runs FULL-TABLE: the compact path's f32 gather table is
+                # O(U * n_slots) HBM that big envelopes cannot afford
+                # next to the dense rows (EVAL config 3 failed to
+                # compile), and heavy_fused3 reads the stored 3D layout
+                # with no extra buffer at all.
+                uc = use_compact and (fh or not fast)
                 out = bm25_search_sparse_packed_multi(
                     self.post_doc, self.post_score, self.dense_rows,
                     self.bucket_pos, self.light_bucket_pos, plans,
                     n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
                     bs_steps=self._bs_depth, nd=self.n_dense,
                     nl=self.n_light,
-                    U=U if use_compact else 0,
+                    U=U if uc else 0,
                     use_pallas=use_pallas_m,
-                    use_compact=use_compact,
+                    use_compact=uc,
                     heavy_direct=self._heavy_direct,
                     fast_heavy=fh, guard_eps=eps,
                     w_max=self._sel_window(plans[:, 1]),
@@ -931,14 +938,16 @@ class DeviceIndex:
         # Depth = measured max bucket occupancy of the light bucket-
         # position table (exact_rescore_v3; + heavy when bf16 rows use v2).
         def launch_single(fh: bool):
+            # exact relaunch runs full-table — see launch_multi
+            uc = use_compact and (fh or not fast)
             out = bm25_search_sparse_packed(
                 self.post_doc, self.post_score, self.dense_rows,
                 self.bucket_pos, self.light_bucket_pos, plan,
                 n_slots=self.n_slots, K=K, K2=K2, C=C, block=block,
                 bs_steps=self._bs_depth, nd=self.n_dense, nl=self.n_light,
-                U=U,
+                U=U if uc else 0,
                 use_pallas=use_pallas,
-                use_compact=use_compact,
+                use_compact=uc,
                 heavy_direct=self._heavy_direct,
                 fast_heavy=fh, guard_eps=eps,
                 w_max=self._sel_window(plan[1]),

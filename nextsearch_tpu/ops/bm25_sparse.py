@@ -769,10 +769,20 @@ def _packed_impl(
             else:
                 table3 = dense_rows[ids]
             table = table3.reshape(table3.shape[0], n_slots)
+            fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
+            H, smax_sq, cnt_tq = fused(
+                mix, table, fast=fast_heavy, h_dtype=h_dtype
+            )
         else:
-            table = dense_rows.reshape(dense_rows.shape[0], n_slots)
-        fused = heavy_fused_pallas if use_pallas else heavy_fused_xla
-        H, smax_sq, cnt_tq = fused(mix, table, fast=fast_heavy, h_dtype=h_dtype)
+            # full-table: read the STORED 3D layout directly (no compact
+            # gather buffer, no 2D relayout copy) so this kernel — the
+            # exact HIGHEST relaunch — compiles at ANY envelope.
+            from .heavy_pallas import heavy_fused3_pallas, heavy_fused3_xla
+
+            fused3 = heavy_fused3_pallas if use_pallas else heavy_fused3_xla
+            H, smax_sq, cnt_tq = fused3(
+                mix, dense_rows, fast=fast_heavy, h_dtype=h_dtype
+            )
         heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)  # [Q]
 
     # ---- light flat totals

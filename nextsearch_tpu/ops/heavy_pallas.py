@@ -631,3 +631,129 @@ def gather_rows_bf16_pallas(ids: jax.Array, dense3: jax.Array):
         ),
     )(ids, dense3)
     return out
+
+
+def _make_kernel3(fast: bool):
+    def _kernel(mix_ref, dense_ref, h_ref, smax_ref, cnt_ref):
+        import jax.experimental.pallas as pl
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        q = mix_ref.shape[0]
+        ct = jnp.zeros((q,), jnp.float32)
+        sms = []
+        # one dot per 128-lane sub-block: N=128 is the full MXU width and
+        # the contraction (ND) is untouched, so each output element's
+        # summation order — and therefore the f32 result — is bit-identical
+        # to the 2D kernel's
+        for j in range(dense_ref.shape[1]):
+            dj = jnp.dot(
+                mix_ref[:],
+                dense_ref[:, j, :],
+                preferred_element_type=jnp.float32,
+                precision=(
+                    lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
+                ),
+            )  # [Q, 128]
+            h_ref[:, pl.ds(j, 1), :] = _round_up_store(
+                dj, h_ref.dtype
+            ).reshape(q, 1, 128)
+            sms.append(jnp.max(dj, axis=1, keepdims=True))  # [Q, 1]
+            ct = ct + jnp.sum((dj > 0).astype(jnp.float32), axis=1)
+        sm = jnp.concatenate(sms, axis=1)  # [Q, _CPT] (CSUB == 128)
+        smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(
+            _CPT, 1, q
+        )
+        cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+
+    return _kernel
+
+
+_kernel3 = _make_kernel3(fast=False)
+_kernel3_fast = _make_kernel3(fast=True)
+
+
+def heavy_fused3_pallas(
+    mix: jax.Array,  # f32 [Q, ND]
+    dense3: jax.Array,  # f32/bf16 [ND, n_slots/128, 128] (the STORED layout)
+    *,
+    fast: bool = False,
+    interpret: bool = False,
+    h_dtype=jnp.float32,
+):
+    """heavy_fused_pallas over the 3D STORED table — no 2D relayout, no
+    compact gather, no extra HBM buffer.
+
+    The full-table path previously required `dense_rows.reshape(rows,
+    n_slots)`, a real multi-GB relayout copy on TPU (tiled physical
+    layouts). This kernel block-slices the 3D array directly —
+    (ND, TILE/128, 128) blocks, dim 0 untiled — and runs one MXU dot per
+    128-lane sub-block. It exists so the exact HIGHEST relaunch kernel is
+    compilable at ANY envelope: the compact path's f32 gather table is
+    O(U * n_slots) HBM that pushed big envelopes (EVAL config 3: U=960,
+    nl=158k) past 16GB and failed compilation. Output H layout is 3D
+    [Q, n_slots/128, 128] to match; smax comes per 128-doc sub-block
+    (CSUB == 128), bit-identical to the 2D kernel's epilogue.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, ND = mix.shape
+    nblk = dense3.shape[1]
+    n_slots = nblk * 128
+    assert n_slots % TILE == 0, (n_slots, TILE)
+    n_tiles = n_slots // TILE
+    tiles_pad = ((n_tiles + 7) // 8) * 8
+    sub_pad = tiles_pad * _CPT
+
+    out = pl.pallas_call(
+        _kernel3_fast if fast else _kernel3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Q, ND), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ND, TILE // 128, 128),
+                lambda t: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (Q, TILE // 128, 128),
+                lambda t: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (_CPT, tiles_pad, Q),
+                lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tiles_pad, Q), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, nblk, 128), h_dtype),
+            jax.ShapeDtypeStruct((_CPT, tiles_pad, Q), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, Q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mix.astype(dense3.dtype), dense3)
+    h3, smax3, cnt = out
+    smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
+    return h3.reshape(Q, n_slots), smax, cnt
+
+
+def heavy_fused3_xla(mix, dense3, *, fast: bool = False,
+                     h_dtype=jnp.float32):
+    """Pure-XLA reference for heavy_fused3_pallas (CPU path)."""
+    dense2 = dense3.reshape(dense3.shape[0], -1)
+    return heavy_fused_xla(mix, dense2, fast=fast, h_dtype=h_dtype)

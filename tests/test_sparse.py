@@ -526,3 +526,64 @@ def test_guard_trip_host_rescue(segs, monkeypatch):
         for _ in range(24)
     ]
     check_parity(di, segs, queries)
+
+
+def test_heavy_fused3_interpret_parity(segs):
+    """The 3D full-table kernel (exact-relaunch path) matches the 2D XLA
+    reference: counts (exact positivity) bit-for-bit; H and the maxima to
+    ~1 ULP — on CPU the dot library's contraction blocking depends on the
+    output width, so per-128-column sub-block dots round 1 ULP apart from
+    one full-row dot (44/16k elements measured). Selection tolerates
+    ULP-level H noise by design (pool width + exact rescore); positivity
+    — and with it `found` — is order-independent (a zero dot is exactly
+    zero in any summation order)."""
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.heavy_pallas import (
+        heavy_fused3_pallas,
+        heavy_fused_xla,
+    )
+
+    di = make_index(segs)
+    dense3 = di.dense_rows  # stored 3D layout
+    nd1 = dense3.shape[0]
+    r = np.random.default_rng(66)
+    mix = np.zeros((8, nd1), np.float32)
+    for q in range(8):
+        for _ in range(3):
+            mix[q, r.integers(0, max(di.n_dense, 1))] = r.uniform(0.2, 1.5)
+    mix = jnp.asarray(mix)
+    dense2 = jnp.reshape(dense3, (nd1, di.n_slots))
+    for fast in (False, True):
+        H1, t1, c1 = heavy_fused3_pallas(mix, dense3, fast=fast,
+                                         interpret=True)
+        H2, t2, c2 = heavy_fused_xla(mix, dense2, fast=fast)
+        np.testing.assert_allclose(
+            np.asarray(H1), np.asarray(H2), rtol=3e-7, atol=0
+        )
+        f1, f2 = np.asarray(t1), np.asarray(t2)
+        fin = np.isfinite(f1)
+        assert np.array_equal(fin, np.isfinite(f2))
+        np.testing.assert_allclose(f1[fin], f2[fin], rtol=3e-7, atol=0)
+        assert np.array_equal(np.asarray(c1), np.asarray(c2)), fast
+
+
+def test_sparse_fulltable_mode_parity(segs, monkeypatch):
+    """use_compact off (the exact-relaunch configuration) must stay
+    oracle-exact end to end through the 3D full-table kernel path."""
+    monkeypatch.setenv("NEXTSEARCH_COMPACT_HEAVY", "0")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    r = np.random.default_rng(48)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(16)
+    ]
+    check_parity(di, segs, queries)
