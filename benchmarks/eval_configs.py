@@ -135,10 +135,20 @@ def config3():
     full = os.environ.get("NEXTSEARCH_EVAL_FULL") == "1"
     n_per_seg = 250_000 if full else 25_000
     n_segs = 4
+    # The segments share the HEADLINE corpus's term distribution (200k-term
+    # Zipf at full scale), so the 1M-doc merged index has the same
+    # per-term df profile as the single-segment bench and this config
+    # isolates what it is meant to measure: the cross-segment merge cost
+    # (4x term slots, 4 dense rows per heavy term). The earlier 40k-term
+    # stand-in made every posting list ~5x denser than the headline's,
+    # which quintupled the chunk budget AND pushed heavy tails
+    # near-uniform enough to trip the fast-path guard on ~3% of queries —
+    # measuring a different (and unrealistically hostile) workload.
+    vocab = 200_000 if full else 40_000
     segs = [
-        _cached_corpus(n_per_seg, 40_000, 10 + i) for i in range(n_segs)
+        _cached_corpus(n_per_seg, vocab, 10 + i) for i in range(n_segs)
     ]
-    probs = 1.0 / np.arange(1, 40_000 + 1) ** 1.07
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.07
     probs /= probs.sum()
     if full:
         # Full 1M scale runs the production sparse serving configuration

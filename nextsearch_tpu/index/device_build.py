@@ -194,9 +194,13 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
     return dense, bucket_pos, occ
 
 
-def build_light_on_device(post_doc, starts, dfs, *, n_rows_pad, n_slots):
-    """Light bucket-position table on device (no dense materialization)."""
-    nb = (n_slots + (1 << LIGHT_BUCKET_LOG2) - 1) >> LIGHT_BUCKET_LOG2
+def build_light_on_device(post_doc, starts, dfs, *, n_rows_pad, n_slots,
+                          bucket_log2=LIGHT_BUCKET_LOG2):
+    """Light bucket-position table on device (no dense materialization).
+
+    bucket_log2 may be coarser than the default when the row count makes
+    the table exceed its HBM budget (DeviceIndex adaptive granularity)."""
+    nb = (n_slots + (1 << bucket_log2) - 1) >> bucket_log2
     if dfs.size == 0:
         return jnp.zeros((n_rows_pad, nb + 1), jnp.int32), 0
     bucket_pos, occ = _build_buckets(
@@ -206,6 +210,6 @@ def build_light_on_device(post_doc, starts, dfs, *, n_rows_pad, n_slots):
         n_rows_pad=n_rows_pad,
         n_slots=n_slots,
         total_pad=_round_pad(int(dfs.sum())),
-        bucket_log2=LIGHT_BUCKET_LOG2,
+        bucket_log2=bucket_log2,
     )
     return bucket_pos, int(occ)

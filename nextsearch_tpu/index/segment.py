@@ -353,11 +353,43 @@ class DeviceIndex:
         light_host = None
         light_max_occ = 0
         self.n_light = 0
+        # Adaptive bucket granularity: the light table is
+        # (n_light + 1) x (n_slots >> lb_log2 + 2) int32, and n_light
+        # scales with segments x vocabulary — a 4-segment merge over the
+        # 200k-term corpus (~790k light rows) needs 6.2GB at the default
+        # 2^9 granularity and OOMs HBM next to the dense rows. Coarsen
+        # until the table fits the budget; the only cost is a deeper
+        # rescore binary search (depth = measured occupancy bit length).
+        self._lb_log2 = LIGHT_BUCKET_LOG2
+        if self._sparse and not host_only:
+            n_light_est = sum(
+                int((seg.term_df > 0).sum()) for seg in self.segments
+            ) - self.n_dense
+            budget = int(
+                os.environ.get("NEXTSEARCH_LIGHT_TABLE_BYTES", 2 << 30)
+            )
+            while (
+                self._lb_log2 < 14
+                and (n_light_est + 1)
+                * ((self.n_slots >> self._lb_log2) + 2)
+                * 4
+                > budget
+            ):
+                self._lb_log2 += 1
+            if self._lb_log2 != LIGHT_BUCKET_LOG2:
+                from ..utils.logging import log
+
+                log(
+                    "index",
+                    f"light bucket granularity coarsened to "
+                    f"2^{self._lb_log2} ({n_light_est} light rows; table "
+                    f"budget {budget >> 20} MiB)",
+                )
         if self._sparse and not host_only:
             build_tables = not device_build
             nbl = (
-                self.n_slots + (1 << LIGHT_BUCKET_LOG2) - 1
-            ) >> LIGHT_BUCKET_LOG2
+                self.n_slots + (1 << self._lb_log2) - 1
+            ) >> self._lb_log2
             counts_parts: List[np.ndarray] = []
             base_row = 0
             for seg_i, seg in enumerate(self.segments):
@@ -378,7 +410,7 @@ class DeviceIndex:
                     )
                     valid = row_of_post >= 0
                     bucket = (
-                        post_doc_parts[seg_i][valid] >> LIGHT_BUCKET_LOG2
+                        post_doc_parts[seg_i][valid] >> self._lb_log2
                     )
                     cnt = np.bincount(
                         row_of_post[valid] * nbl + bucket,
@@ -457,6 +489,7 @@ class DeviceIndex:
                         self.post_doc, l_starts, l_dfs,
                         n_rows_pad=self.n_light + 1,
                         n_slots=self.n_slots,
+                        bucket_log2=self._lb_log2,
                     )
                 )
             self._bs_depth = max(
@@ -893,6 +926,7 @@ class DeviceIndex:
                     fast_heavy=fh, guard_eps=eps,
                     w_max=self._sel_window(plans[:, 1]),
                     h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
+                    lb_log2=self._lb_log2,
                 )
                 out.copy_to_host_async()
                 return out
@@ -912,8 +946,15 @@ class DeviceIndex:
             jax.default_backend() == "tpu"
             and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
         )
-        unified = self.config.device.unified and (
-            os.environ.get("NEXTSEARCH_UNIFIED", "1") == "1"
+        from ..ops.bm25_sparse import LIGHT_BUCKET_LOG2 as _LB_DEFAULT
+
+        unified = (
+            self.config.device.unified
+            and os.environ.get("NEXTSEARCH_UNIFIED", "1") == "1"
+            # the experimental unified kernel hard-codes the default light
+            # bucket granularity; adaptively-coarsened indexes take the
+            # packed path
+            and self._lb_log2 == _LB_DEFAULT
         )
         if unified:
             out = bm25_search_sparse_unified(
@@ -952,6 +993,7 @@ class DeviceIndex:
                 fast_heavy=fh, guard_eps=eps,
                 w_max=self._sel_window(plan[1]),
                 h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
+                lb_log2=self._lb_log2,
             )
             out.copy_to_host_async()
             return out

@@ -263,6 +263,7 @@ def exact_rescore_v2(
     bs_steps,
     nd,
     nl,
+    lb_log2: int = LIGHT_BUCKET_LOG2,
 ):
     """Bit-exact term-slot-order rescore of candidates.
 
@@ -298,7 +299,7 @@ def exact_rescore_v2(
     row = jnp.where(is_heavy, slot_dense[:, :, None], nd)
     lrow = jnp.clip(slot_light[:, :, None], 0, nl)
     cb = lax.shift_right_logical(c, BUCKET_LOG2)  # [Q, 1, kc]
-    cbl = lax.shift_right_logical(c, LIGHT_BUCKET_LOG2)
+    cbl = lax.shift_right_logical(c, lb_log2)
     lo0 = jnp.where(
         is_heavy, bucket_pos[row, cb], light_bucket_pos[lrow, cbl]
     )
@@ -348,6 +349,7 @@ def exact_rescore_v3(
     bs_steps,
     nd,
     nl,
+    lb_log2: int = LIGHT_BUCKET_LOG2,
 ):
     """Bit-exact rescore with heavy values read straight off the dense rows.
 
@@ -377,7 +379,7 @@ def exact_rescore_v3(
     ]  # f32 [Q, T, kc]: exact eager score, 0 where the doc lacks the term
 
     lrow = jnp.clip(slot_light[:, :, None], 0, nl)
-    cbl = lax.shift_right_logical(c, LIGHT_BUCKET_LOG2)
+    cbl = lax.shift_right_logical(c, lb_log2)
     lo0 = light_bucket_pos[lrow, cbl]
     hi0 = light_bucket_pos[lrow, cbl + 1]
     lo = jnp.broadcast_to(lo0, (Q, T, kc))
@@ -635,6 +637,7 @@ def _packed_impl(
     guard_eps: float = 2e-3,
     w_max: int = 0,
     h_bf16: bool = False,
+    lb_log2: int = LIGHT_BUCKET_LOG2,
     prof_skip: tuple = (),
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
@@ -877,14 +880,14 @@ def _packed_impl(
         exact = exact_rescore_v3(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
-            bs_steps=bs_steps, nd=nd, nl=nl,
+            bs_steps=bs_steps, nd=nd, nl=nl, lb_log2=lb_log2,
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     else:
         exact = exact_rescore_v2(
             post_doc, post_score, bucket_pos, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
-            bs_steps=bs_steps, nd=nd, nl=nl,
+            bs_steps=bs_steps, nd=nd, nl=nl, lb_log2=lb_log2,
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
@@ -920,7 +923,7 @@ def _packed_impl(
 _PACKED_STATICS = (
     "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
     "use_pallas", "use_compact", "heavy_direct", "fast_heavy", "guard_eps",
-    "w_max", "h_bf16", "prof_skip",
+    "w_max", "h_bf16", "lb_log2", "prof_skip",
 )
 
 bm25_search_sparse_packed = functools.partial(
@@ -953,6 +956,7 @@ def bm25_search_sparse_packed_multi(
     guard_eps: float = 2e-3,
     w_max: int = 0,
     h_bf16: bool = False,
+    lb_log2: int = LIGHT_BUCKET_LOG2,
     prof_skip: tuple = (),
 ):
     """G sub-batches through the packed pipeline in ONE device launch.
@@ -998,7 +1002,7 @@ def bm25_search_sparse_packed_multi(
             use_pallas=use_pallas, use_compact=use_compact,
             heavy_direct=heavy_direct, fast_heavy=fast_heavy,
             guard_eps=guard_eps, w_max=w_max, h_bf16=h_bf16,
-            prof_skip=prof_skip,
+            lb_log2=lb_log2, prof_skip=prof_skip,
         )
         dep = out
         outs.append(out)

@@ -587,3 +587,28 @@ def test_sparse_fulltable_mode_parity(segs, monkeypatch):
         for _ in range(16)
     ]
     check_parity(di, segs, queries)
+
+
+def test_adaptive_light_buckets_parity(segs, monkeypatch):
+    """A tiny light-table budget forces coarser bucket granularity
+    (lb_log2 > default); the rescore must stay oracle-exact through the
+    coarser binary search (deeper bs via measured occupancy)."""
+    from nextsearch_tpu.ops.bm25_sparse import LIGHT_BUCKET_LOG2
+
+    monkeypatch.setenv("NEXTSEARCH_LIGHT_TABLE_BYTES", "2048")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    assert di._lb_log2 > LIGHT_BUCKET_LOG2
+    r = np.random.default_rng(49)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(16)
+    ]
+    check_parity(di, segs, queries)
