@@ -41,12 +41,14 @@ from jax import lax
 from ..ops.bm25_sparse import BUCKET_LOG2, LIGHT_BUCKET_LOG2
 
 
-def _expand_rows(row_starts, row_dfs, total_pad, oob_row, P, n_slots,
-                 post_doc):
+def _expand_rows(row_starts, row_dfs, row_ids, total_pad, oob_row, P,
+                 n_slots, post_doc):
     """Per-posting (row id, posting pos, doc, valid) for concatenated
-    per-row ranges [start_r, start_r + df_r), padded to total_pad.
-    Padding entries carry row id `oob_row` (out of bounds -> scatter
-    drops them)."""
+    per-ENTRY ranges [start_e, start_e + df_e), padded to total_pad.
+    row_ids maps each entry to its target row — entries may be
+    many-to-one (merged multi-segment dense rows scatter one entry per
+    (term, segment) occurrence into one shared row). Padding entries
+    carry row id `oob_row` (out of bounds -> scatter drops them)."""
     cum = jnp.cumsum(row_dfs)
     total = cum[-1]
     iota = lax.broadcasted_iota(jnp.int32, (total_pad,), 0)
@@ -56,7 +58,7 @@ def _expand_rows(row_starts, row_dfs, total_pad, oob_row, P, n_slots,
     pos = jnp.clip(row_starts[rown] + within, 0, max(P - 1, 0))
     valid = iota < total
     doc = jnp.clip(post_doc[pos], 0, n_slots - 1)
-    srow = jnp.where(valid, rown, oob_row)
+    srow = jnp.where(valid, row_ids[rown], oob_row)
     return srow, pos, doc, valid
 
 
@@ -68,6 +70,7 @@ def _build_buckets(
     post_doc,
     row_starts,
     row_dfs,
+    row_ids,
     *,
     n_rows_pad: int,
     n_slots: int,
@@ -78,7 +81,8 @@ def _build_buckets(
     nb = (n_slots + (1 << bucket_log2) - 1) >> bucket_log2
     P = post_doc.shape[0]
     srow, _pos, doc, _valid = _expand_rows(
-        row_starts, row_dfs, total_pad, n_rows_pad, P, n_slots, post_doc
+        row_starts, row_dfs, row_ids, total_pad, n_rows_pad, P, n_slots,
+        post_doc,
     )
     cnt = jnp.zeros((n_rows_pad, nb), jnp.int32)
     cnt = cnt.at[srow, doc >> bucket_log2].add(1, mode="drop")
@@ -96,8 +100,9 @@ def _build_buckets(
 def _scatter_dense_group(
     post_doc,
     post_score,
-    group_starts,  # int32 [g_rows] (df 0 rows are no-ops)
+    group_starts,  # int32 [g_ents] (df 0 entries are no-ops)
     group_dfs,
+    group_rows,  # int32 [g_ents] group-LOCAL target row per entry
     *,
     g_rows: int,
     n_slots: int,
@@ -112,7 +117,8 @@ def _scatter_dense_group(
     (ops/heavy_pallas.gather_rows_pallas)."""
     P = post_doc.shape[0]
     srow, pos, doc, valid = _expand_rows(
-        group_starts, group_dfs, total_pad, g_rows, P, n_slots, post_doc
+        group_starts, group_dfs, group_rows, total_pad, g_rows, P, n_slots,
+        post_doc,
     )
     score = jnp.where(valid, post_score[pos], jnp.float32(0.0))
     if three_d:
@@ -132,15 +138,19 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
-                          n_slots, bf16: bool, with_buckets: bool = True,
+def build_heavy_on_device(post_doc, post_score, starts, dfs, *, rows=None,
+                          n_rows_pad, n_slots, bf16: bool,
+                          with_buckets: bool = True,
                           three_d: bool = False):
     """Dense rows (+ heavy bucket table when with_buckets) on device.
 
-    starts/dfs: host int arrays, one entry per dense row (row id order).
-    Returns dense with >= n_rows_pad rows (rounded up to the group grid;
-    the extra rows are zero — the heavy kernel sizes its mix operand from
-    dense.shape[0], and the sentinel row id n_dense stays all-zero).
+    starts/dfs: host int arrays, one SCATTER ENTRY each. rows maps each
+    entry to its target dense row (ascending), many-to-one for merged
+    multi-segment rows (one entry per (term, segment) occurrence); None
+    means entry i targets row i. Returns dense with >= n_rows_pad rows
+    (rounded up to the group grid; the extra rows are zero — the heavy
+    kernel sizes its mix operand from dense.shape[0], and the sentinel
+    row id n_dense stays all-zero).
     """
     import numpy as np
 
@@ -158,35 +168,48 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, n_rows_pad,
             else None,
             0,
         )
+    if rows is None:
+        rows = np.arange(len(dfs), dtype=np.int64)
+    else:
+        rows = np.asarray(rows, np.int64)
+        assert (np.diff(rows) >= 0).all(), "entry rows must be ascending"
     total_pad = _round_pad(int(dfs.sum()))
     d_starts = jnp.asarray(starts, jnp.int32)
     d_dfs = jnp.asarray(dfs, jnp.int32)
 
     # Group grid: <=512 rows per scatter program keeps the f32-promoted,
     # padded scatter buffer ~2.5GB; every group reuses one compiled shape.
+    # Entries are sliced per group by their (ascending) target row and
+    # padded to one static per-group entry capacity.
     n_groups = max(1, -(-n_rows_pad // 512))
     g_rows = _round_up(-(-n_rows_pad // n_groups), 8)
-    gs = np.zeros(n_groups * g_rows, np.int64)
-    gd = np.zeros(n_groups * g_rows, np.int64)
-    gs[: len(starts)] = starts
-    gd[: len(dfs)] = dfs
-    parts = [
-        _scatter_dense_group(
-            post_doc, post_score,
-            jnp.asarray(gs[g * g_rows : (g + 1) * g_rows], jnp.int32),
-            jnp.asarray(gd[g * g_rows : (g + 1) * g_rows], jnp.int32),
-            g_rows=g_rows, n_slots=n_slots, total_pad=total_pad, dtype=dt,
-            three_d=three_d,
+    g_lo = np.searchsorted(rows, np.arange(n_groups + 1) * g_rows, "left")
+    e_cap = max(1, int(np.diff(g_lo).max()))
+    parts = []
+    for g in range(n_groups):
+        lo, hi = int(g_lo[g]), int(g_lo[g + 1])
+        gs = np.zeros(e_cap, np.int64)
+        gd = np.zeros(e_cap, np.int64)
+        gr = np.full(e_cap, g_rows, np.int64)  # pad -> oob, dropped
+        gs[: hi - lo] = starts[lo:hi]
+        gd[: hi - lo] = dfs[lo:hi]
+        gr[: hi - lo] = rows[lo:hi] - g * g_rows
+        parts.append(
+            _scatter_dense_group(
+                post_doc, post_score,
+                jnp.asarray(gs, jnp.int32), jnp.asarray(gd, jnp.int32),
+                jnp.asarray(gr, jnp.int32),
+                g_rows=g_rows, n_slots=n_slots, total_pad=total_pad,
+                dtype=dt, three_d=three_d,
+            )
         )
-        for g in range(n_groups)
-    ]
     dense = parts[0] if n_groups == 1 else jnp.concatenate(parts, axis=0)
     del parts
     bucket_pos = None
     occ = 0
     if with_buckets:
         bucket_pos, occ_dev = _build_buckets(
-            post_doc, d_starts, d_dfs,
+            post_doc, d_starts, d_dfs, jnp.asarray(rows, jnp.int32),
             n_rows_pad=n_rows_pad, n_slots=n_slots, total_pad=total_pad,
             bucket_log2=BUCKET_LOG2,
         )
@@ -207,6 +230,7 @@ def build_light_on_device(post_doc, starts, dfs, *, n_rows_pad, n_slots,
         post_doc,
         jnp.asarray(starts, jnp.int32),
         jnp.asarray(dfs, jnp.int32),
+        jnp.arange(len(dfs), dtype=jnp.int32),
         n_rows_pad=n_rows_pad,
         n_slots=n_slots,
         total_pad=_round_pad(int(dfs.sum())),

@@ -201,6 +201,12 @@ class DeviceIndex:
         self.config = config
         # Pinned static shapes (pin_shapes): {"T","Q","C","U"} -> int.
         self._pins: Dict[str, int] = {}
+        # Per-Q-envelope pins (pin_shapes(scope_q=True)): Q envelope ->
+        # {"T","C","U","W"}. A mixed-batch-size server (the batching queue
+        # emits whatever coalesced) pins each Q bucket to its own probed
+        # envelope instead of padding every 1-query request to the
+        # max-batch C/U/W — scoped pins win over the global ones.
+        self._qpins: Dict[int, Dict[str, int]] = {}
         self.segments = list(segments)
         self.seg_names = list(seg_names) if seg_names else [
             f"seg_{i + 1:06d}" for i in range(len(self.segments))
@@ -244,19 +250,47 @@ class DeviceIndex:
             else (1 << 62)
         )
 
+        # Merged heavy rows (multi-segment): classify heavy terms by
+        # GLOBAL df and scatter every segment's postings for the term into
+        # ONE dense row. Per-(term, segment) rows made a 4-segment 1M
+        # corpus cost ~4x the single-segment headline (4x term slots, 4x
+        # dense rows/matmul FLOPs, and — worst — the dense threshold
+        # applied to PER-SEGMENT df, reclassifying Zipf mid-df terms as
+        # light and quintupling the chunk budget; EVAL config 3 measured
+        # 1,019 vs 10,453 QPS). Bit-exact: a doc lives in exactly ONE
+        # segment, query weights are per-term, and the other segments
+        # contribute literal +0.0f at its slot, which f32 addition drops
+        # (scores are never -0.0). Requires the direct heavy rescore
+        # (exact_rescore_v3 reads scores off the merged row); the bf16-
+        # rows opt-in keeps per-(term, segment) rows because its v2
+        # rescore binary-searches one contiguous posting range per slot.
+        self._sparse = dcfg.mode == "sparse"
+        self._heavy_direct = not dcfg.dense_rows_bf16
+        self._merged_heavy = (
+            self._sparse
+            and self._heavy_direct
+            and len(self.segments) > 1
+        )
+
         self.lex: List[Dict[str, Tuple[int, int, int]]] = []
         post_doc_parts: List[np.ndarray] = []
         post_score_parts: List[np.ndarray] = []
         heavy: List[Tuple[int, int, int, int]] = []  # (df, seg_idx, term_i, start)
+        gdf: Dict[str, int] = {}  # global df per term (merged mode)
+        self._seg_pbase: List[int] = []  # global posting base per segment
         pbase = 0
         for seg_i, (seg, dbase) in enumerate(zip(self.segments, self.doc_bases)):
+            self._seg_pbase.append(pbase)
             lex: Dict[str, Tuple[int, int, int]] = {}
             offs = seg.term_offsets
             for i, t in enumerate(seg.terms):
                 df = int(seg.term_df[i])
                 start = pbase + int(offs[i])
                 lex[t] = (start, df, -1)
-                if df >= self.dense_threshold:
+                if self._merged_heavy:
+                    if df > 0:
+                        gdf[t] = gdf.get(t, 0) + df
+                elif df >= self.dense_threshold:
                     heavy.append((df, seg_i, i, start))
             self.lex.append(lex)
             post_doc_parts.append(seg.post_doc.astype(np.int64) + dbase)
@@ -268,7 +302,6 @@ class DeviceIndex:
         self.n_postings = pbase
 
         # Highest-df terms win the capped dense-row budget.
-        heavy.sort(reverse=True)
         row_bytes = (2 if dcfg.dense_rows_bf16 else 4) * self.n_slots
         row_cap = min(
             dcfg.dense_max_rows,
@@ -277,12 +310,30 @@ class DeviceIndex:
         # Over-threshold terms dropped by the row cap stay light; they get
         # light bucket rows like any other light term, so the measured
         # bucket occupancy (_bs_depth) covers them automatically.
-        heavy = heavy[:row_cap]
-        self.n_dense = len(heavy)
+        # heavy_entries: (row_id, seg_i, term_i) scatter units — one per
+        # (heavy term, segment) occurrence, many-to-one onto merged rows.
+        self._gdf: Dict[str, int] = {}
+        if self._merged_heavy:
+            heavy_terms = sorted(
+                ((d, t) for t, d in gdf.items() if d >= self.dense_threshold),
+                reverse=True,
+            )[:row_cap]
+            self.n_dense = len(heavy_terms)
+            self._gdf = {t: d for d, t in heavy_terms}
+            heavy_entries: List[Tuple[int, int, int]] = []
+            for row_id, (_d, t) in enumerate(heavy_terms):
+                for seg_i, seg in enumerate(self.segments):
+                    v = self.lex[seg_i].get(t)
+                    if v is not None and v[1] > 0:
+                        heavy_entries.append((row_id, seg_i, t))
+                        self.lex[seg_i][t] = (v[0], v[1], row_id)
+        else:
+            heavy.sort(reverse=True)
+            heavy = heavy[:row_cap]
+            self.n_dense = len(heavy)
         # Rows padded to a multiple of 8 past the zero row: MXU-aligned
         # operand for the fused heavy kernel (ops/heavy_pallas.py).
         nd1_pad = _round_up(self.n_dense + 1, 8)
-        self._sparse = dcfg.mode == "sparse"
         # Sparse mode finalizes the dense rows + bucket tables ON DEVICE
         # (index/device_build.py): they are pure functions of the posting
         # arrays, and scattering ~30M updates on device beats materializing
@@ -310,7 +361,6 @@ class DeviceIndex:
         # f32 rows the rescore reads a candidate's exact heavy score
         # straight off the dense table (exact_rescore_v3), so the ~1GB
         # heavy table would be dead weight.
-        self._heavy_direct = not dcfg.dense_rows_bf16
         nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
         bucket_host = (
             np.zeros((nd1_pad, nb + 1), np.int32)
@@ -320,28 +370,40 @@ class DeviceIndex:
         )
         bounds = (np.arange(nb + 1, dtype=np.int64) << BUCKET_LOG2)
         heavy_max_occ = 0
-        for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
-            seg = self.segments[seg_i]
+        if self._merged_heavy:
+            # bucket_host is None by construction (merged requires
+            # _heavy_direct); only the dense scatter runs host-side.
             if not host_only and not device_build:
-                lo = int(seg.term_offsets[term_i])
-                hi = int(seg.term_offsets[term_i + 1])
-                score = post_score_parts[seg_i]
-                docs = (
-                    seg.post_doc[lo:hi].astype(np.int64)
-                    + self.doc_bases[seg_i]
-                )
-                dense_host[row_id, docs] = score[lo:hi]
-                if bucket_host is not None:
-                    row = np.searchsorted(docs, bounds, side="left").astype(
-                        np.int32
+                for row_id, seg_i, t in heavy_entries:
+                    start_g, dfv, _r = self.lex[seg_i][t]
+                    lo = start_g - self._seg_pbase[seg_i]
+                    docs = post_doc_parts[seg_i][lo : lo + dfv]
+                    dense_host[row_id, docs] = post_score_parts[seg_i][
+                        lo : lo + dfv
+                    ]
+        else:
+            for row_id, (df, seg_i, term_i, _start) in enumerate(heavy):
+                seg = self.segments[seg_i]
+                if not host_only and not device_build:
+                    lo = int(seg.term_offsets[term_i])
+                    hi = int(seg.term_offsets[term_i + 1])
+                    score = post_score_parts[seg_i]
+                    docs = (
+                        seg.post_doc[lo:hi].astype(np.int64)
+                        + self.doc_bases[seg_i]
                     )
-                    bucket_host[row_id] = row
-                    heavy_max_occ = max(
-                        heavy_max_occ, int(np.diff(row).max())
-                    )
-            term = seg.terms[term_i]
-            start, dfv, _ = self.lex[seg_i][term]
-            self.lex[seg_i][term] = (start, dfv, row_id)
+                    dense_host[row_id, docs] = score[lo:hi]
+                    if bucket_host is not None:
+                        row = np.searchsorted(
+                            docs, bounds, side="left"
+                        ).astype(np.int32)
+                        bucket_host[row_id] = row
+                        heavy_max_occ = max(
+                            heavy_max_occ, int(np.diff(row).max())
+                        )
+                term = seg.terms[term_i]
+                start, dfv, _ = self.lex[seg_i][term]
+                self.lex[seg_i][term] = (start, dfv, row_id)
         # Light bucket-position table: one row per light (term, segment)
         # lexicon entry, giving the first-posting offset (relative to the
         # entry's posting start) of every 2^LIGHT_BUCKET_LOG2-doc-slot
@@ -364,7 +426,7 @@ class DeviceIndex:
         if self._sparse and not host_only:
             n_light_est = sum(
                 int((seg.term_df > 0).sum()) for seg in self.segments
-            ) - self.n_dense
+            ) - (len(heavy_entries) if self._merged_heavy else self.n_dense)
             budget = int(
                 os.environ.get("NEXTSEARCH_LIGHT_TABLE_BYTES", 2 << 30)
             )
@@ -463,11 +525,28 @@ class DeviceIndex:
                 build_light_on_device,
             )
 
-            h_starts = np.asarray([h[3] for h in heavy], np.int64)
-            h_dfs = np.asarray([h[0] for h in heavy], np.int64)
+            if self._merged_heavy:
+                # one scatter entry per (heavy term, segment) occurrence,
+                # many-to-one onto merged rows
+                h_starts = np.asarray(
+                    [self.lex[s][t][0] for _r, s, t in heavy_entries],
+                    np.int64,
+                )
+                h_dfs = np.asarray(
+                    [self.lex[s][t][1] for _r, s, t in heavy_entries],
+                    np.int64,
+                )
+                h_rows = np.asarray(
+                    [r for r, _s, _t in heavy_entries], np.int64
+                )
+            else:
+                h_starts = np.asarray([h[3] for h in heavy], np.int64)
+                h_dfs = np.asarray([h[0] for h in heavy], np.int64)
+                h_rows = None
             self.dense_rows, self.bucket_pos, heavy_max_occ = (
                 build_heavy_on_device(
                     self.post_doc, self.post_score, h_starts, h_dfs,
+                    rows=h_rows,
                     n_rows_pad=nd1_pad, n_slots=self.n_slots,
                     bf16=dcfg.dense_rows_bf16,
                     with_buckets=self._sparse and not self._heavy_direct,
@@ -532,6 +611,7 @@ class DeviceIndex:
         from ..utils.floatops import logf_exact
 
         light_maps = getattr(self, "_light_row", None)
+        merged = getattr(self, "_merged_heavy", False)
         occ: Dict[str, List[Tuple[int, int, int, int, int, int]]] = {}
         for seg_i, lex in enumerate(self.lex):
             seg = self.segments[seg_i]
@@ -549,6 +629,17 @@ class DeviceIndex:
                 idf_bits = idf.view(np.uint32)
                 nl = getattr(self, "n_light", 0)
                 for (t, v), ib in zip(items, idf_bits):
+                    if merged and v[2] >= 0:
+                        # merged dense row: ONE planning slot per heavy
+                        # term across all segments (df = global df; the
+                        # posting start is meaningless and unused — the
+                        # direct rescore reads scores off the row)
+                        if t not in occ:
+                            occ[t] = [
+                                (0, self._gdf[t], v[2], int(ib),
+                                 avgdl_bits, nl)
+                            ]
+                        continue
                     occ.setdefault(t, []).append(
                         (v[0], v[1], v[2], int(ib), avgdl_bits,
                          lmap.get(t, nl))
@@ -626,6 +717,7 @@ class DeviceIndex:
         W: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
+        scope_q: bool = False,
     ) -> Dict[str, int]:
         """Freeze the batch-varying static kernel shapes for serving.
 
@@ -638,7 +730,30 @@ class DeviceIndex:
         probe_workload) and/or explicit keyword pins, which win. Returns
         the active pin dict. Replaces the ad-hoc probe-then-pin dances
         bench.py / benchmarks/eval_configs.py used to hand-roll.
+
+        scope_q=True pins {C, U, W} for the probe's Q ENVELOPE only (the
+        Q bucket those batches compile under), leaving other batch sizes
+        on their own scopes/ladders. A server whose batching queue emits
+        mixed sizes calls this once per expected size (see Engine.warmup)
+        so a 1-query request neither pads to the max-batch C/U/W envelope
+        nor flaps the big batches' shapes. T is NOT scoped: a probe that
+        under-represents term counts (e.g. before semantic expansion)
+        would seed more escape shapes than the bounded T ladder. Scoped
+        pins win over global ones; requires probe_batches.
         """
+        if scope_q:
+            if probe_batches is None:
+                raise ValueError("scope_q=True requires probe_batches")
+            m = self.probe_workload(probe_batches)
+            qb = _pick_shape(m["Q"], self.Q_BUCKETS, self._pins.get("Q"))
+            scope = self._qpins.setdefault(qb, {})
+            for k, v in (
+                ("C", C or _round_up(m["C"], c_pad)),
+                ("U", U or _round_up(m["U"] + 1, u_pad)),
+                ("W", W or _bucket(m["W"], self.W_BUCKETS)),
+            ):
+                scope[k] = int(v)
+            return {qb: dict(scope)}
         if probe_batches is not None:
             m = self.probe_workload(probe_batches)
             T = T or _bucket(m["T"], self.T_BUCKETS)
@@ -650,6 +765,15 @@ class DeviceIndex:
             if v:
                 self._pins[k] = int(v)
         return dict(self._pins)
+
+    def _pin(self, key: str, qb: Optional[int] = None) -> Optional[int]:
+        """Effective pin for `key`: the Q-scoped pin for this batch's Q
+        envelope (pin_shapes(scope_q=True)) wins over the global pin."""
+        if qb is not None:
+            v = self._qpins.get(qb, {}).get(key)
+            if v:
+                return v
+        return self._pins.get(key)
 
     # ---------------- query planning ----------------
 
@@ -674,10 +798,10 @@ class DeviceIndex:
         q_rows, q_ws = _probe_queries(self._lex_slices, queries)
         t_max = max((r.shape[0] for r in q_rows), default=0)
 
-        T = _pick_shape(t_max, self.T_BUCKETS, self._pins.get("T"), "T")
         Qb = _pick_shape(
             len(queries), self.Q_BUCKETS, self._pins.get("Q"), "Q"
         )
+        T = _pick_shape(t_max, self.T_BUCKETS, self._pin("T", Qb), "T")
 
         starts = np.zeros((Qb, T), np.int32)
         dfs = np.zeros((Qb, T), np.int32)
@@ -714,7 +838,7 @@ class DeviceIndex:
             inv = _EMPTY_I64
             n_uniq = 0
         hb = self.config.device.heavy_buckets
-        U = _pick_shape(n_uniq, hb, self._pins.get("U"), "U")
+        U = _pick_shape(n_uniq, hb, self._pin("U", Qb), "U")
         unique_heavy = np.full(U, self.n_dense, np.int32)  # pad -> zero row
         heavy_mix = np.zeros((Qb, U), np.float32)
         if n_uniq:
@@ -756,12 +880,12 @@ class DeviceIndex:
         )
         t_max = int(q_lens.max()) if q_lens.size else 0
 
-        T = _pick_shape(
-            t_max, self.T_BUCKETS, t_override or self._pins.get("T"), "T"
-        )
         Qb = _pick_shape(
             len(queries), self.Q_BUCKETS,
             q_override or self._pins.get("Q"), "Q",
+        )
+        T = _pick_shape(
+            t_max, self.T_BUCKETS, t_override or self._pin("T", Qb), "T"
         )
         plan_ints = np.zeros((7, Qb, T), np.int32)
         plan_ints[2] += np.int32(self.n_dense)  # default: light/padding
@@ -807,7 +931,7 @@ class DeviceIndex:
             inv = _EMPTY_I64
             n_uniq = 0
         hb = self.config.device.heavy_buckets
-        U = _pick_shape(n_uniq, hb, self._pins.get("U"), "U")
+        U = _pick_shape(n_uniq, hb, self._pin("U", Qb), "U")
         plan_ints[4] = np.int32(U)  # default: light/padding -> zero row
         if n_uniq:
             plan_ints[4, qi_flat[hm], ti_flat[hm]] = inv
@@ -830,7 +954,7 @@ class DeviceIndex:
         """
         n = len(queries)
         gn = -(-n // g)
-        t_ov = self._pins.get("T")
+        t_ov = self._pin("T", g)
         while True:
             plans = []
             us = []
@@ -1165,7 +1289,7 @@ class DeviceIndex:
         total = int(np.sum((dfs.astype(np.int64) + block - 1) // block))
         return _pick_shape(
             total, self.config.device.chunk_buckets,
-            self._pins.get("C"), "C",
+            self._pin("C", int(dfs.shape[0])), "C",
         )
 
     def _host_rescue_row(self, out, j, queries, K):
@@ -1222,7 +1346,8 @@ class DeviceIndex:
             return 0
         w = int(light_dfs.astype(np.int64).sum(axis=-1).max(initial=0))
         return _pick_shape(
-            max(w, 1), self.W_BUCKETS, self._pins.get("W"), "W"
+            max(w, 1), self.W_BUCKETS,
+            self._pin("W", int(light_dfs.shape[-2])), "W",
         )
 
     def _chunk_plan(self, starts, dfs, weights, block):
@@ -1239,7 +1364,7 @@ class DeviceIndex:
 
         C = _pick_shape(
             total, self.config.device.chunk_buckets,
-            self._pins.get("C"), "C",
+            self._pin("C", Qb), "C",
         )
 
         chunk_start = np.zeros(C, np.int32)

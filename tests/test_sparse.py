@@ -612,3 +612,76 @@ def test_adaptive_light_buckets_parity(segs, monkeypatch):
         for _ in range(16)
     ]
     check_parity(di, segs, queries)
+
+
+def test_merged_heavy_rows_multi_segment(segs):
+    """Multi-segment sparse mode merges each heavy term's per-segment
+    postings into ONE global dense row (classification by GLOBAL df):
+    one planning slot and one matmul row per heavy term, not per
+    (term, segment) — the EVAL config-3 fix. Bit-exact because a doc
+    lives in exactly one segment and the other segments contribute
+    literal +0.0f at its slot."""
+    di = make_index(segs, dense_ratio=0.02, unified=False)
+    assert di._merged_heavy
+    # global classification: n_dense counts TERMS, every segment of a
+    # heavy term shares its row id
+    heavy_terms = {
+        t for lex in di.lex for t, v in lex.items() if v[2] >= 0
+    }
+    assert di.n_dense == len(heavy_terms) > 0
+    for t in heavy_terms:
+        rows = {lex[t][2] for lex in di.lex if t in lex and lex[t][1] > 0}
+        assert len(rows) == 1
+        # ONE planning slot for the term (the merged table row)
+        off, cnt = di._lex_slices[t]
+        assert cnt == 1
+        assert di._lex_table[off, 1] == sum(
+            lex[t][1] for lex in di.lex if t in lex
+        )
+
+    # a term heavy GLOBALLY but light per segment must be dense
+    per_seg_max = max(
+        max((lex[t][1] for lex in di.lex if t in lex), default=0)
+        for t in heavy_terms
+    )
+    straddlers = [
+        t for t in heavy_terms
+        if all(
+            lex[t][1] < di.dense_threshold for lex in di.lex if t in lex
+        )
+    ]
+    assert straddlers, (
+        "fixture lost its straddling terms (per-seg df < threshold <= "
+        f"global df); per-seg max {per_seg_max}"
+    )
+
+    r = np.random.default_rng(51)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [[(t, 1.0)] for t in list(straddlers)[:4]] + [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(16)
+    ]
+    check_parity(di, segs, queries)
+
+
+def test_merged_heavy_device_build_matches_host(segs, monkeypatch):
+    """Merged (many-to-one) dense-row scatter: device finalization must
+    equal the host scatter bit-for-bit."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "1")
+    di_dev = make_index(segs, dense_ratio=0.02, unified=False)
+    monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "0")
+    di_host = make_index(segs, dense_ratio=0.02, unified=False)
+    assert di_dev._merged_heavy and di_host._merged_heavy
+    assert di_dev.n_dense == di_host.n_dense
+    nd = di_dev.n_dense
+    a = np.asarray(di_dev.dense_rows[: nd + 1], np.float32)
+    b = np.asarray(di_host.dense_rows[: nd + 1], np.float32)
+    assert (a == b).all()
+    assert np.asarray(
+        jnp.equal(
+            di_dev.light_bucket_pos, di_host.light_bucket_pos
+        ).all()
+    )
