@@ -189,13 +189,29 @@ class Engine:
             if n_queries
             else sorted({1, 8, self.config.batching.max_batch})
         )
+
+        def _mk_batch(nq: int):
+            return [
+                [(rng.choice(terms), 1.0) for _ in range(rng.randint(1, 4))]
+                for _ in range(nq)
+            ]
+
+        # Freeze the batch-varying kernel shapes (C/U/W/T) PER BATCH-SIZE
+        # envelope before compiling: serving then hits exactly the warmed
+        # shapes instead of flapping buckets as the query mix drifts (the
+        # recompile failure class CLAUDE.md forbids — measured at 141 QPS
+        # when it happens). Scoped pins keep small interactive batches on
+        # their own small envelopes; overflow escapes stay bounded and
+        # loud (_pick_shape). One probe is 16 host-side lexicon scans.
+        if hasattr(self.index, "pin_shapes"):
+            for nq in sizes:
+                pins = self.index.pin_shapes(
+                    [_mk_batch(nq) for _ in range(16)], scope_q=True
+                )
+                log("warmup", f"pinned shapes {pins}")
         for k in k_values:
             for nq in sizes:
-                queries = [
-                    [(rng.choice(terms), 1.0) for _ in range(rng.randint(1, 4))]
-                    for _ in range(nq)
-                ]
-                self.index.search_batch(queries, k=k)
+                self.index.search_batch(_mk_batch(nq), k=k)
                 launches += 1
         log("warmup", f"compiled {launches} kernel shape(s)")
         return launches

@@ -530,6 +530,9 @@ class ShardedIndex:
         self._fns = {}
         # Pinned static shapes (pin_shapes): {"T","Q","C","U"} -> int.
         self._pins = {}
+        # Per-Q-envelope pins (pin_shapes(scope_q=True)): Qb -> {T,C,U};
+        # same contract as DeviceIndex._qpins (scoped pins win).
+        self._qpins = {}
         self._build_merged_lex()
 
     def _build_merged_lex(self) -> None:
@@ -635,10 +638,10 @@ class ShardedIndex:
         slot[order] = np.arange(ks.shape[0]) - grp_start
 
         t_max = int(slot.max()) + 1 if slot.shape[0] else 1
-        T = _pick_shape(t_max, self.T_BUCKETS, self._pins.get("T"), "T")
         Qb = _round_up(max(len(queries), 1), self.dp)
         if self._pins.get("Q"):
             Qb = _round_up(max(Qb, 1), self._pins["Q"])
+        T = _pick_shape(t_max, self.T_BUCKETS, self._pin("T", Qb), "T")
         # Occurrences past T slots are dropped (same truncation the
         # loop planner applied).
         keep = slot < T
@@ -691,7 +694,7 @@ class ShardedIndex:
             u_max = int(u_slot.max()) + 1
         else:
             u_max = 0
-        U = _pick_shape(u_max, hb, self._pins.get("U"), "U")
+        U = _pick_shape(u_max, hb, self._pin("U", Qb), "U")
         unique_heavy = np.full((S, self.dp, U), self.n_dense, np.int32)
         heavy_mix = np.zeros((S, self.dp, Qd, U), np.float32)
         if h_id.shape[0]:
@@ -741,7 +744,7 @@ class ShardedIndex:
         total_max = max(int(reps.max(initial=0)), 1)
         return _pick_shape(
             total_max, self.config.device.chunk_buckets,
-            self._pins.get("C"), "C",
+            self._pin("C", Qb), "C",
         )
 
     def pin_shapes(
@@ -754,11 +757,13 @@ class ShardedIndex:
         U: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
+        scope_q: bool = False,
     ):
         """Freeze batch-varying static kernel shapes (same contract as
         DeviceIndex.pin_shapes; see index/segment.py). Probe sizes are
         measured per (shard, dp-group) — the units the shard_map blocks
-        actually compile over."""
+        actually compile over. scope_q=True pins {T, C, U} for the probe's
+        Q envelope only (scoped pins win; see DeviceIndex.pin_shapes)."""
         if probe_batches is not None:
             block = self.config.device.posting_block
             sparse = self.config.device.mode == "sparse"
@@ -774,14 +779,38 @@ class ShardedIndex:
                     t = max(t, s.shape[2])
                     c = max(c, self._chunk_budget(light_dfs, block))
                     u = max(u, uh.shape[2])
+            if scope_q:
+                # C/U only — T stays on its bounded ladder (see
+                # DeviceIndex.pin_shapes on why scoped T pins backfire).
+                qb = _round_up(max(q, 1), self.dp)
+                if self._pins.get("Q"):
+                    qb = _round_up(qb, self._pins["Q"])
+                scope = self._qpins.setdefault(qb, {})
+                for k, v in (
+                    ("C", C or _round_up(c, c_pad)),
+                    ("U", U or _round_up(u + 1, u_pad)),
+                ):
+                    scope[k] = int(v)
+                return {qb: dict(scope)}
             T = T or _bucket(t, self.T_BUCKETS)
             Q = Q or _round_up(q, self.dp)
             C = C or _round_up(c, c_pad)
             U = U or _round_up(u + 1, u_pad)
+        elif scope_q:
+            raise ValueError("scope_q=True requires probe_batches")
         for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U)):
             if v:
                 self._pins[k] = int(v)
         return dict(self._pins)
+
+    def _pin(self, key, qb=None):
+        """Effective pin for `key`: the Q-scoped pin for this batch's Q
+        envelope wins over the global pin (DeviceIndex._pin contract)."""
+        if qb is not None:
+            v = self._qpins.get(qb, {}).get(key)
+            if v:
+                return v
+        return self._pins.get(key)
 
     # ---------------- execution ----------------
 

@@ -112,6 +112,93 @@ def test_fused_plan_honors_pins(sparse_index):
     assert len(shapes) == 1, shapes
 
 
+def test_scoped_pins_per_batch_size(sparse_index):
+    """pin_shapes(scope_q=True) freezes C/U/W per Q envelope: batches in
+    one Q bucket share ONE shape, while other Q buckets keep their own
+    envelopes (a 1-query request must not pad to the max-batch C)."""
+    di = sparse_index
+    rng = np.random.default_rng(5)
+    # tmax=4 keeps T inside its first ladder bucket: T is deliberately
+    # NOT scoped (see pin_shapes), so the probe must not straddle it.
+    small = di.pin_shapes(
+        [_queries(rng, 48, 8, tmax=4) for _ in range(4)], scope_q=True
+    )
+    big = di.pin_shapes(
+        [_queries(rng, 48, 16, tmax=4) for _ in range(4)], scope_q=True
+    )
+    (qb_small,) = small.keys()
+    (qb_big,) = big.keys()
+    assert qb_small < qb_big
+    assert set(small[qb_small]) == {"C", "U", "W"}
+
+    shapes_small = {
+        _sparse_static_shapes(di, _queries(rng, 48, n, tmax=4))
+        for n in (2, 5, 8)
+    }
+    shapes_big = {
+        _sparse_static_shapes(di, _queries(rng, 48, n, tmax=4))
+        for n in (9, 13, 16)
+    }
+    assert len(shapes_small) == 1, shapes_small
+    assert len(shapes_big) == 1, shapes_big
+    # the small scope really is smaller work: its C envelope must not
+    # inherit the big batch's chunk budget
+    (qs, _ts, cs, _us) = next(iter(shapes_small))
+    (qbig, _tb, cb, _ub) = next(iter(shapes_big))
+    assert qs == qb_small and qbig == qb_big
+    assert cs <= cb
+    di._qpins.clear()
+
+
+def test_scoped_pin_beats_global(sparse_index):
+    di = sparse_index
+    rng = np.random.default_rng(6)
+    di.pin_shapes(C=4096, U=64)  # global
+    di.pin_shapes([_queries(rng, 48, 4) for _ in range(4)], scope_q=True)
+    qb = next(iter(di._qpins))
+    scoped_c = di._qpins[qb]["C"]
+    assert scoped_c < 4096
+    _q, _t, C, _u = _sparse_static_shapes(di, _queries(rng, 48, 4))
+    assert C == scoped_c  # scoped pin wins inside its envelope
+    # outside the scoped envelope the global pin still applies
+    _q2, _t2, C2, _u2 = _sparse_static_shapes(di, _queries(rng, 48, 16))
+    assert C2 == 4096
+    di._pins.clear()
+    di._qpins.clear()
+
+
+def test_engine_warmup_pins_scopes(tmp_path, monkeypatch):
+    from nextsearch_tpu.engine import Engine
+    from nextsearch_tpu.index.segmentio import save_manifest, write_segment
+
+    d = tmp_path / "index"
+    (d / "segments").mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    docs = [
+        {
+            "cord_uid": f"d{i}",
+            "tokens": [f"w{t:03d}" for t in rng.integers(0, 48, size=12)],
+        }
+        for i in range(200)
+    ]
+    from nextsearch_tpu.index.builder import build_segment_arrays
+
+    write_segment(build_segment_arrays(docs), d / "segments" / "seg_000001")
+    save_manifest(d / "manifest.bin", ["seg_000001"])
+    monkeypatch.chdir(tmp_path)
+    eng = Engine(d, cache_dir=tmp_path)
+    assert eng.reload()
+    assert eng.warmup(k_values=(10,)) > 0
+    # warmup pinned one scope per distinct warmup Q envelope
+    from nextsearch_tpu.index.segment import _bucket as _b
+
+    sizes = sorted({1, 8, eng.config.batching.max_batch})
+    expected = {_b(s, eng.index.Q_BUCKETS) for s in sizes}
+    assert set(eng.index._qpins) == expected
+    for scope in eng.index._qpins.values():
+        assert "C" in scope and "U" in scope
+
+
 def test_sharded_pin_shapes():
     import jax
 
