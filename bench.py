@@ -210,6 +210,7 @@ def main():
         group = min(batch, cfg0.device.launch_group or batch)
         max_live = 1
         max_w = 1
+        max_l = 1
         for b in batches:
             for gi in range(0, len(b), group):
                 _s, _d, _w, light_dfs, _u, _m = di.plan_full(
@@ -223,9 +224,10 @@ def main():
                     max_w,
                     int(light_dfs.astype(np.int64).sum(axis=1).max(initial=0)),
                 )
+                max_l = max(max_l, int((light_dfs > 0).sum()))
         chunks = ((max_live + 127) // 128) * 128  # tight static budget
         print(f"[bench] max live chunks {max_live} -> budget {chunks} "
-              f"(max query window {max_w})",
+              f"(max query window {max_w}, max light pairs {max_l})",
               file=sys.stderr)
     cfg = EngineConfig(
         device=DeviceConfig(
@@ -240,11 +242,14 @@ def main():
     print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
     if not chunks_env:
-        # Pin the selection window to the probed workload max so W cannot
-        # flap across batches mid-measurement (same failure class as C/U).
+        # Pin the selection window and the compact light-pair block to the
+        # probed workload max so W/L cannot flap across batches
+        # mid-measurement (same failure class as C/U).
         from nextsearch_tpu.index.segment import _bucket
 
-        pins = di.pin_shapes(W=_bucket(max_w, di.W_BUCKETS))
+        pins = di.pin_shapes(
+            W=_bucket(max_w, di.W_BUCKETS), L=_bucket(max_l, di.L_BUCKETS)
+        )
         print(f"[bench] pins: {pins}", file=sys.stderr)
     depth = int(
         os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 3 if batch >= 2048 else 8)

@@ -92,6 +92,17 @@ class DeviceConfig:
     dense_max_bytes: int = 2 << 30
     # Unique-heavy-row buckets per batch (static matmul shapes).
     heavy_buckets: Tuple[int, ...] = (8, 32, 128, 256)
+    # Precomputed exact top-k per head dense row (sparse + f32 rows): a
+    # single-heavy-term query's top-k is a pure function of its row, so
+    # the engine answers those queries host-side from this table — zero
+    # device work, zero fast-path guard trips. Trips otherwise cluster on
+    # df~N terms whose 10th..K2th scores sit inside the bf16 selection
+    # error band, where the guard provably cannot pass (measured: every
+    # EVAL config-3 trip was the rank-1 Zipf term as a 1-term query).
+    # Only the top `row_topk_rows` rows (df-descending) pay the build-time
+    # sort; 0 disables either way.
+    row_topk_k: int = 128
+    row_topk_rows: int = 256
     # bf16 dense score accumulation: halves [Q, n_slots] traffic. Reported
     # scores stay bit-exact (f32 rescore) and `found` stays exact; only the
     # K2-candidate preselection sees ~0.4% relative noise (guarded by the

@@ -217,6 +217,49 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, rows=None,
     return dense, bucket_pos, occ
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_slots"))
+def _row_topk_group(rows3, *, k: int, n_slots: int):
+    """Exact canonical top-k per dense row: full 2-key sort by
+    (score desc, slot asc) — lax.top_k's tie rule is unspecified on this
+    backend, and the stored prefix must reproduce the engine's canonical
+    result order bit-for-bit."""
+    g = rows3.shape[0]
+    rows = rows3.reshape(g, n_slots)
+    neg = -rows
+    iota = lax.broadcasted_iota(jnp.int32, (g, n_slots), 1)
+    sneg, sidx = lax.sort((neg, iota), dimension=1, num_keys=2)
+    return -sneg[:, :k], sidx[:, :k]
+
+
+def build_row_topk_on_device(dense_rows3, n_rows: int, *, k: int,
+                             n_slots: int, group: int = 64):
+    """Host (vals f32 [n_rows, k], slots int32 [n_rows, k]) for the first
+    n_rows of the 3D dense table, each row's exact canonical top-k.
+
+    Row i of the table is the i-th highest-df heavy term (build order),
+    so callers cap n_rows to the df head — the full per-row sort is the
+    build-time cost bound."""
+    import numpy as np
+
+    if n_rows <= 0 or k <= 0:
+        return (
+            np.zeros((0, max(k, 1)), np.float32),
+            np.zeros((0, max(k, 1)), np.int32),
+        )
+    vals = []
+    slots = []
+    group = min(group, dense_rows3.shape[0])
+    for lo in range(0, n_rows, group):
+        hi = min(lo + group, n_rows)
+        g = hi - lo
+        blk = lax.dynamic_slice_in_dim(dense_rows3, lo, group, axis=0)
+        v, s = _row_topk_group(blk, k=k, n_slots=n_slots)
+        vals.append(v[:g])
+        slots.append(s[:g])
+    v, s = jax.device_get((jnp.concatenate(vals), jnp.concatenate(slots)))
+    return np.asarray(v, np.float32), np.asarray(s, np.int32)
+
+
 def build_light_on_device(post_doc, starts, dfs, *, n_rows_pad, n_slots,
                           bucket_log2=LIGHT_BUCKET_LOG2):
     """Light bucket-position table on device (no dense materialization).

@@ -172,6 +172,9 @@ class DeviceIndex:
     T_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
     Q_BUCKETS = (1, 8, 16, 32, 64, 128)
     K_BUCKETS = (10, 32, 100)
+    # Static compact light-pair count for the v4 rescore (live light
+    # (query, slot) pairs per launch; pinned like C).
+    L_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
     # Selection-window envelope (ops/select_pallas.py): max entries of one
     # query's contiguous run of the flat light array = that query's summed
     # light dfs. Scan volume scales with the bucket, so serving pins it to
@@ -575,6 +578,7 @@ class DeviceIndex:
                 2,
                 int(max(heavy_max_occ, light_max_occ, 1)).bit_length(),
             )
+            self._build_row_topk()
             self._build_merged_lex()
             return
         if dcfg.dense_rows_bf16:
@@ -592,7 +596,92 @@ class DeviceIndex:
         self.light_bucket_pos = (
             put(light_host) if light_host is not None else None
         )
+        self._build_row_topk()
         self._build_merged_lex()
+
+    def _build_row_topk(self) -> None:
+        """Precompute exact canonical top-k for the df-head dense rows.
+
+        A 1-term query on a heavy term is a pure function of its (merged)
+        dense row, so search_batch answers it from this host table — zero
+        device work and zero fast-path guard trips (df~N terms' 10th..K2th
+        scores sit inside the bf16 selection error band, where the guard
+        provably cannot pass; measured: every EVAL config-3 trip was the
+        rank-1 Zipf term as a 1-term query). Rows are df-descending by
+        build order, so the first `row_topk_rows` rows are the query-mass
+        head; other single-term queries keep the kernel path."""
+        dcfg = self.config.device
+        self._row_topk = None
+        if not (self._sparse and self._heavy_direct) or self.host_only:
+            return
+        n = min(self.n_dense, dcfg.row_topk_rows)
+        k = min(dcfg.row_topk_k, self.n_slots)
+        if n <= 0 or k <= 0:
+            return
+        from .device_build import build_row_topk_on_device
+
+        vals, slots = build_row_topk_on_device(
+            self.dense_rows, n, k=k, n_slots=self.n_slots
+        )
+        self._row_topk = (vals, slots)
+
+    def _shortcut_single_heavy(self, queries, k: int):
+        """Answer 1-term head-heavy queries from the precomputed row-topk.
+
+        Returns (queries, fills): shortcut queries are replaced with []
+        (their plan slots empty out; the batch envelope is unchanged so
+        no shape flap) and fills maps their ORIGINAL batch index to the
+        finished QueryResult, applied after gather un-permutes. Exact:
+        the reference accumulates score = w * eager_score once per doc
+        for a 1-term query, and the stored prefix is already canonical
+        (score desc, slot asc); w != 1 re-sorts after the multiply and
+        must keep the k-th value strictly above the stored tail (else a
+        doc outside the prefix could tie in — fall back to the kernel).
+        Duplicate-term queries accumulate twice and never shortcut.
+        """
+        if self._row_topk is None:
+            return queries, None
+        vals_t, slots_t = self._row_topk
+        kp = vals_t.shape[1]
+        if k > kp:
+            return queries, None
+        fills = {}
+        out = None
+        for qi, terms in enumerate(queries):
+            if len(terms) != 1:
+                continue
+            t, w = terms[0]
+            w32 = np.float32(w)
+            if not (w32 > 0) or not np.isfinite(w32):
+                continue
+            oc = self._lex_slices.get(t)
+            if oc is None or oc[1] != 1:
+                continue
+            ent = self._lex_table[oc[0]]
+            row = int(ent[2])
+            if row < 0 or row >= vals_t.shape[0]:
+                continue
+            vals = vals_t[row]
+            slots = slots_t[row]
+            if w32 != np.float32(1.0):
+                sv = w32 * vals
+                if not sv[min(k, kp) - 1] > sv[-1]:
+                    continue  # multiply collapsed the prefix boundary
+                order = np.lexsort((slots, -sv))
+                sv = sv[order]
+                slots = slots[order]
+            else:
+                sv = vals
+            live = sv > 0
+            if out is None:
+                out = list(queries)
+            fills[qi] = QueryResult(
+                scores=sv[live][:k].astype(np.float32),
+                doc_slots=slots[live][:k].astype(np.int32),
+                found=int(ent[1]),
+            )
+            out[qi] = []
+        return (out, fills) if fills else (queries, None)
 
     def _build_merged_lex(self) -> None:
         """Merge per-segment lexicons into one packed table for planning.
@@ -683,12 +772,14 @@ class DeviceIndex:
         Returns {"T": max term slots per query, "Q": max batch size,
         "C": max live posting chunks per batch, "U": max unique dense
         rows per batch, "W": max summed light dfs of one query (the
-        selection-window driver)} — the inputs pin_shapes() freezes.
-        Costs one lexicon probe per (query, term); no device work.
+        selection-window driver), "L": max live light (query, slot)
+        pairs per batch (the v4 compact-rescore block)} — the inputs
+        pin_shapes() freezes. Costs one lexicon probe per (query, term);
+        no device work.
         """
         block = self.config.device.posting_block
         table = self._lex_table
-        t = q = c = u = w = 1
+        t = q = c = u = w = li = 1
         for b in batches:
             q = max(q, len(b))
             q_rows, _q_ws = _probe_queries(self._lex_slices, b)
@@ -704,7 +795,8 @@ class DeviceIndex:
             light_df = ent[dense < 0, 1]
             c = max(c, int(np.sum((light_df + block - 1) // block)))
             u = max(u, int(np.unique(dense[dense >= 0]).shape[0]))
-        return {"T": t, "Q": q, "C": c, "U": u, "W": w}
+            li = max(li, int((dense < 0).sum()))
+        return {"T": t, "Q": q, "C": c, "U": u, "W": w, "L": li}
 
     def pin_shapes(
         self,
@@ -715,6 +807,7 @@ class DeviceIndex:
         C: Optional[int] = None,
         U: Optional[int] = None,
         W: Optional[int] = None,
+        L: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
         scope_q: bool = False,
@@ -751,6 +844,7 @@ class DeviceIndex:
                 ("C", C or _round_up(m["C"], c_pad)),
                 ("U", U or _round_up(m["U"] + 1, u_pad)),
                 ("W", W or _bucket(m["W"], self.W_BUCKETS)),
+                ("L", L or _bucket(m["L"], self.L_BUCKETS)),
             ):
                 scope[k] = int(v)
             return {qb: dict(scope)}
@@ -761,7 +855,10 @@ class DeviceIndex:
             C = C or _round_up(m["C"], c_pad)
             U = U or _round_up(m["U"] + 1, u_pad)
             W = W or _bucket(m["W"], self.W_BUCKETS)
-        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U), ("W", W)):
+            L = L or _bucket(m["L"], self.L_BUCKETS)
+        for k, v in (
+            ("T", T), ("Q", Q), ("C", C), ("U", U), ("W", W), ("L", L)
+        ):
             if v:
                 self._pins[k] = int(v)
         return dict(self._pins)
@@ -987,6 +1084,11 @@ class DeviceIndex:
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)
 
+        # 1-term head-heavy queries: answered host-side from the
+        # precomputed row top-k (exact, canonical, zero guard trips);
+        # their batch slots plan as empty queries.
+        queries, fills = self._shortcut_single_heavy(queries, k)
+
         g = self._pins.get("Q") or self.config.device.launch_group
         use_pallas_m = (
             jax.default_backend() == "tpu"
@@ -1022,6 +1124,10 @@ class DeviceIndex:
                 self._chunk_budget(plans[gi, 1], block)
                 for gi in range(plans.shape[0])
             )
+            L2 = max(
+                self._light_budget(plans[gi])
+                for gi in range(plans.shape[0])
+            )
             K2 = min(
                 max(2 * K, self.config.device.rescore_margin), self.n_slots
             )
@@ -1050,7 +1156,7 @@ class DeviceIndex:
                     fast_heavy=fh, guard_eps=eps,
                     w_max=self._sel_window(plans[:, 1]),
                     h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
-                    lb_log2=self._lb_log2,
+                    lb_log2=self._lb_log2, L2=L2,
                 )
                 out.copy_to_host_async()
                 return out
@@ -1058,13 +1164,14 @@ class DeviceIndex:
             if fast:
                 return (
                     "packedg", nq, k, K, launch_multi(True),
-                    lambda: launch_multi(False), perm, queries,
+                    lambda: launch_multi(False), perm, queries, fills,
                 )
-            return ("packed", nq, k, K, launch_multi(False), perm)
+            return ("packed", nq, k, K, launch_multi(False), perm, fills)
 
         plan, U = self.plan_sparse(queries)
         block = self.config.device.posting_block
         C = self._chunk_budget(plan[1], block)
+        L2 = self._light_budget(plan)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -1090,7 +1197,7 @@ class DeviceIndex:
                 heavy_direct=self._heavy_direct,
             )
             out.copy_to_host_async()
-            return ("packed", nq, k, K, out)
+            return ("packed", nq, k, K, out, None, fills)
         use_compact = (
             os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
         )
@@ -1117,7 +1224,7 @@ class DeviceIndex:
                 fast_heavy=fh, guard_eps=eps,
                 w_max=self._sel_window(plan[1]),
                 h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
-                lb_log2=self._lb_log2,
+                lb_log2=self._lb_log2, L2=L2,
             )
             out.copy_to_host_async()
             return out
@@ -1125,9 +1232,9 @@ class DeviceIndex:
         if fast:
             return (
                 "packedg", nq, k, K, launch_single(True),
-                lambda: launch_single(False), perm, queries,
+                lambda: launch_single(False), perm, queries, fills,
             )
-        return ("packed", nq, k, K, launch_single(False), perm)
+        return ("packed", nq, k, K, launch_single(False), perm, fills)
 
     def search_batch_async(self, queries: Sequence[Sequence[WeightedTerm]], k: int):
         """Launch one batched BM25 top-k kernel; returns an opaque handle.
@@ -1202,9 +1309,13 @@ class DeviceIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
+        fills = None
         if handle[0] in ("packed", "packedg"):
             perm = handle[6] if handle[0] == "packedg" and len(handle) > 6 \
                 else handle[5] if handle[0] == "packed" and len(handle) > 5 \
+                else None
+            fills = handle[8] if handle[0] == "packedg" and len(handle) > 8 \
+                else handle[6] if handle[0] == "packed" and len(handle) > 6 \
                 else None
             if handle[0] == "packedg":
                 _tag, nq, k, K, dev_out, relaunch = handle[:6]
@@ -1275,7 +1386,12 @@ class DeviceIndex:
             res = [out[0]] * nq
             for j in range(nq):
                 res[perm[j]] = out[j]
-            return res
+            out = res
+        if fills:
+            # 1-term head-heavy queries answered host-side (fills are
+            # keyed by ORIGINAL batch index — applied after un-permute)
+            for qi, qr in fills.items():
+                out[qi] = qr
         return out
 
     def search_batch(
@@ -1283,6 +1399,21 @@ class DeviceIndex:
     ) -> List[QueryResult]:
         """Run one batched BM25 top-k kernel for all queries (blocking)."""
         return self.search_batch_gather(self.search_batch_async(queries, k))
+
+    def _light_budget(self, plan_ints) -> int:
+        """Static live light-pair count L2 for the v4 compact rescore.
+
+        plan_ints is one sparse plan [7, Qb, T] (or one group of the
+        multi-launch block). Pairs are (query, slot) with a live light
+        row and a nonzero weight; bucketed/pinned like C so serving keeps
+        one compiled shape."""
+        pairs = int(
+            ((plan_ints[3] < self.n_light) & (plan_ints[5] != 0)).sum()
+        )
+        return _pick_shape(
+            max(pairs, 1), self.L_BUCKETS,
+            self._pin("L", int(plan_ints.shape[1])), "L",
+        )
 
     def _chunk_budget(self, dfs, block) -> int:
         """Static chunk count C for this batch (device expansion never drops)."""

@@ -56,7 +56,7 @@ def test_pinned_sparse_shapes_are_batch_invariant(sparse_index):
     rng = np.random.default_rng(0)
     probe = [_queries(rng, 48, n) for n in (8, 16)]
     pins = di.pin_shapes(probe)
-    assert set(pins) == {"T", "Q", "C", "U", "W"}
+    assert set(pins) == {"T", "Q", "C", "U", "W", "L"}
 
     shapes = set()
     for n in (1, 3, 8, 11, 16):
@@ -129,7 +129,7 @@ def test_scoped_pins_per_batch_size(sparse_index):
     (qb_small,) = small.keys()
     (qb_big,) = big.keys()
     assert qb_small < qb_big
-    assert set(small[qb_small]) == {"C", "U", "W"}
+    assert set(small[qb_small]) == {"C", "U", "W", "L"}
 
     shapes_small = {
         _sparse_static_shapes(di, _queries(rng, 48, n, tmax=4))

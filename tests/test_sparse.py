@@ -426,10 +426,15 @@ def test_near_uniform_heavy_term_exact():
         device=DeviceConfig(
             mode="sparse", posting_block=256, chunk_buckets=(64, 4096),
             dense_df_ratio=0.001,
+            # keep this on the KERNEL path: the row-topk shortcut would
+            # answer a 1-term heavy query host-side and skip the very
+            # selection code this regression exists to test
+            row_topk_rows=0,
         )
     )
     di = DeviceIndex([seg], config=cfg)
     assert di.lex[0]["common"][2] >= 0  # dense row engaged
+    assert di._row_topk is None
     check_parity(di, [seg], [[("common", 1.0)]])
 
 
@@ -685,3 +690,57 @@ def test_merged_heavy_device_build_matches_host(segs, monkeypatch):
             di_dev.light_bucket_pos, di_host.light_bucket_pos
         ).all()
     )
+
+
+def test_row_topk_shortcut_parity(segs):
+    """1-term head-heavy queries answered from the precomputed row-topk
+    must be oracle-exact (scores, canonical order, found=global df), and
+    the shortcut must NOT fire for duplicate-term or multi-term queries
+    (their accumulation order differs)."""
+    di = make_index(segs, dense_ratio=0.02, unified=False)
+    assert di._row_topk is not None
+    heavy_terms = sorted(
+        {t for lex in di.lex for t, v in lex.items() if v[2] >= 0}
+    )
+    assert heavy_terms
+    t0 = heavy_terms[0]
+
+    # shortcut engages for 1-term heavy queries (weight 1 and weight != 1)
+    q, fills = di._shortcut_single_heavy([[(t0, 1.0)], [(t0, 0.7)]], 10)
+    assert fills is not None and 0 in fills
+    assert q[0] == []
+
+    queries = [[(t, 1.0)] for t in heavy_terms[:6]]
+    queries += [[(t0, 0.7)], [(t0, 2.5)]]
+    check_parity(di, segs, queries)
+
+    # duplicate-term and multi-term queries keep the kernel path
+    q2, fills2 = di._shortcut_single_heavy(
+        [[(t0, 1.0), (t0, 0.5)], [(t0, 1.0), (heavy_terms[1], 1.0)]], 10
+    )
+    assert fills2 is None
+    check_parity(di, segs, [[(t0, 1.0), (t0, 0.5)]])
+
+
+def test_row_topk_shortcut_in_batch(segs):
+    """Shortcut queries inside a mixed batch (with the window-size query
+    permutation active) land at their ORIGINAL batch positions."""
+    import os
+
+    di = make_index(segs, dense_ratio=0.02, unified=False)
+    heavy_terms = sorted(
+        {t for lex in di.lex for t, v in lex.items() if v[2] >= 0}
+    )
+    t0 = heavy_terms[0]
+    os.environ["NEXTSEARCH_SORT_QUERIES"] = "1"
+    try:
+        queries = [
+            [("w0150", 1.0), ("w0180", 0.7)],
+            [(t0, 1.0)],
+            [("w0160", 1.0)],
+            [(t0, 0.9)],
+            [("w0001", 1.0), ("w0170", 0.4)],
+        ]
+        check_parity(di, segs, queries)
+    finally:
+        del os.environ["NEXTSEARCH_SORT_QUERIES"]
