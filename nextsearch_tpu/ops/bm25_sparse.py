@@ -411,6 +411,76 @@ def exact_rescore_v3(
     return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
 
 
+def exact_rescore_v3_2d(
+    post_doc,
+    post_score,
+    dense_rows2,  # f32 [rows, n_slots] (a shard's flat dense block)
+    light_bucket_pos,
+    starts,
+    slot_dense,
+    slot_light,
+    weights,
+    cand,
+    *,
+    bs_steps,
+    nd,
+    nl,
+    lb_log2: int = LIGHT_BUCKET_LOG2,
+):
+    """exact_rescore_v3 over a 2D dense block (the sharded layout).
+
+    Identical semantics: heavy slots read their exact eager score
+    straight off the f32 dense rows (one gather — no heavy bucket table,
+    no per-slot binary search), light slots run the bucket-narrowed
+    lower_bound; accumulation order and fma-blocking match v3/v2/the C++
+    engine bit-for-bit. ShardedIndex keeps its dense block [rows, cap]
+    per shard (shard_map blocks slice the leading axis), so the 3D
+    [rows, cap/128, 128] storage trick the single-chip table uses for
+    DMA row gathers does not apply here.
+    """
+    Q, T = starts.shape
+    kc = cand.shape[1]
+    P = post_doc.shape[0]
+    c = cand[:, None, :]  # [Q, 1, kc]
+
+    s = starts[:, :, None].astype(jnp.int32)
+    is_heavy = slot_dense[:, :, None] < nd  # [Q, T, 1]
+    row = jnp.where(is_heavy, slot_dense[:, :, None], nd)  # nd = zero row
+    rowb = jnp.broadcast_to(row, (Q, T, kc))
+    cb = jnp.broadcast_to(c, (Q, T, kc))
+    dv = dense_rows2[rowb, cb]  # f32: exact eager score, 0 when absent
+
+    lrow = jnp.clip(slot_light[:, :, None], 0, nl)
+    cbl = lax.shift_right_logical(c, lb_log2)
+    lo0 = light_bucket_pos[lrow, cbl]
+    hi0 = light_bucket_pos[lrow, cbl + 1]
+    lo = jnp.broadcast_to(lo0, (Q, T, kc))
+    hi = jnp.broadcast_to(hi0, (Q, T, kc))
+
+    def bs_step(_i, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
+        go_right = v < c
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
+    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
+    w = weights[:, :, None]
+    lhit = (lo < hi0) & (post_doc[pos] == c)
+    v = jnp.where(is_heavy, dv, jnp.where(lhit, post_score[pos], 0.0))
+    hit = (v > 0.0) & (w != 0.0)
+    # jnp.abs blocks the fma contraction (see exact_rescore_v3).
+    term_contrib = jnp.where(hit, jnp.abs(w * v), jnp.float32(0.0))
+
+    def acc_step(t, acc):
+        return acc + lax.dynamic_index_in_dim(
+            term_contrib, t, axis=1, keepdims=False
+        )
+
+    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
+
+
 def exact_rescore_v4(
     post_doc,
     post_score,

@@ -17,7 +17,7 @@ canonical (segment asc, docId asc) order after the merge.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -56,6 +56,7 @@ def _sharded_search_fn(
     nd: int = 0,
     nl: int = 0,
     use_pallas: bool = False,
+    heavy_direct: bool = False,
 ):
     """Build the jit'd shard_map search step for a given mesh/static shapes.
 
@@ -88,6 +89,7 @@ def _sharded_search_fn(
     from ..ops.bm25_sparse import (
         _dedup_sorted,
         exact_rescore_v2,
+        exact_rescore_v3_2d,
         heavy_candidates,
         light_totals,
         per_query_counts,
@@ -160,11 +162,21 @@ def _sharded_search_fn(
             cand = jnp.concatenate([ldocs, hdocs], axis=1)
             cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
             safe_cand = jnp.clip(cand, 0, n_slots - 1)
-            exact = exact_rescore_v2(
-                post_doc, post_score, bucket_pos[0], light_bucket_pos[0],
-                starts, slot_dense, slot_light, weights, safe_cand,
-                bs_steps=bs_steps, nd=nd, nl=nl,
-            )
+            if heavy_direct:
+                # f32 rows: heavy scores read straight off the dense
+                # block; the heavy bucket operand is a [1,1] dummy
+                exact = exact_rescore_v3_2d(
+                    post_doc, post_score, dense, light_bucket_pos[0],
+                    starts, slot_dense, slot_light, weights, safe_cand,
+                    bs_steps=bs_steps, nd=nd, nl=nl,
+                )
+            else:
+                exact = exact_rescore_v2(
+                    post_doc, post_score, bucket_pos[0],
+                    light_bucket_pos[0], starts, slot_dense, slot_light,
+                    weights, safe_cand,
+                    bs_steps=bs_steps, nd=nd, nl=nl,
+                )
             exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
             vals, idx = canonical_sort(exact, safe_cand)
             vals, idx = _dedup_sorted(vals, idx)
@@ -386,22 +398,60 @@ class ShardedIndex:
             if dcfg.dense_df_ratio > 0
             else (1 << 62)
         )
-        per_shard_heavy: List[List[Tuple[int, int, int]]] = []
+        # With f32 rows the sharded rescore reads heavy scores straight
+        # off the dense block (exact_rescore_v3_2d) — no heavy bucket
+        # table — which also unlocks MERGED rows: classify by SHARD-
+        # global df and scatter every segment's postings for the term
+        # into ONE row (same bit-exactness argument as DeviceIndex: a
+        # doc lives in one segment, the others contribute +0.0f). The
+        # bf16-rows opt-in keeps per-(term, segment) rows + the bucket
+        # table (its v2 rescore binary-searches one contiguous range).
+        self._heavy_direct = self._sparse and not dcfg.dense_rows_bf16
+        row_bytes = (2 if dcfg.dense_rows_bf16 else 4) * self.shard_capacity
+        row_cap = min(
+            dcfg.dense_max_rows,
+            max(0, int(dcfg.dense_max_bytes // row_bytes)),
+        )
+        # per_shard_entries: scatter units (row_id, seg_j, term_i) —
+        # many-to-one onto rows when merged, 1:1 otherwise.
+        per_shard_entries: List[List[Tuple[int, int, int]]] = []
+        per_shard_rows: List[int] = []
         for si, (lo, hi) in enumerate(self.shard_seg_ranges):
-            heavy = []
-            for j, seg in enumerate(self.segments[lo:hi]):
-                for i, t in enumerate(seg.terms):
-                    df = int(seg.term_df[i])
-                    if df >= self.dense_threshold:
-                        heavy.append((df, j, i))
-            heavy.sort(reverse=True)
-            row_bytes = (2 if dcfg.dense_rows_bf16 else 4) * self.shard_capacity
-            row_cap = min(
-                dcfg.dense_max_rows,
-                max(0, int(dcfg.dense_max_bytes // row_bytes)),
-            )
-            per_shard_heavy.append(heavy[:row_cap])
-        self.n_dense = max((len(h) for h in per_shard_heavy), default=0)
+            if self._heavy_direct:
+                gdf: Dict[str, int] = {}
+                where: Dict[str, List[Tuple[int, int]]] = {}
+                for j, seg in enumerate(self.segments[lo:hi]):
+                    for i, t in enumerate(seg.terms):
+                        df = int(seg.term_df[i])
+                        if df > 0:
+                            gdf[t] = gdf.get(t, 0) + df
+                            where.setdefault(t, []).append((j, i))
+                heavy_terms = sorted(
+                    ((d, t) for t, d in gdf.items()
+                     if d >= self.dense_threshold),
+                    reverse=True,
+                )[:row_cap]
+                entries = [
+                    (row_id, j, i)
+                    for row_id, (_d, t) in enumerate(heavy_terms)
+                    for j, i in where[t]
+                ]
+                per_shard_rows.append(len(heavy_terms))
+            else:
+                heavy = []
+                for j, seg in enumerate(self.segments[lo:hi]):
+                    for i, t in enumerate(seg.terms):
+                        df = int(seg.term_df[i])
+                        if df >= self.dense_threshold:
+                            heavy.append((df, j, i))
+                heavy.sort(reverse=True)
+                heavy = heavy[:row_cap]
+                entries = [
+                    (row_id, j, i) for row_id, (_df, j, i) in enumerate(heavy)
+                ]
+                per_shard_rows.append(len(heavy))
+            per_shard_entries.append(entries)
+        self.n_dense = max(per_shard_rows, default=0)
         # Row-pad the dense block to the f32 sublane tile (8) in sparse
         # mode so the per-shard heavy matmul can run the Pallas fused
         # kernel (VMEM blocks are [Q, Hpad] / [Hpad, TILE]); pad rows are
@@ -412,9 +462,9 @@ class ShardedIndex:
         dense_host = np.zeros(
             (S, h_rows, self.shard_capacity), np.float32
         )
-        for si, heavy in enumerate(per_shard_heavy):
+        for si, entries in enumerate(per_shard_entries):
             lo, _hi = self.shard_seg_ranges[si]
-            for row_id, (_df, j, term_i) in enumerate(heavy):
+            for row_id, j, term_i in entries:
                 seg = self.segments[lo + j]
                 a = int(seg.term_offsets[term_i])
                 b = int(seg.term_offsets[term_i + 1])
@@ -438,25 +488,31 @@ class ShardedIndex:
             cap = self.shard_capacity
             nbh = (cap + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
             nbl = (cap + (1 << LIGHT_BUCKET_LOG2) - 1) >> LIGHT_BUCKET_LOG2
-            bucket_host = np.zeros((S, self.n_dense + 1, nbh + 1), np.int32)
-            bounds_h = np.arange(nbh + 1, dtype=np.int64) << BUCKET_LOG2
             max_occ = 0
-            # heavy tables from the (already filled) lex dense row ids
-            for si, heavy in enumerate(per_shard_heavy):
-                lo, _hi = self.shard_seg_ranges[si]
-                for row_id, (_df, j, term_i) in enumerate(heavy):
-                    seg = self.segments[lo + j]
-                    a = int(seg.term_offsets[term_i])
-                    b = int(seg.term_offsets[term_i + 1])
-                    docs = (
-                        seg.post_doc[a:b].astype(np.int64)
-                        + self.shard_doc_bases[si][j]
-                    )
-                    row = np.searchsorted(docs, bounds_h, "left").astype(
-                        np.int32
-                    )
-                    bucket_host[si, row_id] = row
-                    max_occ = max(max_occ, int(np.diff(row).max(initial=0)))
+            if not self._heavy_direct:
+                # heavy bucket table: only the bf16-rows opt-in's v2
+                # rescore searches heavy posting ranges
+                bucket_host = np.zeros(
+                    (S, self.n_dense + 1, nbh + 1), np.int32
+                )
+                bounds_h = np.arange(nbh + 1, dtype=np.int64) << BUCKET_LOG2
+                for si, entries in enumerate(per_shard_entries):
+                    lo, _hi = self.shard_seg_ranges[si]
+                    for row_id, j, term_i in entries:
+                        seg = self.segments[lo + j]
+                        a = int(seg.term_offsets[term_i])
+                        b = int(seg.term_offsets[term_i + 1])
+                        docs = (
+                            seg.post_doc[a:b].astype(np.int64)
+                            + self.shard_doc_bases[si][j]
+                        )
+                        row = np.searchsorted(
+                            docs, bounds_h, "left"
+                        ).astype(np.int32)
+                        bucket_host[si, row_id] = row
+                        max_occ = max(
+                            max_occ, int(np.diff(row).max(initial=0))
+                        )
             # light row assignment + per-shard light bucket tables
             shard_counts: List[np.ndarray] = []
             n_light_per_shard: List[int] = []
@@ -547,13 +603,22 @@ class ShardedIndex:
         loop over every (shard, segment).
         """
         nl = self.n_light
+        merged = getattr(self, "_heavy_direct", False)
         occ: Dict[str, List[Tuple[int, int, int, int, int]]] = {}
         for si, shard_lexes in enumerate(self.lex):
             lmaps = self._light_row[si] if self._light_row else None
+            seen_heavy: set = set()
             for j, lex in enumerate(shard_lexes):
                 lmap = lmaps[j] if lmaps else {}
                 for t, v in lex.items():
                     if v[1] > 0:
+                        if merged and v[2] >= 0:
+                            # merged dense row: ONE planning slot per
+                            # (term, shard) — a second slot would add
+                            # the weight to the same row twice
+                            if t in seen_heavy:
+                                continue
+                            seen_heavy.add(t)
                         occ.setdefault(t, []).append(
                             (si, v[0], v[1], v[2], lmap.get(t, nl))
                         )
@@ -847,14 +912,18 @@ class ShardedIndex:
             )
             S, Qb, _four, T = plan_ints_np.shape
             U = 0
-            key = (K, K2, mode, C, Qb, T, U, self._bs_depth, use_pallas)
+            direct = self._heavy_direct
+            key = (
+                K, K2, mode, C, Qb, T, U, self._bs_depth, use_pallas,
+                direct,
+            )
             fn = self._fns.get(key)
             if fn is None:
                 fn = _sharded_search_fn(
                     self.mesh, self.shard_capacity, K, block, T, U,
                     mode=mode, K2=K2, C=C, bs_steps=self._bs_depth,
                     nd=self.n_dense, nl=self.n_light,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, heavy_direct=direct,
                 )
                 self._fns[key] = fn
             # Single int32 upload: starts | light_dfs | slot_dense |
@@ -869,9 +938,14 @@ class ShardedIndex:
             plan = jax.device_put(
                 plan_np, NamedSharding(self.mesh, P("seg", "dp", None))
             )
+            bp = (
+                self.bucket_pos
+                if self.bucket_pos is not None
+                else self._dummy_tables()[0]
+            )
             packed = fn(
                 self.post_doc, self.post_score, self.dense_rows,
-                self.bucket_pos, self.light_bucket_pos, plan,
+                bp, self.light_bucket_pos, plan,
             )
             packed.copy_to_host_async()
             return ("packed", nq, k, K, packed)
