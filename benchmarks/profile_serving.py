@@ -54,6 +54,7 @@ VARIANTS = {
     "wide": (),
     "no_rescore": ("rescore",),
     "no_sort2": ("sort2",),
+    "no_lsort": ("lsort",),
     "no_hgather": ("hgather",),
     "no_light": ("light", "hgather", "sort2"),
     "no_cand_heavy": ("cand_heavy",),
@@ -117,9 +118,11 @@ def main():
     K = 10
     K2 = min(max(2 * K, margin), di.n_slots)
     C = max(di._chunk_budget(p[0][1], blk) for p in plans)
+    L2 = max(di._light_budget(p[0]) for p in plans)
     U = plans[0][1]
     T = plans[0][0].shape[2]
-    print(f"[prof] C={C} U={U} T={T} K2={K2} G={groups}", file=sys.stderr)
+    print(f"[prof] C={C} L2={L2} U={U} T={T} K2={K2} G={groups}",
+          file=sys.stderr)
     if groups > 1:
         # Stack G single-group plans into multi-launch blocks; per-"batch"
         # numbers below are then per G*batch queries.
@@ -149,6 +152,7 @@ def main():
                 heavy_direct=di._heavy_direct,
                 fast_heavy=fast,
                 w_max=di._sel_window(pi[:, 1] if groups > 1 else pi[1]),
+                L2=L2,
                 prof_skip=skip,
             )
             out.copy_to_host_async()

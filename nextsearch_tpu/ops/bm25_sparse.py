@@ -55,13 +55,19 @@ def _segmented_cumsum(vals, first):
     return out
 
 
-def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, Q, n_slots):
+def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, Q, n_slots,
+                 skip_sort: bool = False):
     """Flat per-(query, doc) light-term totals via sort + segmented sum.
 
     Returns (sq, sd, stot, last) sorted by (q, doc): stot at `last` positions
     is the f32 sum of that (q, doc)'s light contributions accumulated in
     term-slot order (stable sort preserves expansion order within a group).
     Invalid/padding entries carry q = Q and sort to the end.
+
+    skip_sort (static, profiling only — results are WRONG) keeps the
+    expansion/segsum work but drops the flat (q, doc) sort so
+    benchmarks/profile_serving.py can attribute the sort's marginal cost
+    within the light chain.
     """
     cs, cl, cq, cw = expand_chunks(starts, light_dfs, weights, C=C, block=block)
     P = post_doc.shape[0]
@@ -74,7 +80,11 @@ def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, 
     qrow = jnp.where(valid, qrow, jnp.int32(Q))
 
     shift = max(int(n_slots).bit_length(), 1)
-    if (Q + 1) << shift <= 1 << 32:
+    if skip_sort:
+        sq = qrow.reshape(-1)
+        sd = doc.reshape(-1)
+        sc = contrib.reshape(-1)
+    elif (Q + 1) << shift <= 1 << 32:
         # Pack (q, doc) into one uint32 sort key — one fewer operand in the
         # flat sort, same stable (q, doc) order. doc occupies the low
         # `shift` bits (sentinel n_slots included), q the high bits.
@@ -975,6 +985,7 @@ def _packed_impl(
         sq, sd, stot, last = light_totals(
             post_doc, post_score, starts, light_dfs, weights,
             C=C, block=block, Q=Q, n_slots=n_slots,
+            skip_sort="lsort" in prof_skip,
         )
         sd_clip = jnp.clip(sd, 0, n_slots - 1)
         if "hgather" in prof_skip:
