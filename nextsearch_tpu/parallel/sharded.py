@@ -57,6 +57,10 @@ def _sharded_search_fn(
     nl: int = 0,
     use_pallas: bool = False,
     heavy_direct: bool = False,
+    use_compact: bool = False,
+    fast_heavy: bool = False,
+    guard_eps: float = 2e-3,
+    L2: int = 0,
 ):
     """Build the jit'd shard_map search step for a given mesh/static shapes.
 
@@ -86,101 +90,44 @@ def _sharded_search_fn(
         scatter_scores,
         tiled_topk,
     )
-    from ..ops.bm25_sparse import (
-        _dedup_sorted,
-        exact_rescore_v2,
-        exact_rescore_v3_2d,
-        heavy_candidates,
-        light_totals,
-        per_query_counts,
-        per_query_topk_flat,
-    )
-    from ..ops.heavy_pallas import heavy_fused_pallas, heavy_fused_xla
+    from ..ops.bm25_sparse import _packed_impl
 
     S = mesh.shape["seg"]
 
     def local_step(post_doc, post_score, dense_rows, bucket_pos,
                    light_bucket_pos, plan):
-        # Block shapes: post_* [1, P_shard], dense [1, Hpad, cap],
-        # bucket_pos [1, H+1, NBh+1], light_bucket_pos [1, NL+1, NBl+1],
-        # plan [1, Qd, L]
+        # Block shapes: post_* [1, P_shard], dense [1, Hpad, cap]
+        # (sparse: [1, Hpad, cap/128, 128]), bucket_pos [1, H+1, NBh+1],
+        # light_bucket_pos [1, NL+1, NBl+1], plan [1, Qd, L]
         post_doc = post_doc[0]
         post_score = post_score[0]
         pi = plan[0]
         starts = pi[:, :T]
         Qd = starts.shape[0]
+        guard = None
         if mode == "sparse":
-            # Same pipeline as ops/bm25_sparse.bm25_search_sparse_packed,
-            # per shard over local doc slots (full-table heavy mode; the
-            # per-shard dense block is row-padded to the Pallas grid).
-            light_dfs = pi[:, T : 2 * T]
-            slot_dense = pi[:, 2 * T : 3 * T]
-            slot_light = pi[:, 3 * T : 4 * T]
-            weights = lax.bitcast_convert_type(
-                pi[:, 4 * T : 5 * T], jnp.float32
+            # The shard-local step IS the single-chip production kernel
+            # (ops/bm25_sparse._packed_impl) over local doc slots: compact
+            # Pallas DMA row gather + 1-pass guarded heavy matmul (or the
+            # exact HIGHEST wide pool when fast_heavy=False), sort+segsum
+            # light chain, v4 compact rescore. One pipeline to maintain;
+            # the sharded path inherits every single-chip optimization.
+            plan7 = jnp.transpose(pi.reshape(Qd, 7, T), (1, 0, 2))
+            out = _packed_impl(
+                post_doc, post_score, dense_rows[0], bucket_pos[0],
+                light_bucket_pos[0], plan7,
+                n_slots=n_slots, K=K, K2=K2, C=C, block=block,
+                bs_steps=bs_steps, nd=nd, nl=nl, U=U,
+                use_pallas=use_pallas, use_compact=use_compact,
+                heavy_direct=heavy_direct, fast_heavy=fast_heavy,
+                guard_eps=guard_eps, L2=L2,
             )
-            dense = dense_rows[0]
-            nd1 = dense.shape[0]
-            iota_nd = lax.broadcasted_iota(jnp.int32, (1, nd1), 1)
-
-            def mix_step(t, m):
-                sd_t = lax.dynamic_index_in_dim(
-                    slot_dense, t, axis=1, keepdims=True
-                )
-                w_t = lax.dynamic_index_in_dim(
-                    weights, t, axis=1, keepdims=True
-                )
-                return m + jnp.where(
-                    sd_t == iota_nd, w_t, jnp.float32(0.0)
-                )
-
-            mix = lax.fori_loop(
-                0, T, mix_step, jnp.zeros((Qd, nd1), jnp.float32)
-            )
-            mix = mix.at[:, nd].set(0.0)
-            fused_fn = heavy_fused_pallas if use_pallas else heavy_fused_xla
-            H, smax_sq, cnt_tq = fused_fn(mix, dense)
-            heavy_found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
-
-            sq, sd, stot, last = light_totals(
-                post_doc, post_score, starts, light_dfs, weights,
-                C=C, block=block, Q=Qd, n_slots=n_slots,
-            )
-            sd_clip = jnp.clip(sd, 0, n_slots - 1)
-            hval = H[jnp.clip(sq, 0, Qd - 1), sd_clip].astype(jnp.float32)
-            valid_last = last & (sq < Qd)
-            light_only = valid_last & (hval == 0.0)
-            found = heavy_found + per_query_counts(sq, light_only, Qd)
-
-            sel_score = jnp.where(
-                valid_last, stot + hval, jnp.float32(0.0)
-            )
-            ldocs, _lvals = per_query_topk_flat(
-                sq, sel_score, sd, Qd, K2, jnp.int32(2**30)
-            )
-            hvals, hdocs = heavy_candidates(H, smax_sq, K2, Qd, n_slots)
-            cand = jnp.concatenate([ldocs, hdocs], axis=1)
-            cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
-            safe_cand = jnp.clip(cand, 0, n_slots - 1)
-            if heavy_direct:
-                # f32 rows: heavy scores read straight off the dense
-                # block; the heavy bucket operand is a [1,1] dummy
-                exact = exact_rescore_v3_2d(
-                    post_doc, post_score, dense, light_bucket_pos[0],
-                    starts, slot_dense, slot_light, weights, safe_cand,
-                    bs_steps=bs_steps, nd=nd, nl=nl,
-                )
-            else:
-                exact = exact_rescore_v2(
-                    post_doc, post_score, bucket_pos[0],
-                    light_bucket_pos[0], starts, slot_dense, slot_light,
-                    weights, safe_cand,
-                    bs_steps=bs_steps, nd=nd, nl=nl,
-                )
-            exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
-            vals, idx = canonical_sort(exact, safe_cand)
-            vals, idx = _dedup_sorted(vals, idx)
-            k2 = vals.shape[1]
+            vals = out[:, :K]
+            idx = out[:, K : 2 * K].astype(jnp.int32)
+            found = out[:, 2 * K].astype(jnp.int32)
+            if fast_heavy:
+                guard = out[:, 2 * K + 1]
+            k2 = K
             scores = None
         elif mode == "exact":
             dfs = pi[:, T : 2 * T]
@@ -237,20 +184,26 @@ def _sharded_search_fn(
             cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(Qd, S * k2)
             mvals, midx = canonical_sort(cat_vals, cat_idx)
             total_found = lax.psum(found, "seg")
+            if guard is not None:
+                # The fast path's per-shard proof: every doc a shard
+                # excluded has true score <= (1+eps)*tau_shard, so the
+                # MERGED top-K is proven iff every shard's guard passed
+                # (min over the seg axis).
+                guard = lax.pmin(guard, "seg")
         else:
             # 1 shard: local results are already canonically sorted; the
             # gather + re-sort would be pure overhead.
             mvals, midx = vals, gidx
             total_found = found
         k_out = min(K, S * k2)
-        packed = jnp.concatenate(
-            [
-                mvals[:, :k_out],
-                midx[:, :k_out].astype(jnp.float32),
-                total_found[:, None].astype(jnp.float32),
-            ],
-            axis=1,
-        )
+        cols = [
+            mvals[:, :k_out],
+            midx[:, :k_out].astype(jnp.float32),
+            total_found[:, None].astype(jnp.float32),
+        ]
+        if guard is not None:
+            cols.append(guard[:, None])
+        packed = jnp.concatenate(cols, axis=1)
         return packed[None]
 
     from jax import shard_map
@@ -291,6 +244,7 @@ class ShardedIndex:
 
     T_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
     K_BUCKETS = (10, 32, 100)
+    L_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
 
     def __init__(
         self,
@@ -416,6 +370,10 @@ class ShardedIndex:
         # many-to-one onto rows when merged, 1:1 otherwise.
         per_shard_entries: List[List[Tuple[int, int, int]]] = []
         per_shard_rows: List[int] = []
+        # shard-global df per merged heavy term (the planning table's df
+        # column for merged entries, and the 1-term-shortcut's exact
+        # `found`; mirrors DeviceIndex._gdf)
+        self._gdf_shard: List[Dict[str, int]] = []
         for si, (lo, hi) in enumerate(self.shard_seg_ranges):
             if self._heavy_direct:
                 gdf: Dict[str, int] = {}
@@ -437,6 +395,9 @@ class ShardedIndex:
                     for j, i in where[t]
                 ]
                 per_shard_rows.append(len(heavy_terms))
+                self._gdf_shard.append(
+                    {t: d for d, t in heavy_terms}
+                )
             else:
                 heavy = []
                 for j, seg in enumerate(self.segments[lo:hi]):
@@ -450,6 +411,7 @@ class ShardedIndex:
                     (row_id, j, i) for row_id, (_df, j, i) in enumerate(heavy)
                 ]
                 per_shard_rows.append(len(heavy))
+                self._gdf_shard.append({})
             per_shard_entries.append(entries)
         self.n_dense = max(per_shard_rows, default=0)
         # Row-pad the dense block to the f32 sublane tile (8) in sparse
@@ -568,9 +530,21 @@ class ShardedIndex:
             import ml_dtypes
 
             dense_host = dense_host.astype(ml_dtypes.bfloat16)
-        self.dense_rows = jax.device_put(
-            dense_host, NamedSharding(mesh, P("seg", None, None))
-        )
+        if self._sparse:
+            # sparse mode stores the per-shard dense block 3D
+            # [rows, cap/128, 128] (like DeviceIndex) so the compact
+            # Pallas DMA row gather's whole-row slices are tiling-legal;
+            # shard_capacity is 2048-aligned, hence % 128 == 0.
+            dense_host = dense_host.reshape(
+                S, h_rows, self.shard_capacity // 128, 128
+            )
+            self.dense_rows = jax.device_put(
+                dense_host, NamedSharding(mesh, P("seg", None, None, None))
+            )
+        else:
+            self.dense_rows = jax.device_put(
+                dense_host, NamedSharding(mesh, P("seg", None, None))
+            )
         tab_spec = NamedSharding(mesh, P("seg", None, None))
         self.bucket_pos = (
             jax.device_put(bucket_host, tab_spec)
@@ -612,15 +586,20 @@ class ShardedIndex:
                 lmap = lmaps[j] if lmaps else {}
                 for t, v in lex.items():
                     if v[1] > 0:
+                        df = v[1]
                         if merged and v[2] >= 0:
                             # merged dense row: ONE planning slot per
                             # (term, shard) — a second slot would add
-                            # the weight to the same row twice
+                            # the weight to the same row twice. Its df
+                            # column carries the SHARD-global df (the
+                            # 1-term shortcut's exact `found`; the
+                            # kernel never reads heavy dfs).
                             if t in seen_heavy:
                                 continue
                             seen_heavy.add(t)
+                            df = self._gdf_shard[si].get(t, df)
                         occ.setdefault(t, []).append(
-                            (si, v[0], v[1], v[2], lmap.get(t, nl))
+                            (si, v[0], df, v[2], lmap.get(t, nl))
                         )
         n_rows = sum(len(v) for v in occ.values())
         table = np.zeros((max(n_rows, 1), 5), np.int64)
@@ -771,33 +750,71 @@ class ShardedIndex:
         return starts, dfs, weights, light_dfs, unique_heavy, heavy_mix
 
     def plan_sparse(self, queries: Sequence[Sequence[WeightedTerm]]):
-        """Sparse-mode per-shard plan.
+        """Sparse-mode per-shard plan in the single-device row layout.
 
-        Returns (plan_ints [S, Qb, 4, T], plan_f32 [S, Qb, T]):
-          ints: starts / light_dfs / slot_dense (n_dense = light) /
-                slot_light (light_bucket_pos row; n_light = heavy/padding)
-          f32:  weights
-        The heavy mix is built in-kernel from slot_dense + weights, so no
-        unique-heavy packing is needed (U = 0).
+        Returns (plan [S, Qb, 7T] int32, U). Per query the 7 contiguous
+        T-column sections mirror DeviceIndex.plan_sparse's plan rows —
+        starts / light_dfs / slot_dense (n_dense = light/padding) /
+        slot_light (light_bucket_pos row; n_light = heavy/padding) /
+        slot_compact (compact mix column; U = light/padding -> zero col) /
+        weight f32 bit patterns / unique dense row ids (row-major, the
+        first n_uniq of each (shard, dp-group)'s [Qd, T] block; sentinel
+        n_dense) — so the shard-local step can run the SAME production
+        kernel (ops/bm25_sparse._packed_impl) as the single-chip path,
+        compact Pallas row gather included. U is the static compact-table
+        bucket: max unique dense rows over (shard, dp-group), sized by the
+        heavy_buckets ladder / the "U" pin.
         """
         S = self.n_shards
         ent, w, qi, slot, T, Qb = self._flatten_probe(queries)
         sid = ent[:, 0]
+        Qd = Qb // self.dp
+        nd = self.n_dense
 
-        plan_ints = np.zeros((S, Qb, 4, T), np.int32)
-        plan_ints[:, :, 2] += np.int32(self.n_dense)
-        plan_ints[:, :, 3] += np.int32(self.n_light)
-        plan_f32 = np.zeros((S, Qb, T), np.float32)
+        starts = np.zeros((S, Qb, T), np.int32)
+        light_dfs = np.zeros((S, Qb, T), np.int32)
+        slot_dense = np.full((S, Qb, T), nd, np.int32)
+        slot_light = np.full((S, Qb, T), self.n_light, np.int32)
+        wbits = np.zeros((S, Qb, T), np.int32)
         dense = ent[:, 3]
         light = dense < 0
-        plan_ints[sid, qi, 0, slot] = ent[:, 1]
-        plan_ints[sid, qi, 1, slot] = np.where(light, ent[:, 2], 0)
-        plan_ints[sid, qi, 2, slot] = np.where(light, self.n_dense, dense)
-        plan_ints[sid, qi, 3, slot] = np.where(
-            light, ent[:, 4], self.n_light
+        starts[sid, qi, slot] = ent[:, 1]
+        light_dfs[sid, qi, slot] = np.where(light, ent[:, 2], 0)
+        slot_dense[sid, qi, slot] = np.where(light, nd, dense)
+        slot_light[sid, qi, slot] = np.where(light, ent[:, 4], self.n_light)
+        wbits[sid, qi, slot] = w.view(np.int32)
+
+        # Compact heavy-row table per (shard, dp-group) — the units a
+        # shard_map block plans over (same unique-rank trick as plan()).
+        hm = ~light
+        h_id = dense[hm]
+        if h_id.shape[0]:
+            h_si = sid[hm]
+            h_g = qi[hm] // Qd
+            key = (h_si * self.dp + h_g) * (nd + 1) + h_id
+            uniq_key, inv = np.unique(key, return_inverse=True)
+            uk_sg, uk_id = np.divmod(uniq_key, nd + 1)
+            grp_first = np.concatenate([[True], uk_sg[1:] != uk_sg[:-1]])
+            grp_start = np.where(grp_first, np.arange(uk_sg.shape[0]), 0)
+            np.maximum.accumulate(grp_start, out=grp_start)
+            u_slot = np.arange(uniq_key.shape[0]) - grp_start
+            u_max = int(u_slot.max()) + 1
+        else:
+            u_max = 0
+        hb = self.config.device.heavy_buckets
+        U = _pick_shape(max(u_max, 1), hb, self._pin("U", Qb), "U")
+        slot_compact = np.full((S, Qb, T), U, np.int32)
+        ids = np.full((S, self.dp, Qd * T), nd, np.int32)
+        if h_id.shape[0]:
+            slot_compact[h_si, qi[hm], slot[hm]] = u_slot[inv]
+            uk_s, uk_g = np.divmod(uk_sg, self.dp)
+            ids[uk_s, uk_g, u_slot] = uk_id
+        plan = np.concatenate(
+            [starts, light_dfs, slot_dense, slot_light, slot_compact,
+             wbits, ids.reshape(S, Qb, T)],
+            axis=2,
         )
-        plan_f32[sid, qi, slot] = w
-        return plan_ints, plan_f32
+        return plan, int(U)
 
     def _chunk_budget(self, dfs, block) -> int:
         """Static per-device chunk count: max over (shard, dp-group) totals."""
@@ -812,6 +829,21 @@ class ShardedIndex:
             self._pin("C", Qb), "C",
         )
 
+    def _light_budget(self, plan_np) -> int:
+        """Static live light-pair count L2 for the v4 compact rescore:
+        max over (shard, dp-group) of live (query, slot) light pairs
+        (DeviceIndex._light_budget per shard_map block)."""
+        S, Qb, L = plan_np.shape
+        T = L // 7
+        live = (plan_np[:, :, 3 * T : 4 * T] < self.n_light) & (
+            plan_np[:, :, 5 * T : 6 * T] != 0
+        )
+        per = live.reshape(S, self.dp, -1).sum(axis=2)
+        pairs = int(per.max(initial=0))
+        return _pick_shape(
+            max(pairs, 1), self.L_BUCKETS, self._pin("L", Qb), "L"
+        )
+
     def pin_shapes(
         self,
         probe_batches=None,
@@ -820,6 +852,7 @@ class ShardedIndex:
         Q: Optional[int] = None,
         C: Optional[int] = None,
         U: Optional[int] = None,
+        L: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
         scope_q: bool = False,
@@ -827,25 +860,32 @@ class ShardedIndex:
         """Freeze batch-varying static kernel shapes (same contract as
         DeviceIndex.pin_shapes; see index/segment.py). Probe sizes are
         measured per (shard, dp-group) — the units the shard_map blocks
-        actually compile over. scope_q=True pins {T, C, U} for the probe's
-        Q envelope only (scoped pins win; see DeviceIndex.pin_shapes)."""
+        actually compile over. scope_q=True pins {T, C, U, L} for the
+        probe's Q envelope only (scoped pins win; see
+        DeviceIndex.pin_shapes)."""
         if probe_batches is not None:
             block = self.config.device.posting_block
             sparse = self.config.device.mode == "sparse"
-            t = q = c = u = 1
+            t = q = c = u = li = 1
             for b in probe_batches:
                 q = max(q, len(b))
                 if sparse:
-                    pi, _pf = self.plan_sparse(b)
-                    t = max(t, pi.shape[3])
-                    c = max(c, self._chunk_budget(pi[:, :, 1, :], block))
+                    pi, ub = self.plan_sparse(b)
+                    tb = pi.shape[2] // 7
+                    t = max(t, tb)
+                    c = max(
+                        c,
+                        self._chunk_budget(pi[:, :, tb : 2 * tb], block),
+                    )
+                    u = max(u, ub)
+                    li = max(li, self._light_budget(pi))
                 else:
                     s, _dfs, _w, light_dfs, uh, _m = self.plan(b)
                     t = max(t, s.shape[2])
                     c = max(c, self._chunk_budget(light_dfs, block))
                     u = max(u, uh.shape[2])
             if scope_q:
-                # C/U only — T stays on its bounded ladder (see
+                # C/U/L only — T stays on its bounded ladder (see
                 # DeviceIndex.pin_shapes on why scoped T pins backfire).
                 qb = _round_up(max(q, 1), self.dp)
                 if self._pins.get("Q"):
@@ -854,6 +894,7 @@ class ShardedIndex:
                 for k, v in (
                     ("C", C or _round_up(c, c_pad)),
                     ("U", U or _round_up(u + 1, u_pad)),
+                    ("L", L or _bucket(li, self.L_BUCKETS)),
                 ):
                     scope[k] = int(v)
                 return {qb: dict(scope)}
@@ -861,9 +902,10 @@ class ShardedIndex:
             Q = Q or _round_up(q, self.dp)
             C = C or _round_up(c, c_pad)
             U = U or _round_up(u + 1, u_pad)
+            L = L or _bucket(li, self.L_BUCKETS)
         elif scope_q:
             raise ValueError("scope_q=True requires probe_batches")
-        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U)):
+        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U), ("L", L)):
             if v:
                 self._pins[k] = int(v)
         return dict(self._pins)
@@ -904,37 +946,27 @@ class ShardedIndex:
             and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
         )
         if mode == "sparse":
-            plan_ints_np, plan_f32_np = self.plan_sparse(queries)
-            C = self._chunk_budget(plan_ints_np[:, :, 1, :], block)
+            plan_np, U = self.plan_sparse(queries)
+            S, Qb, L = plan_np.shape
+            T = L // 7
+            C = self._chunk_budget(plan_np[:, :, T : 2 * T], block)
+            L2 = self._light_budget(plan_np)
             K2 = min(
                 max(2 * K, self.config.device.rescore_margin),
                 self.shard_capacity,
             )
-            S, Qb, _four, T = plan_ints_np.shape
-            U = 0
             direct = self._heavy_direct
-            key = (
-                K, K2, mode, C, Qb, T, U, self._bs_depth, use_pallas,
-                direct,
+            fast = (
+                self.config.device.fast_heavy
+                and direct
+                and os.environ.get("NEXTSEARCH_FAST_HEAVY", "1") == "1"
             )
-            fn = self._fns.get(key)
-            if fn is None:
-                fn = _sharded_search_fn(
-                    self.mesh, self.shard_capacity, K, block, T, U,
-                    mode=mode, K2=K2, C=C, bs_steps=self._bs_depth,
-                    nd=self.n_dense, nl=self.n_light,
-                    use_pallas=use_pallas, heavy_direct=direct,
-                )
-                self._fns[key] = fn
-            # Single int32 upload: starts | light_dfs | slot_dense |
-            # slot_light | weight bit patterns (L = 5T).
-            plan_np = np.concatenate(
-                [
-                    plan_ints_np.reshape(S, Qb, 4 * T),
-                    plan_f32_np.view(np.int32),
-                ],
-                axis=2,
+            eps = self.config.device.fast_heavy_eps
+            use_compact = (
+                os.environ.get("NEXTSEARCH_COMPACT_HEAVY", "1") == "1"
             )
+            # Single int32 upload per shard: the 7T single-device plan
+            # rows (see plan_sparse).
             plan = jax.device_put(
                 plan_np, NamedSharding(self.mesh, P("seg", "dp", None))
             )
@@ -943,12 +975,42 @@ class ShardedIndex:
                 if self.bucket_pos is not None
                 else self._dummy_tables()[0]
             )
-            packed = fn(
-                self.post_doc, self.post_score, self.dense_rows,
-                bp, self.light_bucket_pos, plan,
-            )
-            packed.copy_to_host_async()
-            return ("packed", nq, k, K, packed)
+
+            def launch(fh: bool):
+                # The exact HIGHEST relaunch (fh=False under fast mode)
+                # runs FULL-TABLE, same rule as DeviceIndex: the compact
+                # f32 gather table is O(U * cap) extra HBM that big
+                # envelopes cannot afford next to the dense block.
+                uc = use_compact and (fh or not fast)
+                key = (
+                    K, K2, mode, C, Qb, T, U if uc else 0,
+                    self._bs_depth, use_pallas, direct, uc, fh, L2,
+                )
+                fn = self._fns.get(key)
+                if fn is None:
+                    fn = _sharded_search_fn(
+                        self.mesh, self.shard_capacity, K, block, T,
+                        U if uc else 0,
+                        mode=mode, K2=K2, C=C, bs_steps=self._bs_depth,
+                        nd=self.n_dense, nl=self.n_light,
+                        use_pallas=use_pallas, heavy_direct=direct,
+                        use_compact=uc, fast_heavy=fh, guard_eps=eps,
+                        L2=L2,
+                    )
+                    self._fns[key] = fn
+                out = fn(
+                    self.post_doc, self.post_score, self.dense_rows,
+                    bp, self.light_bucket_pos, plan,
+                )
+                out.copy_to_host_async()
+                return out
+
+            if fast:
+                return (
+                    "packedg", nq, k, K, launch(True),
+                    lambda: launch(False), None, queries, None,
+                )
+            return ("packed", nq, k, K, launch(False))
         starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = self.plan(
             queries
         )
@@ -1007,6 +1069,27 @@ class ShardedIndex:
             )
         return self._dummies
 
+    def _host_rescue_row(self, out, j, queries, K):
+        """Overwrite packed row j with the exact host-oracle result for
+        queries[j] (guard-trip rescue; doc slots map through the global
+        shard-major layout via segment_slot_bases)."""
+        from ..index.oracle import oracle_search_vec
+
+        segs = getattr(self, "_oracle_segs_cache", None)
+        if segs is None:
+            segs = [s.to_oracle_segment() for s in self.segments]
+            self._oracle_segs_cache = segs
+        bases = self.segment_slot_bases()
+        hits, found = oracle_search_vec(
+            segs, queries[j], K,
+            k1=self.config.bm25.k1, b=self.config.bm25.b,
+        )
+        out[j, : 2 * K + 1] = 0.0
+        for i, (score, seg_idx, doc) in enumerate(hits[:K]):
+            out[j, i] = np.float32(score)
+            out[j, K + i] = np.float32(bases[seg_idx] + doc)
+        out[j, 2 * K] = np.float32(found)
+
     def search_batch_gather(self, handle) -> List[QueryResult]:
         """Fetch + unpack the results of a search_batch_async launch."""
         if handle[0] == "empty":
@@ -1014,6 +1097,53 @@ class ShardedIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
+        if handle[0] == "packedg":
+            # Guarded fast path: same trip protocol as
+            # DeviceIndex.search_batch_gather — few trips get the exact
+            # host-oracle rescue, many trips one wide HIGHEST relaunch.
+            import os as _os
+
+            _tag, nq, k, K, dev_out, relaunch, _perm, queries, _fills = (
+                handle
+            )
+            packed = np.asarray(jax.device_get(dev_out))
+            tripped = np.flatnonzero(packed[:nq, 2 * K + 1] < 0.5)
+            if tripped.size:
+                from ..utils.logging import log
+
+                cap = int(_os.environ.get("NEXTSEARCH_TRIP_RESCUE", "8"))
+                if queries is not None and tripped.size <= cap:
+                    log(
+                        "sharded",
+                        f"fast-heavy guard tripped ({tripped.size}/{nq} "
+                        "queries); host-oracle rescue",
+                    )
+                    packed = np.array(packed)
+                    for j in tripped:
+                        self._host_rescue_row(packed, int(j), queries, K)
+                else:
+                    log(
+                        "sharded",
+                        f"fast-heavy guard tripped ({tripped.size}/{nq} "
+                        "queries); relaunching exact-precision kernel",
+                    )
+                    packed = np.asarray(jax.device_get(relaunch()))
+            k_out = K
+            vals = packed[:, :k_out]
+            idx = packed[:, k_out : 2 * k_out].astype(np.int32)
+            found = packed[:, 2 * k_out]
+            out = []
+            for qi in range(nq):
+                keep = vals[qi] > 0.0
+                keep[min(k, k_out):] = False
+                out.append(
+                    QueryResult(
+                        scores=vals[qi][keep][:k],
+                        doc_slots=idx[qi][keep][:k],
+                        found=int(found[qi]),
+                    )
+                )
+            return out
         _tag, nq, k, K, packed = handle
         packed = jax.device_get(packed)
         k_out = (packed.shape[1] - 1) // 2

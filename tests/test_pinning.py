@@ -218,8 +218,11 @@ def test_sharded_pin_shapes():
 
     shapes = set()
     for n in (2, 7, 12):
-        pi, _pf = si.plan_sparse(_queries(rng, 48, n))
-        C = si._chunk_budget(pi[:, :, 1, :], si.config.device.posting_block)
-        shapes.add((pi.shape, C))
+        pi, U = si.plan_sparse(_queries(rng, 48, n))
+        T = pi.shape[2] // 7
+        C = si._chunk_budget(
+            pi[:, :, T : 2 * T], si.config.device.posting_block
+        )
+        shapes.add((pi.shape, C, U, si._light_budget(pi)))
     assert len(shapes) == 1, shapes
     si._pins.clear()

@@ -172,3 +172,67 @@ def test_sharded_engine_warmup(tmp_path, segs):
     assert eng.warmup(n_queries=2) > 0
     res = eng.search("w0000 w0001", 5)
     assert res["found"] > 0 and res["results"]
+
+
+def _oracle_parity(si, segs, queries, k=10):
+    oracle_segs = [s.to_oracle_segment() for s in segs]
+    results = si.search_batch(queries, k=k)
+    for terms, res in zip(queries, results):
+        hits, total_found = oracle_search(oracle_segs, terms, k=k)
+        assert res.found == total_found, terms
+        assert len(res.scores) == len(hits), terms
+        for (o_score, o_seg, o_doc), d_score, d_slot in zip(
+            hits, res.scores, res.doc_slots
+        ):
+            assert si.locate(int(d_slot)) == (o_seg, o_doc), terms
+            assert np.float32(d_score) == np.float32(o_score), terms
+
+
+@pytest.mark.parametrize("eps", [2e-3, 1e9])
+def test_sharded_fast_heavy_guard(segs, eps):
+    """The sharded guarded fast path (per-shard _packed_impl, guards
+    pmin-merged across the seg axis): with the default eps the guard
+    mostly passes (CPU dots are exact); eps=1e9 trips every non-trivial
+    query and the whole batch relaunches the wide HIGHEST kernel (24
+    trips > the rescue cap) — both must match the oracle exactly."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256),
+            dense_df_ratio=0.02, fast_heavy=True, fast_heavy_eps=eps,
+        )
+    )
+    si = ShardedIndex(segs, make_mesh(dp=2, seg=4), config=cfg)
+    r = np.random.default_rng(43)
+    words = [f"w{i:04d}" for i in range(200)]
+    queries = [
+        [(words[int(r.integers(0, 200))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(24)
+    ]
+    _oracle_parity(si, segs, queries)
+
+
+def test_sharded_guard_trip_host_rescue(segs, monkeypatch):
+    """With the rescue cap raised, every tripped query is re-scored by the
+    vectorized host oracle with GLOBAL shard-major slot mapping
+    (segment_slot_bases) instead of the wide relaunch — bit-exact."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    monkeypatch.setenv("NEXTSEARCH_TRIP_RESCUE", "100")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256),
+            dense_df_ratio=0.02, fast_heavy=True, fast_heavy_eps=1e9,
+        )
+    )
+    si = ShardedIndex(segs, make_mesh(dp=1, seg=8), config=cfg)
+    r = np.random.default_rng(47)
+    words = [f"w{i:04d}" for i in range(200)]
+    queries = [
+        [(words[int(r.integers(0, 200))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(16)
+    ] + [[("w0000", 1.0)], [("nosuchterm", 1.0)]]
+    _oracle_parity(si, segs, queries)
