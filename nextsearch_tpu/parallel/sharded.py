@@ -526,6 +526,7 @@ class ShardedIndex:
         post_spec = NamedSharding(mesh, P("seg", None))
         self.post_doc = jax.device_put(post_doc, post_spec)
         self.post_score = jax.device_put(post_score, post_spec)
+        self._build_row_topk(dense_host, per_shard_rows)
         if dcfg.dense_rows_bf16:
             import ml_dtypes
 
@@ -564,6 +565,123 @@ class ShardedIndex:
         # same contract as DeviceIndex._qpins (scoped pins win).
         self._qpins = {}
         self._build_merged_lex()
+
+    def _build_row_topk(self, dense_host, per_shard_rows) -> None:
+        """Precompute exact canonical top-k of the df-head dense rows,
+        per shard (host-side analog of DeviceIndex._build_row_topk; the
+        shard arrays are host-resident at build time here).
+
+        A 1-term query on a term that is heavy in EVERY shard it touches
+        is a pure function of its merged dense rows — answered host-side
+        with zero device work and zero fast-path guard trips (df~N terms'
+        10th..K2th scores sit inside the guard margin, where the proof
+        provably cannot pass; without this, every 1M-scale batch carrying
+        one such query would relaunch the wide kernel).
+
+        Canonical (score desc, slot asc) tie order is exact: positive f32
+        score bit patterns are order-isomorphic to uint32, and local slots
+        fit 24 bits (checked against the packed-transport bound), so one
+        uint64 key (score_bits << 24 | ~slot) makes top-k tie-free."""
+        self._row_topk = None
+        dcfg = self.config.device
+        if not (self._sparse and self._heavy_direct):
+            return
+        k = min(dcfg.row_topk_k, self.shard_capacity)
+        if dcfg.row_topk_rows <= 0 or k <= 0:
+            return
+        cap = self.shard_capacity
+        slot_mask = (1 << 24) - 1
+        per_shard: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
+        for si in range(self.n_shards):
+            n = min(per_shard_rows[si], dcfg.row_topk_rows)
+            if n <= 0:
+                per_shard.append(None)
+                continue
+            rows = dense_host[si, :n]  # [n, cap] f32, >= 0
+            key = rows.view(np.uint32).astype(np.uint64) << np.uint64(24)
+            key |= np.uint64(slot_mask) - np.arange(cap, dtype=np.uint64)
+            part = np.argpartition(key, cap - k, axis=1)[:, cap - k :]
+            pk = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(pk, axis=1)[:, ::-1]  # key desc = canonical
+            slots = np.take_along_axis(part, order, axis=1).astype(np.int32)
+            vals = np.take_along_axis(rows, slots, axis=1).astype(np.float32)
+            per_shard.append((vals, slots))
+        if any(p is not None for p in per_shard):
+            self._row_topk = per_shard
+
+    def _shortcut_single_heavy(self, queries, k: int):
+        """Answer 1-term head-heavy queries from the per-shard row top-k.
+
+        Returns (queries, fills) with the DeviceIndex._shortcut contract:
+        shortcut queries are replaced by [] (their plan slots empty out;
+        the batch envelope is unchanged) and fills maps batch index ->
+        finished QueryResult. Eligible terms are heavy (merged dense row
+        inside the precomputed head) in EVERY shard occurrence; `found`
+        is the sum of shard-global dfs (exact: a doc lives in one shard).
+        The merged global top-k of per-shard canonical prefixes stays
+        exact and canonical: scores merge by (score desc, GLOBAL slot
+        asc), matching the kernel's cross-shard tie order. For w != 1 the
+        multiply may collapse distinct f32 values; each shard prefix must
+        then keep its k-th value strictly above its stored tail or we
+        fall back to the kernel (same rule as DeviceIndex)."""
+        if getattr(self, "_row_topk", None) is None:
+            return queries, None
+        cap = self.shard_capacity
+        fills = {}
+        out = None
+        for qi, terms in enumerate(queries):
+            if len(terms) != 1:
+                continue
+            t, w = terms[0]
+            w32 = np.float32(w)
+            if not (w32 > 0) or not np.isfinite(w32):
+                continue
+            oc = self._lex_slices.get(t)
+            if oc is None:
+                continue
+            ent = self._lex_table[oc[0] : oc[0] + oc[1]]
+            if (ent[:, 3] < 0).any():
+                continue  # light somewhere -> kernel path
+            sv_all = []
+            gs_all = []
+            ok = True
+            found = 0
+            for si, _st, df, row, _lr in ent:
+                pt = self._row_topk[si]
+                if pt is None or row >= pt[0].shape[0]:
+                    ok = False
+                    break
+                vals, slots = pt[0][row], pt[1][row]
+                kp = vals.shape[0]
+                if k > kp:
+                    ok = False
+                    break
+                sv = vals if w32 == np.float32(1.0) else w32 * vals
+                if w32 != np.float32(1.0) and not (
+                    sv[min(k, kp) - 1] > sv[-1]
+                ):
+                    ok = False  # multiply collapsed the prefix boundary
+                    break
+                sv_all.append(sv)
+                gs_all.append(slots.astype(np.int64) + si * cap)
+                found += int(df)
+            if not ok:
+                continue
+            sv = np.concatenate(sv_all)
+            gs = np.concatenate(gs_all)
+            order = np.lexsort((gs, -sv))
+            sv = sv[order]
+            gs = gs[order]
+            live = sv > 0
+            if out is None:
+                out = list(queries)
+            fills[qi] = QueryResult(
+                scores=sv[live][:k].astype(np.float32),
+                doc_slots=gs[live][:k].astype(np.int32),
+                found=found,
+            )
+            out[qi] = []
+        return (out, fills) if fills else (queries, None)
 
     def _build_merged_lex(self) -> None:
         """Merge all shard lexicons into one packed planning table.
@@ -946,6 +1064,10 @@ class ShardedIndex:
             and os.environ.get("NEXTSEARCH_PALLAS", "1") == "1"
         )
         if mode == "sparse":
+            # 1-term head-heavy queries: answered host-side from the
+            # per-shard row top-k (exact, canonical, zero guard trips);
+            # their batch slots plan as empty queries.
+            queries, fills = self._shortcut_single_heavy(queries, k)
             plan_np, U = self.plan_sparse(queries)
             S, Qb, L = plan_np.shape
             T = L // 7
@@ -1008,9 +1130,9 @@ class ShardedIndex:
             if fast:
                 return (
                     "packedg", nq, k, K, launch(True),
-                    lambda: launch(False), None, queries, None,
+                    lambda: launch(False), None, queries, fills,
                 )
-            return ("packed", nq, k, K, launch(False))
+            return ("packed", nq, k, K, launch(False), fills)
         starts, dfs, weights, light_dfs, unique_heavy, heavy_mix = self.plan(
             queries
         )
@@ -1103,7 +1225,7 @@ class ShardedIndex:
             # host-oracle rescue, many trips one wide HIGHEST relaunch.
             import os as _os
 
-            _tag, nq, k, K, dev_out, relaunch, _perm, queries, _fills = (
+            _tag, nq, k, K, dev_out, relaunch, _perm, queries, fills = (
                 handle
             )
             packed = np.asarray(jax.device_get(dev_out))
@@ -1143,8 +1265,12 @@ class ShardedIndex:
                         found=int(found[qi]),
                     )
                 )
+            if fills:
+                for qi, qr in fills.items():
+                    out[qi] = qr
             return out
-        _tag, nq, k, K, packed = handle
+        _tag, nq, k, K, packed = handle[:5]
+        fills = handle[5] if len(handle) > 5 else None
         packed = jax.device_get(packed)
         k_out = (packed.shape[1] - 1) // 2
         vals = packed[:, :k_out]
@@ -1161,6 +1287,9 @@ class ShardedIndex:
                     found=int(found[qi]),
                 )
             )
+        if fills:
+            for qi, qr in fills.items():
+                out[qi] = qr
         return out
 
     def search_batch(

@@ -236,3 +236,42 @@ def test_sharded_guard_trip_host_rescue(segs, monkeypatch):
         for _ in range(16)
     ] + [[("w0000", 1.0)], [("nosuchterm", 1.0)]]
     _oracle_parity(si, segs, queries)
+
+
+def test_sharded_row_topk_shortcut_parity(segs):
+    """1-term head-heavy queries answered host-side from the per-shard
+    row top-k must be oracle-exact (scores, canonical global-slot tie
+    order, found = sum of shard-global dfs), including inside a mixed
+    batch and at w != 1; the shortcut must NOT fire for terms that are
+    light in any shard, duplicate-term, or multi-term queries."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256),
+            dense_df_ratio=0.02,
+        )
+    )
+    si = ShardedIndex(
+        segs, make_mesh(dp=2, seg=2, devices=jax.devices()[:4]), config=cfg
+    )
+    assert si._row_topk is not None
+    # terms heavy in EVERY shard occurrence (eligible)
+    elig = sorted(
+        t for t, (off, cnt) in si._lex_slices.items()
+        if (si._lex_table[off : off + cnt, 3] >= 0).all()
+    )
+    assert elig, "fixture must produce all-shard-heavy terms"
+    t0 = elig[0]
+    q, fills = si._shortcut_single_heavy([[(t0, 1.0)], [(t0, 0.7)]], 10)
+    assert fills is not None and 0 in fills and q[0] == []
+    # ineligible shapes keep the kernel path
+    q2, fills2 = si._shortcut_single_heavy(
+        [[(t0, 1.0), (t0, 0.5)], [(t0, 1.0), (elig[-1], 1.0)]], 10
+    )
+    assert fills2 is None
+
+    queries = [[(t, 1.0)] for t in elig[:5]]
+    queries += [[(t0, 0.7)], [(t0, 2.5)], [(t0, 1.0), ("w0150", 0.6)]]
+    queries += [[("w0150", 1.0)], [("nosuchterm", 1.0)]]
+    _oracle_parity(si, segs, queries)
