@@ -188,7 +188,7 @@ def main():
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
     bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16", "0") == "1"
     margin = int(os.environ.get("NEXTSEARCH_BENCH_K2", 32))
-    cfg0 = EngineConfig(
+    cfg = EngineConfig(
         device=DeviceConfig(
             mode=mode, posting_block=blk, heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
@@ -197,60 +197,25 @@ def main():
     )
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)
 
-    chunks_env = os.environ.get("NEXTSEARCH_BENCH_CHUNKS")
-    if chunks_env:
-        chunks = int(chunks_env)
-    else:
-        # Planning-only probe: host_only skips the dense-row build and all
-        # device transfers (minutes at 1M-doc scale). The budget is per
-        # LAUNCH GROUP (the multi-launch kernel expands each sub-batch
-        # against its own C), so probe at group granularity.
-        di = DeviceIndex([seg], config=cfg0, host_only=True)
-        block = cfg0.device.posting_block
-        group = min(batch, cfg0.device.launch_group or batch)
-        max_live = 1
-        max_w = 1
-        max_l = 1
-        for b in batches:
-            for gi in range(0, len(b), group):
-                _s, _d, _w, light_dfs, _u, _m = di.plan_full(
-                    b[gi : gi + group]
-                )
-                live = int(
-                    np.sum((light_dfs.astype(np.int64) + block - 1) // block)
-                )
-                max_live = max(max_live, live)
-                max_w = max(
-                    max_w,
-                    int(light_dfs.astype(np.int64).sum(axis=1).max(initial=0)),
-                )
-                max_l = max(max_l, int((light_dfs > 0).sum()))
-        chunks = ((max_live + 127) // 128) * 128  # tight static budget
-        print(f"[bench] max live chunks {max_live} -> budget {chunks} "
-              f"(max query window {max_w}, max light pairs {max_l})",
-              file=sys.stderr)
-    cfg = EngineConfig(
-        device=DeviceConfig(
-            mode=mode, posting_block=blk, chunk_buckets=(chunks,),
-            heavy_buckets=(heavy_b,),
-            dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
-            scores_bf16=bf16, rescore_margin=margin,
-        )
-    )
     t0 = time.time()
     di = DeviceIndex([seg], config=cfg)
     print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
-    if not chunks_env:
-        # Pin the selection window and the compact light-pair block to the
-        # probed workload max so W/L cannot flap across batches
-        # mid-measurement (same failure class as C/U).
-        from nextsearch_tpu.index.segment import _bucket
-
-        pins = di.pin_shapes(
-            W=_bucket(max_w, di.W_BUCKETS), L=_bucket(max_l, di.L_BUCKETS)
-        )
-        print(f"[bench] pins: {pins}", file=sys.stderr)
+    # Freeze every batch-varying static shape (T/Q/C/U/W/L) through the
+    # first-class pinning API. The probe applies the 1-term shortcut
+    # (heavy row top-k AND light posting top-k) exactly as serving does,
+    # so the C/L2 budgets exclude host-answered queries' postings — the
+    # light chain's gather/sort volume IS wall time at this scale.
+    chunks_env = os.environ.get("NEXTSEARCH_BENCH_CHUNKS")
+    t0 = time.time()
+    # scope_q: pin {C, U, W, L} for this batch size's Q envelope only —
+    # a global Q pin would pad the latency point's small batches up to
+    # the throughput batch width.
+    pins = di.pin_shapes(
+        batches, scope_q=True, C=int(chunks_env) if chunks_env else None
+    )
+    print(f"[bench] pins: {pins} ({time.time() - t0:.1f}s probe)",
+          file=sys.stderr)
     depth = int(
         os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 3 if batch >= 2048 else 8)
     )
@@ -340,9 +305,11 @@ def main():
     lat_secs = float(os.environ.get("NEXTSEARCH_BENCH_LAT_SECS", 4))
     if lat_batch > 0:
         lbatches = [b[:lat_batch] for b in batches[:64]]
-        # Freeze the latency shape; C keeps the big-batch budget (the
-        # ladder already rounds smaller batches into it).
-        di.pin_shapes(lbatches, C=chunks)
+        # Freeze the latency shapes on their OWN Q-envelope scope: the
+        # small batch gets a tight C/U/W/L budget instead of padding to
+        # the throughput batch's envelope.
+        lpins = di.pin_shapes(lbatches, scope_q=True)
+        print(f"[bench] latency-point pins: {lpins}", file=sys.stderr)
         t0 = time.time()
         di.search_batch(lbatches[0], k=10)  # warm/compile
         print(f"[bench] latency-point warmup: {time.time() - t0:.1f}s",

@@ -103,6 +103,15 @@ class DeviceConfig:
     # sort; 0 disables either way.
     row_topk_k: int = 128
     row_topk_rows: int = 256
+    # Precomputed exact canonical top-k per LIGHT (term, segment) posting
+    # range (sparse mode): a single-light-term query is a pure function of
+    # its posting list(s), so the engine answers those host-side too —
+    # and, because pin_shapes' workload probe skips shortcut-eligible
+    # queries, the C/L2 chunk budgets (= the light chain's gather/sort
+    # volume, wall time at scale) shrink by those queries' postings.
+    # Serving k > light_topk_k falls back to the kernel via a bounded,
+    # logged escape shape. 0 disables.
+    light_topk_k: int = 32
     # bf16 dense score accumulation: halves [Q, n_slots] traffic. Reported
     # scores stay bit-exact (f32 rescore) and `found` stays exact; only the
     # K2-candidate preselection sees ~0.4% relative noise (guarded by the

@@ -517,6 +517,8 @@ class DeviceIndex:
             self.dense_rows = None
             self.bucket_pos = None
             self.light_bucket_pos = None
+            self._row_topk = None
+            self._light_topk = None
             self._build_merged_lex()
             return
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
@@ -579,6 +581,7 @@ class DeviceIndex:
                 int(max(heavy_max_occ, light_max_occ, 1)).bit_length(),
             )
             self._build_row_topk()
+            self._build_light_topk(post_doc_parts, post_score_parts)
             self._build_merged_lex()
             return
         if dcfg.dense_rows_bf16:
@@ -597,6 +600,7 @@ class DeviceIndex:
             put(light_host) if light_host is not None else None
         )
         self._build_row_topk()
+        self._build_light_topk(post_doc_parts, post_score_parts)
         self._build_merged_lex()
 
     def _build_row_topk(self) -> None:
@@ -625,25 +629,98 @@ class DeviceIndex:
         )
         self._row_topk = (vals, slots)
 
+    def _build_light_topk(self, post_doc_parts, post_score_parts) -> None:
+        """Precompute exact canonical top-k per LIGHT (term, segment)
+        posting range (host-side; the per-segment posting arrays are in
+        hand at build either way).
+
+        A 1-term light query is a pure function of its posting list(s),
+        so search_batch answers it host-side like the heavy row-topk —
+        and pin_shapes' workload probe skips eligible queries, shrinking
+        the C/L2 budgets (light gather/sort volume IS wall time) by those
+        queries' postings. Canonical (score desc, slot asc) tie order is
+        exact via one uint64 key (score_bits << 24 | ~slot): positive f32
+        bit patterns are order-isomorphic to uint32 and global slots fit
+        24 bits (the packed result transport already requires that)."""
+        self._light_topk = None
+        dcfg = self.config.device
+        kl = dcfg.light_topk_k
+        if (
+            not self._sparse
+            or self.host_only
+            or kl <= 0
+            or self.n_light == 0
+            or self.n_slots >= 1 << 24
+        ):
+            return
+        kl = min(kl, self.n_slots)
+        vals = np.zeros((self.n_light, kl), np.float32)
+        slots = np.full((self.n_light, kl), 2**30, np.int32)
+        mask24 = np.uint64((1 << 24) - 1)
+        for seg_i, lmap in enumerate(self._light_row):
+            if not lmap:
+                continue
+            lex = self.lex[seg_i]
+            pb = self._seg_pbase[seg_i]
+            items = sorted(lmap.items(), key=lambda kv: kv[1])  # row asc
+            rows_arr = np.asarray([r for _t, r in items], np.int64)
+            starts = np.asarray(
+                [lex[t][0] - pb for t, _r in items], np.int64
+            )
+            dfs = np.asarray([lex[t][1] for t, _r in items], np.int64)
+            total = int(dfs.sum())
+            if total == 0:
+                continue
+            cum = np.cumsum(dfs)
+            rep = np.repeat(np.arange(len(items), dtype=np.int64), dfs)
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum - dfs, dfs)
+                + starts[rep]
+            )
+            sc = np.ascontiguousarray(
+                post_score_parts[seg_i][pos], dtype=np.float32
+            )
+            doc = post_doc_parts[seg_i][pos]  # global slots
+            key_inv = ~(
+                (sc.view(np.uint32).astype(np.uint64) << np.uint64(24))
+                | (mask24 - doc.astype(np.uint64))
+            )
+            order = np.lexsort((key_inv, rep))  # row asc, key desc
+            off = cum - dfs
+            take = np.minimum(dfs, kl)
+            sel_rows = np.repeat(np.arange(len(items)), take)
+            within = np.arange(int(take.sum())) - np.repeat(
+                np.cumsum(take) - take, take
+            )
+            src = order[off[sel_rows] + within]
+            vals[rows_arr[sel_rows], within] = sc[src]
+            slots[rows_arr[sel_rows], within] = doc[src]
+        self._light_topk = (vals, slots)
+
     def _shortcut_single_heavy(self, queries, k: int):
-        """Answer 1-term head-heavy queries from the precomputed row-topk.
+        """Answer 1-term queries from precomputed tables, host-side.
+
+        Heavy terms (merged dense row inside the row-topk head) read the
+        row's canonical prefix; light terms merge their per-(term,
+        segment) posting-prefix top-ks (exact: docs live in one segment,
+        and a global top-k member is inside its own segment's top-k, so
+        k <= light_topk_k keeps every candidate within the prefixes).
 
         Returns (queries, fills): shortcut queries are replaced with []
         (their plan slots empty out; the batch envelope is unchanged so
         no shape flap) and fills maps their ORIGINAL batch index to the
         finished QueryResult, applied after gather un-permutes. Exact:
         the reference accumulates score = w * eager_score once per doc
-        for a 1-term query, and the stored prefix is already canonical
-        (score desc, slot asc); w != 1 re-sorts after the multiply and
-        must keep the k-th value strictly above the stored tail (else a
-        doc outside the prefix could tie in — fall back to the kernel).
-        Duplicate-term queries accumulate twice and never shortcut.
+        for a 1-term query, and the stored prefixes are already canonical
+        (score desc, slot asc); w != 1 re-sorts after the multiply and an
+        INCOMPLETE prefix must keep its k-th value strictly above the
+        stored tail (else a doc outside could tie in — fall back to the
+        kernel). Duplicate-term queries accumulate twice and never
+        shortcut.
         """
-        if self._row_topk is None:
-            return queries, None
-        vals_t, slots_t = self._row_topk
-        kp = vals_t.shape[1]
-        if k > kp:
+        lt = getattr(self, "_light_topk", None)
+        if self._row_topk is None and lt is None:
             return queries, None
         fills = {}
         out = None
@@ -655,30 +732,78 @@ class DeviceIndex:
             if not (w32 > 0) or not np.isfinite(w32):
                 continue
             oc = self._lex_slices.get(t)
-            if oc is None or oc[1] != 1:
+            if oc is None:
                 continue
-            ent = self._lex_table[oc[0]]
-            row = int(ent[2])
-            if row < 0 or row >= vals_t.shape[0]:
-                continue
-            vals = vals_t[row]
-            slots = slots_t[row]
-            if w32 != np.float32(1.0):
-                sv = w32 * vals
-                if not sv[min(k, kp) - 1] > sv[-1]:
-                    continue  # multiply collapsed the prefix boundary
-                order = np.lexsort((slots, -sv))
-                sv = sv[order]
-                slots = slots[order]
+            ent_all = self._lex_table[oc[0] : oc[0] + oc[1]]
+            if (
+                oc[1] == 1
+                and ent_all[0, 2] >= 0
+                and self._row_topk is not None
+            ):
+                ent = ent_all[0]
+                vals_t, slots_t = self._row_topk
+                kp = vals_t.shape[1]
+                row = int(ent[2])
+                if k > kp or row >= vals_t.shape[0]:
+                    continue
+                vals = vals_t[row]
+                slots = slots_t[row]
+                if w32 != np.float32(1.0):
+                    sv = w32 * vals
+                    if not sv[min(k, kp) - 1] > sv[-1]:
+                        continue  # multiply collapsed the prefix boundary
+                    order = np.lexsort((slots, -sv))
+                    sv = sv[order]
+                    slots = slots[order]
+                else:
+                    sv = vals
+                found = int(ent[1])
+            elif lt is not None and (ent_all[:, 2] < 0).all():
+                vals_l, slots_l = lt
+                kl = vals_l.shape[1]
+                if k > kl or (ent_all[:, 5] >= self.n_light).any():
+                    continue
+                sv_all = []
+                gs_all = []
+                bad = False
+                found = 0
+                for ent in ent_all:
+                    row = int(ent[5])
+                    df = int(ent[1])
+                    sv1 = (
+                        vals_l[row]
+                        if w32 == np.float32(1.0)
+                        else w32 * vals_l[row]
+                    )
+                    if (
+                        df > kl
+                        and w32 != np.float32(1.0)
+                        and not sv1[min(k, kl) - 1] > sv1[-1]
+                    ):
+                        bad = True  # collapsed incomplete-prefix boundary
+                        break
+                    sv_all.append(sv1)
+                    gs_all.append(slots_l[row])
+                    found += df
+                if bad:
+                    continue
+                if len(sv_all) == 1 and w32 == np.float32(1.0):
+                    sv, slots = sv_all[0], gs_all[0]
+                else:
+                    sv = np.concatenate(sv_all)
+                    slots = np.concatenate(gs_all)
+                    order = np.lexsort((slots, -sv))
+                    sv = sv[order]
+                    slots = slots[order]
             else:
-                sv = vals
+                continue
             live = sv > 0
             if out is None:
                 out = list(queries)
             fills[qi] = QueryResult(
                 scores=sv[live][:k].astype(np.float32),
                 doc_slots=slots[live][:k].astype(np.int32),
-                found=int(ent[1]),
+                found=found,
             )
             out[qi] = []
         return (out, fills) if fills else (queries, None)
@@ -765,7 +890,8 @@ class DeviceIndex:
     # ---------------- shape pinning ----------------
 
     def probe_workload(
-        self, batches: Sequence[Sequence[Sequence[WeightedTerm]]]
+        self, batches: Sequence[Sequence[Sequence[WeightedTerm]]],
+        shortcut_k: int = 10,
     ) -> Dict[str, int]:
         """Max static-shape drivers over a sample workload (host-only).
 
@@ -776,12 +902,19 @@ class DeviceIndex:
         pairs per batch (the v4 compact-rescore block)} — the inputs
         pin_shapes() freezes. Costs one lexicon probe per (query, term);
         no device work.
+
+        The probe applies the 1-term shortcut (row/light top-k tables) at
+        `shortcut_k` first, exactly as serving does, so the pinned C/L2
+        budgets exclude host-answered queries' postings. A serving
+        request with k above the precomputed table width falls back to
+        the kernel and takes a bounded, logged escape shape.
         """
         block = self.config.device.posting_block
         table = self._lex_table
         t = q = c = u = w = li = 1
         for b in batches:
             q = max(q, len(b))
+            b, _f = self._shortcut_single_heavy(b, shortcut_k)
             q_rows, _q_ws = _probe_queries(self._lex_slices, b)
             rows_all = [r for r in q_rows if r.shape[0]]
             if not rows_all:

@@ -744,3 +744,67 @@ def test_row_topk_shortcut_in_batch(segs):
         check_parity(di, segs, queries)
     finally:
         del os.environ["NEXTSEARCH_SORT_QUERIES"]
+
+
+def test_light_topk_shortcut_parity(segs):
+    """1-term LIGHT queries answered host-side from the per-(term,
+    segment) posting top-k must be oracle-exact: single- and multi-
+    segment terms (per-segment prefixes merged by (score desc, global
+    slot asc)), w != 1 (re-sort + incomplete-prefix boundary rule),
+    df above and below the prefix width, and found = summed dfs.
+    Duplicate-term, multi-term, and k > light_topk_k requests keep the
+    kernel path."""
+    di = make_index(segs, dense_ratio=0.02, unified=False)
+    assert di._light_topk is not None
+    kl = di._light_topk[0].shape[1]
+
+    # light terms by segment-occurrence count
+    occ = {}
+    for lex in di.lex:
+        for t, v in lex.items():
+            if v[1] > 0 and v[2] < 0:
+                occ[t] = occ.get(t, 0) + 1
+    multi = sorted(t for t, n in occ.items() if n >= 2)
+    single = sorted(t for t, n in occ.items() if n == 1)
+    assert multi and single, "fixture must produce both occurrence shapes"
+    big = sorted(
+        (t for t in occ
+         if max(lex[t][1] for lex in di.lex if t in lex) > kl),
+        key=lambda t: -max(lex[t][1] for lex in di.lex if t in lex),
+    )
+
+    q, fills = di._shortcut_single_heavy([[(multi[0], 1.0)]], 10)
+    assert fills is not None and q[0] == []
+    # k above the stored prefix -> kernel path
+    q2, fills2 = di._shortcut_single_heavy([[(multi[0], 1.0)]], kl + 1)
+    assert fills2 is None
+    # duplicate-term -> kernel path
+    q3, fills3 = di._shortcut_single_heavy(
+        [[(multi[0], 1.0), (multi[0], 0.5)]], 10
+    )
+    assert fills3 is None
+
+    queries = (
+        [[(t, 1.0)] for t in multi[:3] + single[:3]]
+        + [[(multi[0], 0.7)], [(single[0], 2.5)], [(multi[0], 1.0), ("w0002", 0.6)]]
+        + ([[(big[0], 1.0)], [(big[0], 0.9)]] if big else [])
+    )
+    check_parity(di, segs, queries)
+
+
+def test_probe_workload_applies_shortcut(segs):
+    """pin_shapes' workload probe must exclude shortcut-eligible 1-term
+    queries, so the pinned C budget shrinks below the raw plan's."""
+    di = make_index(segs, dense_ratio=0.02, unified=False)
+    light = sorted(
+        t for lex in di.lex for t, v in lex.items()
+        if v[1] > 0 and v[2] < 0
+    )
+    batch = [[(t, 1.0)] for t in light[:24]]
+    m = di.probe_workload([batch])
+    # every query is shortcut-eligible -> nothing reaches the kernel plan
+    assert m["C"] == 1 and m["L"] == 1
+    raw = di._chunk_budget(
+        di.plan_full(batch)[3], di.config.device.posting_block
+    )
+    assert raw > 1
