@@ -527,6 +527,7 @@ class ShardedIndex:
         self.post_doc = jax.device_put(post_doc, post_spec)
         self.post_score = jax.device_put(post_score, post_spec)
         self._build_row_topk(dense_host, per_shard_rows)
+        self._build_light_topk(post_doc, post_score)
         if dcfg.dense_rows_bf16:
             import ml_dtypes
 
@@ -609,6 +610,68 @@ class ShardedIndex:
         if any(p is not None for p in per_shard):
             self._row_topk = per_shard
 
+    def _build_light_topk(self, post_doc, post_score) -> None:
+        """Precompute exact canonical top-k per light (term, segment)
+        posting range, per shard (DeviceIndex._build_light_topk over the
+        shard-local posting arrays; slots stored LOCAL, globalized at
+        serve). Same uint64 (score_bits << 24 | ~slot) key trick — local
+        slots fit 24 bits by the packed-transport bound."""
+        self._light_topk = None
+        dcfg = self.config.device
+        kl = dcfg.light_topk_k
+        if (
+            not self._sparse
+            or kl <= 0
+            or self.n_light == 0
+            or self.shard_capacity >= 1 << 24
+        ):
+            return
+        kl = min(kl, self.shard_capacity)
+        vals = np.zeros((self.n_shards, self.n_light, kl), np.float32)
+        slots = np.full((self.n_shards, self.n_light, kl), 2**30, np.int32)
+        mask24 = np.uint64((1 << 24) - 1)
+        for si in range(self.n_shards):
+            lmaps = self._light_row[si]
+            items = []  # (row, local start, df) row-ascending
+            for j, lmap in enumerate(lmaps):
+                lex = self.lex[si][j]
+                for t, row in lmap.items():
+                    st, df, _r = lex[t]
+                    items.append((row, st, df))
+            if not items:
+                continue
+            items.sort()
+            rows_arr = np.asarray([r for r, _s, _d in items], np.int64)
+            starts = np.asarray([s for _r, s, _d in items], np.int64)
+            dfs = np.asarray([d for _r, _s, d in items], np.int64)
+            total = int(dfs.sum())
+            if total == 0:
+                continue
+            cum = np.cumsum(dfs)
+            rep = np.repeat(np.arange(len(items), dtype=np.int64), dfs)
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum - dfs, dfs)
+                + starts[rep]
+            )
+            sc = np.ascontiguousarray(post_score[si][pos], np.float32)
+            doc = post_doc[si][pos].astype(np.int64)
+            key_inv = ~(
+                (sc.view(np.uint32).astype(np.uint64) << np.uint64(24))
+                | (mask24 - doc.astype(np.uint64))
+            )
+            order = np.lexsort((key_inv, rep))
+            off = cum - dfs
+            take = np.minimum(dfs, kl)
+            sel_rows = np.repeat(np.arange(len(items)), take)
+            within = np.arange(int(take.sum())) - np.repeat(
+                np.cumsum(take) - take, take
+            )
+            src = order[off[sel_rows] + within]
+            vals[si, rows_arr[sel_rows], within] = sc[src]
+            slots[si, rows_arr[sel_rows], within] = doc[src]
+        self._light_topk = (vals, slots)
+
     def _shortcut_single_heavy(self, queries, k: int):
         """Answer 1-term head-heavy queries from the per-shard row top-k.
 
@@ -623,8 +686,15 @@ class ShardedIndex:
         asc), matching the kernel's cross-shard tie order. For w != 1 the
         multiply may collapse distinct f32 values; each shard prefix must
         then keep its k-th value strictly above its stored tail or we
-        fall back to the kernel (same rule as DeviceIndex)."""
-        if getattr(self, "_row_topk", None) is None:
+        fall back to the kernel (same rule as DeviceIndex).
+
+        Terms light in EVERY shard occurrence are answered the same way
+        from the per-shard light posting top-k (exact for
+        k <= light_topk_k, incomplete-prefix boundary rule per
+        occurrence); mixed heavy/light terms keep the kernel path."""
+        rt = getattr(self, "_row_topk", None)
+        lt = getattr(self, "_light_topk", None)
+        if rt is None and lt is None:
             return queries, None
         cap = self.shard_capacity
         fills = {}
@@ -640,25 +710,41 @@ class ShardedIndex:
             if oc is None:
                 continue
             ent = self._lex_table[oc[0] : oc[0] + oc[1]]
-            if (ent[:, 3] < 0).any():
-                continue  # light somewhere -> kernel path
+            heavy_all = (ent[:, 3] >= 0).all()
+            light_all = (ent[:, 3] < 0).all()
+            if not (
+                (heavy_all and rt is not None)
+                or (light_all and lt is not None)
+            ):
+                continue  # mixed classification -> kernel path
             sv_all = []
             gs_all = []
             ok = True
             found = 0
-            for si, _st, df, row, _lr in ent:
-                pt = self._row_topk[si]
-                if pt is None or row >= pt[0].shape[0]:
-                    ok = False
-                    break
-                vals, slots = pt[0][row], pt[1][row]
+            for si, _st, df, row, lrow in ent:
+                if heavy_all:
+                    pt = rt[si]
+                    if pt is None or row >= pt[0].shape[0]:
+                        ok = False
+                        break
+                    vals, slots = pt[0][row], pt[1][row]
+                    df_cover = 0  # row prefix may be incomplete either way
+                else:
+                    vals_l, slots_l = lt
+                    if lrow >= self.n_light:
+                        ok = False
+                        break
+                    vals, slots = vals_l[si, lrow], slots_l[si, lrow]
+                    df_cover = int(df)  # df <= width => prefix complete
                 kp = vals.shape[0]
                 if k > kp:
                     ok = False
                     break
                 sv = vals if w32 == np.float32(1.0) else w32 * vals
-                if w32 != np.float32(1.0) and not (
-                    sv[min(k, kp) - 1] > sv[-1]
+                if (
+                    w32 != np.float32(1.0)
+                    and not 0 < df_cover <= kp
+                    and not sv[min(k, kp) - 1] > sv[-1]
                 ):
                     ok = False  # multiply collapsed the prefix boundary
                     break
@@ -988,6 +1074,10 @@ class ShardedIndex:
             for b in probe_batches:
                 q = max(q, len(b))
                 if sparse:
+                    # probe exactly what serving plans: 1-term shortcut
+                    # queries are answered host-side and never reach the
+                    # kernel, so their postings must not size C/L/U
+                    b, _f = self._shortcut_single_heavy(b, 10)
                     pi, ub = self.plan_sparse(b)
                     tb = pi.shape[2] // 7
                     t = max(t, tb)

@@ -275,3 +275,105 @@ def test_sharded_row_topk_shortcut_parity(segs):
     queries += [[(t0, 0.7)], [(t0, 2.5)], [(t0, 1.0), ("w0150", 0.6)]]
     queries += [[("w0150", 1.0)], [("nosuchterm", 1.0)]]
     _oracle_parity(si, segs, queries)
+
+
+def test_sharded_light_topk_shortcut_parity(segs):
+    """1-term all-shard-LIGHT queries answered host-side from the
+    per-shard per-(term, segment) posting top-k must be oracle-exact:
+    multi- and single-occurrence terms (prefixes merged by (score desc,
+    GLOBAL slot asc)), w != 1 (incomplete-prefix boundary rule per
+    occurrence), df above and below the prefix width, and found =
+    summed per-occurrence dfs. k > light_topk_k, duplicate-term, and
+    mixed heavy/light terms keep the kernel path."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256),
+            dense_df_ratio=0.02,
+        )
+    )
+    si = ShardedIndex(
+        segs, make_mesh(dp=2, seg=2, devices=jax.devices()[:4]), config=cfg
+    )
+    assert si._light_topk is not None
+    kl = si._light_topk[0].shape[2]
+
+    occ = {
+        t: si._lex_table[off : off + cnt]
+        for t, (off, cnt) in si._lex_slices.items()
+    }
+    light = sorted(t for t, ent in occ.items() if (ent[:, 3] < 0).all())
+    assert light, "fixture must produce all-light terms"
+    multi = [t for t in light if len(occ[t]) >= 2]
+    assert multi, "fixture must produce multi-occurrence light terms"
+    # fewest-occurrence light terms stand in for single-occurrence ones
+    # (every 200-vocab term spans several of the 5 segments here)
+    single = sorted(light, key=lambda t: len(occ[t]))[:3]
+    big = sorted(
+        (t for t in light if int(occ[t][:, 2].max()) > kl),
+        key=lambda t: -int(occ[t][:, 2].max()),
+    )
+    mixed = sorted(
+        t for t, ent in occ.items()
+        if (ent[:, 3] >= 0).any() and (ent[:, 3] < 0).any()
+    )
+
+    q, fills = si._shortcut_single_heavy([[(multi[0], 1.0)]], 10)
+    assert fills is not None and q[0] == []
+    # k above the stored prefix -> kernel path
+    q2, fills2 = si._shortcut_single_heavy([[(multi[0], 1.0)]], kl + 1)
+    assert fills2 is None
+    # duplicate-term -> kernel path
+    q3, fills3 = si._shortcut_single_heavy(
+        [[(multi[0], 1.0), (multi[0], 0.5)]], 10
+    )
+    assert fills3 is None
+    # heavy-in-one-shard / light-in-another -> kernel path
+    if mixed:
+        q4, fills4 = si._shortcut_single_heavy([[(mixed[0], 1.0)]], 10)
+        assert fills4 is None
+
+    queries = (
+        [[(t, 1.0)] for t in multi[:3] + single[:3]]
+        + [[(multi[0], 0.7)], [(single[0], 2.5)]]
+        + [[(multi[0], 1.0), ("w0002", 0.6)]]
+        + ([[(big[0], 1.0)], [(big[0], 0.9)]] if big else [])
+        + ([[(mixed[0], 1.0)]] if mixed else [])
+    )
+    _oracle_parity(si, segs, queries)
+
+
+def test_sharded_probe_applies_shortcut(segs):
+    """pin_shapes' workload probe must exclude shortcut-eligible 1-term
+    queries, so an all-eligible batch pins the minimum C/L budgets."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256),
+            dense_df_ratio=0.02,
+        )
+    )
+    si = ShardedIndex(
+        segs, make_mesh(dp=2, seg=2, devices=jax.devices()[:4]), config=cfg
+    )
+    elig = sorted(
+        t for t, (off, cnt) in si._lex_slices.items()
+        if (si._lex_table[off : off + cnt, 3] < 0).all()
+        or (si._lex_table[off : off + cnt, 3] >= 0).all()
+    )
+    batch = [[(t, 1.0)] for t in elig[:24]]
+    # every query is shortcut-eligible -> nothing reaches the kernel plan
+    stripped, fills = si._shortcut_single_heavy(batch, 10)
+    assert fills is not None and len(fills) == len(batch)
+    assert all(q == [] for q in stripped)
+    sc = si.pin_shapes([batch], scope_q=True)
+    ((qb, pins),) = sc.items()
+    assert pins["C"] == 128  # c_pad floor: nothing reached the plan
+    raw_pi, _ub = si.plan_sparse(batch)
+    tb = raw_pi.shape[2] // 7
+    raw_c = si._chunk_budget(
+        raw_pi[:, :, tb : 2 * tb], si.config.device.posting_block
+    )
+    assert raw_c > 1  # the raw plan would have sized real postings
