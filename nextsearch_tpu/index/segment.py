@@ -210,6 +210,8 @@ class DeviceIndex:
         # envelope instead of padding every 1-query request to the
         # max-batch C/U/W — scoped pins win over the global ones.
         self._qpins: Dict[int, Dict[str, int]] = {}
+        # (term, k) -> QueryResult|None for w==1 1-term shortcut answers
+        self._shortcut_memo: Dict = {}
         self.segments = list(segments)
         self.seg_names = list(seg_names) if seg_names else [
             f"seg_{i + 1:06d}" for i in range(len(self.segments))
@@ -718,10 +720,18 @@ class DeviceIndex:
         stored tail (else a doc outside could tie in — fall back to the
         kernel). Duplicate-term queries accumulate twice and never
         shortcut.
+
+        w == 1 results (the entire organic 1-term stream: expansion
+        produces multi-term queries, so off-1 weights never reach here)
+        are memoized per (term, k) — Zipf query streams repeat head
+        terms constantly, and the memo turns the numpy merge into one
+        dict probe per query. QueryResults are shared across hits; they
+        are read-only downstream.
         """
         lt = getattr(self, "_light_topk", None)
         if self._row_topk is None and lt is None:
             return queries, None
+        memo = self._shortcut_memo
         fills = {}
         out = None
         for qi, terms in enumerate(queries):
@@ -731,82 +741,95 @@ class DeviceIndex:
             w32 = np.float32(w)
             if not (w32 > 0) or not np.isfinite(w32):
                 continue
-            oc = self._lex_slices.get(t)
-            if oc is None:
-                continue
-            ent_all = self._lex_table[oc[0] : oc[0] + oc[1]]
-            if (
-                oc[1] == 1
-                and ent_all[0, 2] >= 0
-                and self._row_topk is not None
-            ):
-                ent = ent_all[0]
-                vals_t, slots_t = self._row_topk
-                kp = vals_t.shape[1]
-                row = int(ent[2])
-                if k > kp or row >= vals_t.shape[0]:
-                    continue
-                vals = vals_t[row]
-                slots = slots_t[row]
-                if w32 != np.float32(1.0):
-                    sv = w32 * vals
-                    if not sv[min(k, kp) - 1] > sv[-1]:
-                        continue  # multiply collapsed the prefix boundary
-                    order = np.lexsort((slots, -sv))
-                    sv = sv[order]
-                    slots = slots[order]
-                else:
-                    sv = vals
-                found = int(ent[1])
-            elif lt is not None and (ent_all[:, 2] < 0).all():
-                vals_l, slots_l = lt
-                kl = vals_l.shape[1]
-                if k > kl or (ent_all[:, 5] >= self.n_light).any():
-                    continue
-                sv_all = []
-                gs_all = []
-                bad = False
-                found = 0
-                for ent in ent_all:
-                    row = int(ent[5])
-                    df = int(ent[1])
-                    sv1 = (
-                        vals_l[row]
-                        if w32 == np.float32(1.0)
-                        else w32 * vals_l[row]
-                    )
-                    if (
-                        df > kl
-                        and w32 != np.float32(1.0)
-                        and not sv1[min(k, kl) - 1] > sv1[-1]
-                    ):
-                        bad = True  # collapsed incomplete-prefix boundary
-                        break
-                    sv_all.append(sv1)
-                    gs_all.append(slots_l[row])
-                    found += df
-                if bad:
-                    continue
-                if len(sv_all) == 1 and w32 == np.float32(1.0):
-                    sv, slots = sv_all[0], gs_all[0]
-                else:
-                    sv = np.concatenate(sv_all)
-                    slots = np.concatenate(gs_all)
-                    order = np.lexsort((slots, -sv))
-                    sv = sv[order]
-                    slots = slots[order]
+            if w32 == np.float32(1.0):
+                key = (t, k)
+                res = memo.get(key, False)
+                if res is False:
+                    res = self._shortcut_compute(t, w32, k, lt)
+                    if len(memo) >= 200_000:
+                        memo.clear()
+                    memo[key] = res
             else:
+                res = self._shortcut_compute(t, w32, k, lt)
+            if res is None:
                 continue
-            live = sv > 0
             if out is None:
                 out = list(queries)
-            fills[qi] = QueryResult(
-                scores=sv[live][:k].astype(np.float32),
-                doc_slots=slots[live][:k].astype(np.int32),
-                found=found,
-            )
+            fills[qi] = res
             out[qi] = []
         return (out, fills) if fills else (queries, None)
+
+    def _shortcut_compute(self, t, w32, k, lt):
+        """One term's host-side 1-term answer, or None for the kernel
+        path (see _shortcut_single_heavy for the exactness rules)."""
+        oc = self._lex_slices.get(t)
+        if oc is None:
+            return None
+        ent_all = self._lex_table[oc[0] : oc[0] + oc[1]]
+        if (
+            oc[1] == 1
+            and ent_all[0, 2] >= 0
+            and self._row_topk is not None
+        ):
+            ent = ent_all[0]
+            vals_t, slots_t = self._row_topk
+            kp = vals_t.shape[1]
+            row = int(ent[2])
+            if k > kp or row >= vals_t.shape[0]:
+                return None
+            vals = vals_t[row]
+            slots = slots_t[row]
+            if w32 != np.float32(1.0):
+                sv = w32 * vals
+                if not sv[min(k, kp) - 1] > sv[-1]:
+                    return None  # multiply collapsed the prefix boundary
+                order = np.lexsort((slots, -sv))
+                sv = sv[order]
+                slots = slots[order]
+            else:
+                sv = vals
+            found = int(ent[1])
+        elif lt is not None and (ent_all[:, 2] < 0).all():
+            vals_l, slots_l = lt
+            kl = vals_l.shape[1]
+            if k > kl or (ent_all[:, 5] >= self.n_light).any():
+                return None
+            sv_all = []
+            gs_all = []
+            found = 0
+            for ent in ent_all:
+                row = int(ent[5])
+                df = int(ent[1])
+                sv1 = (
+                    vals_l[row]
+                    if w32 == np.float32(1.0)
+                    else w32 * vals_l[row]
+                )
+                if (
+                    df > kl
+                    and w32 != np.float32(1.0)
+                    and not sv1[min(k, kl) - 1] > sv1[-1]
+                ):
+                    return None  # collapsed incomplete-prefix boundary
+                sv_all.append(sv1)
+                gs_all.append(slots_l[row])
+                found += df
+            if len(sv_all) == 1 and w32 == np.float32(1.0):
+                sv, slots = sv_all[0], gs_all[0]
+            else:
+                sv = np.concatenate(sv_all)
+                slots = np.concatenate(gs_all)
+                order = np.lexsort((slots, -sv))
+                sv = sv[order]
+                slots = slots[order]
+        else:
+            return None
+        live = sv > 0
+        return QueryResult(
+            scores=sv[live][:k].astype(np.float32),
+            doc_slots=slots[live][:k].astype(np.int32),
+            found=found,
+        )
 
     def _build_merged_lex(self) -> None:
         """Merge per-segment lexicons into one packed table for planning.

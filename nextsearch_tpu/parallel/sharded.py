@@ -29,14 +29,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..index.builder import SegmentArrays, eager_scores
 from ..index.segment import (
-    _EMPTY_F32,
-    _EMPTY_I64,
     QueryResult,
     WeightedTerm,
     _bucket,
     _pick_shape,
-    _probe_queries,
-    _ranges,
+    _probe_queries_flat,
     _round_up,
 )
 from ..ops.bm25 import score_only_exact
@@ -565,6 +562,8 @@ class ShardedIndex:
         # Per-Q-envelope pins (pin_shapes(scope_q=True)): Qb -> {T,C,U};
         # same contract as DeviceIndex._qpins (scoped pins win).
         self._qpins = {}
+        # (term, k) -> QueryResult|None for w==1 1-term shortcut answers
+        self._shortcut_memo = {}
         self._build_merged_lex()
 
     def _build_row_topk(self, dense_host, per_shard_rows) -> None:
@@ -691,12 +690,19 @@ class ShardedIndex:
         Terms light in EVERY shard occurrence are answered the same way
         from the per-shard light posting top-k (exact for
         k <= light_topk_k, incomplete-prefix boundary rule per
-        occurrence); mixed heavy/light terms keep the kernel path."""
+        occurrence); mixed heavy/light terms keep the kernel path.
+
+        w == 1 results (the entire organic 1-term stream: expansion
+        produces multi-term queries, so off-1 weights never reach here)
+        are memoized per (term, k) — Zipf query streams repeat head
+        terms constantly, and the memo turns the numpy merge into one
+        dict probe per query. QueryResults are shared across hits; they
+        are read-only downstream."""
         rt = getattr(self, "_row_topk", None)
         lt = getattr(self, "_light_topk", None)
         if rt is None and lt is None:
             return queries, None
-        cap = self.shard_capacity
+        memo = self._shortcut_memo
         fills = {}
         out = None
         for qi, terms in enumerate(queries):
@@ -706,68 +712,87 @@ class ShardedIndex:
             w32 = np.float32(w)
             if not (w32 > 0) or not np.isfinite(w32):
                 continue
-            oc = self._lex_slices.get(t)
-            if oc is None:
+            if w32 == np.float32(1.0):
+                key = (t, k)
+                res = memo.get(key, False)
+                if res is False:
+                    res = self._shortcut_compute(t, w32, k, rt, lt)
+                    if len(memo) >= 200_000:
+                        memo.clear()
+                    memo[key] = res
+            else:
+                res = self._shortcut_compute(t, w32, k, rt, lt)
+            if res is None:
                 continue
-            ent = self._lex_table[oc[0] : oc[0] + oc[1]]
-            heavy_all = (ent[:, 3] >= 0).all()
-            light_all = (ent[:, 3] < 0).all()
-            if not (
-                (heavy_all and rt is not None)
-                or (light_all and lt is not None)
+            if out is None:
+                out = list(queries)
+            fills[qi] = res
+            out[qi] = []
+        return (out, fills) if fills else (queries, None)
+
+    def _shortcut_compute(self, t, w32, k, rt, lt):
+        """One term's host-side 1-term answer, or None for the kernel
+        path (see _shortcut_single_heavy for the exactness rules)."""
+        oc = self._lex_slices.get(t)
+        if oc is None:
+            return None
+        cap = self.shard_capacity
+        ent = self._lex_table[oc[0] : oc[0] + oc[1]]
+        d3 = ent[:, 3]
+        heavy_all = bool((d3 >= 0).all())
+        light_all = not heavy_all and bool((d3 < 0).all())
+        if not (
+            (heavy_all and rt is not None)
+            or (light_all and lt is not None)
+        ):
+            return None  # mixed classification -> kernel path
+        sv_all = []
+        gs_all = []
+        found = 0
+        for si, _st, df, row, lrow in ent:
+            if heavy_all:
+                pt = rt[si]
+                if pt is None or row >= pt[0].shape[0]:
+                    return None
+                vals, slots = pt[0][row], pt[1][row]
+                df_cover = 0  # row prefix may be incomplete either way
+            else:
+                vals_l, slots_l = lt
+                if lrow >= self.n_light:
+                    return None
+                vals, slots = vals_l[si, lrow], slots_l[si, lrow]
+                df_cover = int(df)  # df <= width => prefix complete
+            kp = vals.shape[0]
+            if k > kp:
+                return None
+            sv = vals if w32 == np.float32(1.0) else w32 * vals
+            if (
+                w32 != np.float32(1.0)
+                and not 0 < df_cover <= kp
+                and not sv[min(k, kp) - 1] > sv[-1]
             ):
-                continue  # mixed classification -> kernel path
-            sv_all = []
-            gs_all = []
-            ok = True
-            found = 0
-            for si, _st, df, row, lrow in ent:
-                if heavy_all:
-                    pt = rt[si]
-                    if pt is None or row >= pt[0].shape[0]:
-                        ok = False
-                        break
-                    vals, slots = pt[0][row], pt[1][row]
-                    df_cover = 0  # row prefix may be incomplete either way
-                else:
-                    vals_l, slots_l = lt
-                    if lrow >= self.n_light:
-                        ok = False
-                        break
-                    vals, slots = vals_l[si, lrow], slots_l[si, lrow]
-                    df_cover = int(df)  # df <= width => prefix complete
-                kp = vals.shape[0]
-                if k > kp:
-                    ok = False
-                    break
-                sv = vals if w32 == np.float32(1.0) else w32 * vals
-                if (
-                    w32 != np.float32(1.0)
-                    and not 0 < df_cover <= kp
-                    and not sv[min(k, kp) - 1] > sv[-1]
-                ):
-                    ok = False  # multiply collapsed the prefix boundary
-                    break
-                sv_all.append(sv)
-                gs_all.append(slots.astype(np.int64) + si * cap)
-                found += int(df)
-            if not ok:
-                continue
+                return None  # multiply collapsed the prefix boundary
+            sv_all.append(sv)
+            gs_all.append(
+                slots if si == 0 else slots.astype(np.int64) + si * cap
+            )
+            found += int(df)
+        if len(sv_all) == 1 and w32 == np.float32(1.0):
+            # a single stored prefix is already canonical (score desc,
+            # slot asc; globalizing preserves slot order within a shard)
+            sv, gs = sv_all[0], gs_all[0]
+        else:
             sv = np.concatenate(sv_all)
             gs = np.concatenate(gs_all)
             order = np.lexsort((gs, -sv))
             sv = sv[order]
             gs = gs[order]
-            live = sv > 0
-            if out is None:
-                out = list(queries)
-            fills[qi] = QueryResult(
-                scores=sv[live][:k].astype(np.float32),
-                doc_slots=gs[live][:k].astype(np.int32),
-                found=found,
-            )
-            out[qi] = []
-        return (out, fills) if fills else (queries, None)
+        live = sv > 0
+        return QueryResult(
+            scores=sv[live][:k].astype(np.float32),
+            doc_slots=gs[live][:k].astype(np.int32),
+            found=found,
+        )
 
     def _build_merged_lex(self) -> None:
         """Merge all shard lexicons into one packed planning table.
@@ -857,20 +882,14 @@ class ShardedIndex:
         """
         S = self.n_shards
         table = self._lex_table
-        q_rows, q_ws = _probe_queries(self._lex_slices, queries)
-
-        lens = np.fromiter(
-            (r.shape[0] for r in q_rows), np.int64, count=len(q_rows)
-        )
-        rows = (
-            np.concatenate(q_rows) if lens.sum() else np.empty(0, np.int64)
-        )
-        w = (
-            np.concatenate(q_ws).astype(np.float32)
-            if lens.sum()
-            else np.empty(0, np.float32)
-        )
-        qi = np.repeat(np.arange(len(q_rows), dtype=np.int64), lens)
+        # Flat probe: ONE numpy expansion for the whole batch. The
+        # per-query list-of-arrays variant costs ~10 small numpy calls
+        # per query — measured 22 ms of serial host time at batch 512,
+        # which was most of the sharded (1,1) 24.6% QPS overhead vs
+        # DeviceIndex (planning is serial with the launch pipeline on a
+        # 1-core serving host).
+        rows, w, q_lens = _probe_queries_flat(self._lex_slices, queries)
+        qi = np.repeat(np.arange(len(queries), dtype=np.int64), q_lens)
         ent = table[rows]
         sid = ent[:, 0]
 
@@ -1048,6 +1067,53 @@ class ShardedIndex:
             max(pairs, 1), self.L_BUCKETS, self._pin("L", Qb), "L"
         )
 
+    def probe_workload(self, batches, shortcut_k: int = 10):
+        """Raw (unbucketed) static-shape drivers over a sample workload,
+        measured per (shard, dp-group) — the units the shard_map blocks
+        compile over. Returns {"T","Q","C","U","L"} like
+        DeviceIndex.probe_workload (no "W": the sharded local step keeps
+        flat-sort selection). Raw maxima matter: pinning the launch-time
+        budgets (which _pick_shape has already bucketed up the ladder)
+        pinned C=4096/U=528 where the workload needed 2944/352 — a 39%
+        bigger light gather and 50% wider compact row table on every
+        batch. The probe applies the 1-term shortcut first, exactly as
+        serving does, so C/L budgets exclude host-answered queries'
+        postings."""
+        block = self.config.device.posting_block
+        S, DP = self.n_shards, self.dp
+        nd = self.n_dense
+        t = q = c = u = li = 1
+        for b in batches:
+            q = max(q, len(b))
+            b, _f = self._shortcut_single_heavy(b, shortcut_k)
+            rows, _w, q_lens = _probe_queries_flat(self._lex_slices, b)
+            if not rows.shape[0]:
+                continue
+            qi = np.repeat(np.arange(len(b), dtype=np.int64), q_lens)
+            ent = self._lex_table[rows]
+            sid = ent[:, 0]
+            t = max(t, int(np.bincount(qi * S + sid).max(initial=0)))
+            Qb = _round_up(max(len(b), 1), DP)
+            if self._pins.get("Q"):
+                Qb = _round_up(Qb, self._pins["Q"])
+            g = qi // (Qb // DP)
+            key_sg = sid * DP + g
+            light = ent[:, 3] < 0
+            if light.any():
+                reps = (ent[light, 2] + block - 1) // block
+                c = max(c, int(np.bincount(
+                    key_sg[light], weights=reps, minlength=S * DP
+                ).max()))
+                li = max(li, int(np.bincount(
+                    key_sg[light], minlength=S * DP
+                ).max()))
+            if not light.all():
+                hk = key_sg[~light] * (nd + 1) + ent[~light, 3]
+                u = max(u, int(np.bincount(
+                    np.unique(hk) // (nd + 1), minlength=S * DP
+                ).max()))
+        return {"T": t, "Q": q, "C": c, "U": u, "L": li}
+
     def pin_shapes(
         self,
         probe_batches=None,
@@ -1070,24 +1136,13 @@ class ShardedIndex:
         if probe_batches is not None:
             block = self.config.device.posting_block
             sparse = self.config.device.mode == "sparse"
-            t = q = c = u = li = 1
-            for b in probe_batches:
-                q = max(q, len(b))
-                if sparse:
-                    # probe exactly what serving plans: 1-term shortcut
-                    # queries are answered host-side and never reach the
-                    # kernel, so their postings must not size C/L/U
-                    b, _f = self._shortcut_single_heavy(b, 10)
-                    pi, ub = self.plan_sparse(b)
-                    tb = pi.shape[2] // 7
-                    t = max(t, tb)
-                    c = max(
-                        c,
-                        self._chunk_budget(pi[:, :, tb : 2 * tb], block),
-                    )
-                    u = max(u, ub)
-                    li = max(li, self._light_budget(pi))
-                else:
+            if sparse:
+                m = self.probe_workload(probe_batches)
+                t, q, c, u, li = m["T"], m["Q"], m["C"], m["U"], m["L"]
+            else:
+                t = q = c = u = li = 1
+                for b in probe_batches:
+                    q = max(q, len(b))
                     s, _dfs, _w, light_dfs, uh, _m = self.plan(b)
                     t = max(t, s.shape[2])
                     c = max(c, self._chunk_budget(light_dfs, block))
