@@ -302,7 +302,9 @@ def main():
     lat_point = None
     lat_batch = int(os.environ.get("NEXTSEARCH_BENCH_LAT_BATCH", 64))
     lat_depth = int(os.environ.get("NEXTSEARCH_BENCH_LAT_DEPTH", 2))
-    lat_secs = float(os.environ.get("NEXTSEARCH_BENCH_LAT_SECS", 4))
+    # 8s window: the 4s default was inside relay jitter (measured 4,114
+    # vs 5,339 qps run-to-run at the same code)
+    lat_secs = float(os.environ.get("NEXTSEARCH_BENCH_LAT_SECS", 8))
     if lat_batch > 0:
         lbatches = [b[:lat_batch] for b in batches[:64]]
         # Freeze the latency shapes on their OWN Q-envelope scope: the
