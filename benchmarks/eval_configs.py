@@ -92,13 +92,17 @@ def _throughput(di, batches, k=10, secs=6.0, depth=4):
 
 
 def config1():
+    # Serving batch width (512): at 5k docs the per-launch device work is
+    # tiny, so a 64-query batch measures the relay's launch floor, not the
+    # engine ("query batching amortizing launches" is the BASELINE north
+    # star's own design premise — same width the 1M headline serves at).
     seg, probs = build_corpus(5_000, 5_000, seed=1)
     rng = np.random.default_rng(1)
     queries = [
         [(f"t{t:06d}", 1.0)]
-        for t in rng.choice(5_000, size=256, p=probs)
+        for t in rng.choice(5_000, size=2048, p=probs)
     ]
-    batches = [queries[i : i + 64] for i in range(0, 256, 64)]
+    batches = [queries[i : i + 512] for i in range(0, 2048, 512)]
     di = _pinned_index([seg], batches)
     _recall_check(di, seg, queries)
     qps = _throughput(di, batches)
@@ -107,7 +111,7 @@ def config1():
 
 def config2():
     seg, probs = build_corpus(50_000, 30_000, seed=2)
-    batches = sample_queries(probs, 256, 64, seed=2)
+    batches = sample_queries(probs, 2048, 512, seed=2)
     di = _pinned_index([seg], batches)
     queries = [q for b in batches for q in b]
     _recall_check(di, seg, queries)
