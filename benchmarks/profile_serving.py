@@ -60,6 +60,12 @@ VARIANTS = {
     "no_cand_heavy": ("cand_heavy",),
     "no_rowgather": ("rowgather",),
     "no_heavy_mm": ("heavy_mm", "rowgather"),
+    "no_s2hg": ("sort2", "hgather"),
+    # light chain + base alone (heavy stages all off): in-context light
+    # cost without the heavy kernel competing for the scheduler
+    "light_only": ("rowgather", "heavy_mm", "cand_heavy", "rescore"),
+    # heavy stages + base alone
+    "heavy_only": ("light", "hgather", "sort2", "rescore"),
     "base": ("heavy_mm", "rowgather", "light", "hgather", "sort2",
              "cand_heavy", "rescore"),
 }
