@@ -188,11 +188,12 @@ def main():
     heavy_b = int(os.environ.get("NEXTSEARCH_BENCH_HEAVYB", 512))
     bf16 = os.environ.get("NEXTSEARCH_BENCH_BF16", "0") == "1"
     margin = int(os.environ.get("NEXTSEARCH_BENCH_K2", 32))
+    unified = os.environ.get("NEXTSEARCH_BENCH_UNIFIED", "0") == "1"
     cfg = EngineConfig(
         device=DeviceConfig(
             mode=mode, posting_block=blk, heavy_buckets=(heavy_b,),
             dense_df_ratio=dense_ratio, dense_max_bytes=dense_bytes,
-            scores_bf16=bf16, rescore_margin=margin,
+            scores_bf16=bf16, rescore_margin=margin, unified=unified,
         )
     )
     batches = sample_queries(probs, n_queries=200 * batch, batch=batch)

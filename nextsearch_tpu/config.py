@@ -127,15 +127,17 @@ class DeviceConfig:
     # with the canonical order.
     dense_rows_bf16: bool = False
     # Sparse-mode unified-totals pipeline (ops/bm25_sparse.
-    # bm25_search_sparse_unified): scatter-add light contributions INTO the
-    # heavy matmul output and read selection maxima + the exact matched-doc
-    # count off one totals matrix — replaces the light path's two global
-    # sorts and halves the rescore width. OFF -> the split light/heavy
-    # packed kernel (bm25_search_sparse_packed). Default OFF: the in-kernel
-    # entry DMA slices [Np, 1] streams, which Mosaic rejects on real TPU
-    # ("slice shape along dimension 1 must be aligned to tiling (128)");
-    # flip back on once the lane-aligned window layout is proven on
-    # hardware.
+    # bm25_search_sparse_unified): fold light contributions INTO the
+    # heavy matmul output inside one Pallas pass (aligned-window entry
+    # DMAs + exact 3-way-bf16-split one-hot matmuls) and read selection
+    # maxima + the exact matched-doc count off one totals matrix —
+    # replaces the split path's H-gather at light lanes and its light
+    # selection sort (measured +18 ms/batch combined at the 1M serving
+    # point) with ~1.2 TFLOP of in-kernel one-hot MXU work. Composes with
+    # fast_heavy: the guarded unified fast mode runs the heavy dot at
+    # DEFAULT over an RN-bf16 compact table and trips relaunch the exact
+    # wide PACKED kernel. Requires compact heavy mode (single-launch
+    # batches only; launch groups keep the packed kernel).
     unified: bool = False
     # Guarded fast path (sparse + f32 rows): heavy matmul at DEFAULT
     # precision (1 bf16 MXU pass vs HIGHEST's 6) and ONE merged K2-wide

@@ -608,7 +608,7 @@ def _dedup_sorted(vals, docs):
     jax.jit,
     static_argnames=(
         "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
-        "use_pallas", "heavy_direct",
+        "use_pallas", "heavy_direct", "fast_heavy", "guard_eps", "L2",
     ),
 )
 def bm25_search_sparse_unified(
@@ -630,6 +630,9 @@ def bm25_search_sparse_unified(
     U: int,
     use_pallas: bool = True,
     heavy_direct: bool = True,
+    fast_heavy: bool = False,
+    guard_eps: float = 2e-3,
+    L2: int = 0,
 ):
     """Unified-totals sparse search: light contributions are folded INTO
     the heavy matmul inside one Pallas pass, so selection and the
@@ -657,6 +660,24 @@ def bm25_search_sparse_unified(
       rescore  bit-exact f32 re-accumulation, unchanged (exact_rescore_v2)
 
     Output packed f32 [Q, 2K+1] like bm25_search_sparse_packed.
+
+    fast_heavy=True is the GUARDED fast mode (the unified analog of
+    _packed_impl's): the heavy dot runs at DEFAULT precision (one bf16
+    MXU pass) over an RN-pre-rounded bf16 compact table — bit-identical
+    input to what DEFAULT truncates f32 operands to — while the in-kernel
+    light-entry application stays EXACT at any precision (3-way bf16
+    mantissa split). Selection reads the single K2-wide pool off the
+    approximate totals; the guard column proves per query that every
+    excluded doc's TRUE score <= (1+eps) * tau where tau is the K2-th
+    pool value (subtile-stage exclusions are covered because each
+    selected subtile's max is itself in the flat pool) and eps bounds the
+    heavy part's DEFAULT relative error (the light part's only error is
+    f32 summation-order rounding, ~2^-20 relative, absorbed by the same
+    margin). On guard failure the CALLER relaunches the exact wide packed
+    kernel — identical trip protocol to the split fast path. `found` and
+    the rescored scores are exact at either precision. Output gains the
+    guard column: [Q, 2K+2]. L2 > 0 routes the rescore through
+    exact_rescore_v4 (light binary search compacted to [L2, kc] lanes).
     """
     from .heavy_pallas import (
         ENT_W,
@@ -690,9 +711,17 @@ def bm25_search_sparse_unified(
     mix = lax.fori_loop(0, T, mix_step, jnp.zeros((Q, uc), jnp.float32))
     mix = mix.at[:, U].set(0.0)  # light/padding slots -> zero row
 
-    table3 = (
-        gather_rows_pallas(ids, dense_rows) if use_pallas else dense_rows[ids]
-    )
+    if use_pallas and fast_heavy and dense_rows.dtype == jnp.float32:
+        # fast mode: gather + RN-bf16 convert in one pass — bit-identical
+        # input to the DEFAULT (single bf16 pass) dot, half the compact
+        # table traffic (see _packed_impl's fast path).
+        from .heavy_pallas import gather_rows_bf16_pallas
+
+        table3 = gather_rows_bf16_pallas(ids, dense_rows)
+    elif use_pallas:
+        table3 = gather_rows_pallas(ids, dense_rows)
+    else:
+        table3 = dense_rows[ids]
     table = table3.reshape(table3.shape[0], n_slots)
 
     # ---- light entries: expand, sort by doc slot, pack aligned windows.
@@ -752,18 +781,25 @@ def bm25_search_sparse_unified(
 
     fusedu = unified_fused_pallas if use_pallas else unified_fused_xla
     totals, smax_sq, cnt_tq = fusedu(
-        mix.astype(table.dtype), table, ent_pack, eoff,
+        mix.astype(table.dtype), table, ent_pack, eoff, fast=fast_heavy,
     )
     found = jnp.sum(cnt_tq, axis=0).astype(jnp.int32)
 
-    # ---- single K2 candidate pool by exact totals (one pool: totals
-    # already include light + heavy, so the packed kernel's light/heavy
-    # pool union — and its duplicate kill — is unnecessary).
-    _vals, cand = heavy_candidates(totals, smax_sq, K2, Q, n_slots)
+    # ---- single K2 candidate pool by totals (one pool: totals already
+    # include light + heavy, so the packed kernel's light/heavy pool
+    # union — and its duplicate kill — is unnecessary). Under fast_heavy
+    # the pool values are approximate and the guard below covers them.
+    pool_vals, cand = heavy_candidates(totals, smax_sq, K2, Q, n_slots)
     cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
 
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
-    if heavy_direct:
+    if heavy_direct and L2 > 0:
+        exact = exact_rescore_v4(
+            post_doc, post_score, dense_rows, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl, L2=L2,
+        )
+    elif heavy_direct:
         exact = exact_rescore_v3(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
@@ -778,15 +814,23 @@ def bm25_search_sparse_unified(
     exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     sval, sdoc = canonical_sort(exact, safe_cand)
 
-    out = jnp.concatenate(
-        [
-            sval[:, :K],
-            sdoc[:, :K].astype(jnp.float32),
-            found[:, None].astype(jnp.float32),
-        ],
-        axis=1,
-    )
-    return out
+    cols = [
+        sval[:, :K],
+        sdoc[:, :K].astype(jnp.float32),
+        found[:, None].astype(jnp.float32),
+    ]
+    if fast_heavy:
+        # Guard: every doc excluded from the single K2 pool has
+        # approximate total <= tau (the K2-th pool value; subtile-stage
+        # exclusions are bounded by their subtile max, which is itself in
+        # the pool), hence TRUE total <= (1+eps) * tau. Strict > keeps
+        # boundary ties (reference breaks ties doc-ascending) on the
+        # relaunch path.
+        tau = pool_vals[:, K2 - 1]
+        kth = sval[:, K - 1]
+        ok = (kth > (1.0 + guard_eps) * tau) | (tau <= 0.0)
+        cols.append(ok.astype(jnp.float32)[:, None])
+    return jnp.concatenate(cols, axis=1)
 
 
 def _packed_impl(

@@ -251,124 +251,139 @@ ENT_G = 4  # windows per DMA group (one 16KB contiguous copy)
 _RING = 2  # DMA groups in flight (double buffer)
 
 
-def _unified_kernel(
-    eoff_ref, mix_ref, dense_ref, ent_ref,
-    tot_ref, smax_ref, cnt_ref,
-    w_ref, sem,
-):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _make_unified_kernel(fast: bool):
+    def _unified_kernel(
+        eoff_ref, mix_ref, dense_ref, ent_ref,
+        tot_ref, smax_ref, cnt_ref,
+        w_ref, sem,
+    ):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    t = pl.program_id(0)
+        t = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _():
-        smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-    # Heavy block on the MXU. HIGHEST for selection fidelity (see _kernel).
-    h = jnp.dot(
-        mix_ref[:],
-        dense_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )  # [Q, TILE]
-    q = h.shape[0]
-
-    iota_q = lax.broadcasted_iota(jnp.int32, (q, ENT_W), 0)
-    iota_d = lax.broadcasted_iota(jnp.int32, (TILE, ENT_W), 0)
-    base = t * TILE
-
-    # This tile's slice of the doc-sorted entry stream, in aligned
-    # ENT_G-window groups. Over-application is SAFE: an entry whose doc
-    # falls outside [base, base + TILE) matches no iota_d column, so
-    # neighbouring tiles' entries in boundary/overflow groups contribute
-    # exactly zero — which lets the group count round up to pairs with no
-    # per-window validity logic (stale-buffer reuse would NOT be safe:
-    # a prior program's boundary window can hold this tile's docs, so
-    # every applied group is freshly DMA'd).
-    e0 = eoff_ref[t]
-    e1 = eoff_ref[t + 1]
-    w_lo = e0 // ENT_W
-    nwin = jnp.where(e1 > e0, (e1 + ENT_W - 1) // ENT_W - w_lo, 0)
-    ngp = (nwin + 2 * ENT_G - 1) // (2 * ENT_G)  # group PAIRS
-
-    def copy(g, b):
-        return pltpu.make_async_copy(
-            ent_ref.at[pl.ds(w_lo + g * ENT_G, ENT_G)],
-            w_ref.at[b],
-            sem.at[b],
-        )
-
-    @pl.when(ngp > 0)
-    def _():
-        copy(0, 0).start()
-        copy(1, 1).start()
-
-    def apply(hs, b):
-        for j in range(ENT_G):
-            wd = w_ref[b, j, 0:1, :]  # [1, ENT_W] doc slots
-            wq = w_ref[b, j, 1:2, :]  # [1, ENT_W] query rows
-            wv = lax.bitcast_convert_type(
-                w_ref[b, j, 2:3, :], jnp.float32
-            )  # [1, ENT_W] contributions (f32 bit patterns)
-            dl = wd - base
-            # Entries become two one-hot operands and ride the MXU:
-            #   m1[q, i] = v_i where q == q_i;  m2[d, i] = 1 where d == d_i
-            #   A = m1 @ m2^T -> A[q, d] = sum of v_i landing on (q, d)
-            # The value operand is split into three bf16 parts with
-            # non-overlapping mantissas (8+8+8 >= f32's 24 bits, each
-            # residual exact by Sterbenz), so three DEFAULT single-pass
-            # bf16 dots reproduce v_i EXACTLY — same f32-faithful totals
-            # as a HIGHEST dot at half the MXU passes. The one-hot operand
-            # is exact in bf16 by construction.
-            # selects stay in f32 (an i1 mask in the bf16 (16,128) tiling
-            # is a Mosaic-illegal relayout, measured); the f32->bf16 casts
-            # are exact because every selected value is bf16-representable
-            v1 = wv.astype(jnp.bfloat16).astype(jnp.float32)
-            r1 = wv - v1
-            v2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-            v3 = r1 - v2
-            m2 = jnp.where(
-                dl == iota_d, jnp.float32(1.0), jnp.float32(0.0)
-            ).astype(jnp.bfloat16)  # [TILE, ENT_W]
-            for vk in (v1, v2, v3):
-                m1 = jnp.where(
-                    wq == iota_q, vk, jnp.float32(0.0)
-                ).astype(jnp.bfloat16)
-                hs = hs + lax.dot_general(
-                    m1, m2,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        return hs
-
-    def pair(p, hs):
-        # consume buffer 0, then immediately refill it for the next pair
-        # while buffer 1's in-flight copy finishes behind this compute
-        copy(2 * p, 0).wait()
-        hs = apply(hs, 0)
-
-        @pl.when(p + 1 < ngp)
+        @pl.when(t == 0)
         def _():
-            copy(2 * p + 2, 0).start()
+            smax_ref[:] = jnp.full_like(smax_ref, -jnp.inf)
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-        copy(2 * p + 1, 1).wait()
-        hs = apply(hs, 1)
+        # Heavy block on the MXU. HIGHEST for unguarded selection fidelity
+        # (see _kernel); fast=True (DEFAULT, one bf16 pass) is ONLY legal
+        # under the guarded unified pipeline, whose post-rescore threshold
+        # proof relaunches the exact wide kernel when the margin could
+        # matter. The light-entry application below is exact at EITHER
+        # precision (3-way bf16 split), so only the heavy part of a
+        # selection value carries the DEFAULT dot's relative error.
+        h = jnp.dot(
+            mix_ref[:],
+            dense_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=(
+                lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
+            ),
+        )  # [Q, TILE]
+        q = h.shape[0]
 
-        @pl.when(p + 1 < ngp)
+        iota_q = lax.broadcasted_iota(jnp.int32, (q, ENT_W), 0)
+        iota_d = lax.broadcasted_iota(jnp.int32, (TILE, ENT_W), 0)
+        base = t * TILE
+
+        # This tile's slice of the doc-sorted entry stream, in aligned
+        # ENT_G-window groups. Over-application is SAFE: an entry whose doc
+        # falls outside [base, base + TILE) matches no iota_d column, so
+        # neighbouring tiles' entries in boundary/overflow groups contribute
+        # exactly zero — which lets the group count round up to pairs with no
+        # per-window validity logic (stale-buffer reuse would NOT be safe:
+        # a prior program's boundary window can hold this tile's docs, so
+        # every applied group is freshly DMA'd).
+        e0 = eoff_ref[t]
+        e1 = eoff_ref[t + 1]
+        w_lo = e0 // ENT_W
+        nwin = jnp.where(e1 > e0, (e1 + ENT_W - 1) // ENT_W - w_lo, 0)
+        ngp = (nwin + 2 * ENT_G - 1) // (2 * ENT_G)  # group PAIRS
+
+        def copy(g, b):
+            return pltpu.make_async_copy(
+                ent_ref.at[pl.ds(w_lo + g * ENT_G, ENT_G)],
+                w_ref.at[b],
+                sem.at[b],
+            )
+
+        @pl.when(ngp > 0)
         def _():
-            copy(2 * p + 3, 1).start()
+            copy(0, 0).start()
+            copy(1, 1).start()
 
-        return hs
+        def apply(hs, b):
+            for j in range(ENT_G):
+                wd = w_ref[b, j, 0:1, :]  # [1, ENT_W] doc slots
+                wq = w_ref[b, j, 1:2, :]  # [1, ENT_W] query rows
+                wv = lax.bitcast_convert_type(
+                    w_ref[b, j, 2:3, :], jnp.float32
+                )  # [1, ENT_W] contributions (f32 bit patterns)
+                dl = wd - base
+                # Entries become two one-hot operands and ride the MXU:
+                #   m1[q, i] = v_i where q == q_i;  m2[d, i] = 1 where d == d_i
+                #   A = m1 @ m2^T -> A[q, d] = sum of v_i landing on (q, d)
+                # The value operand is split into three bf16 parts with
+                # non-overlapping mantissas (8+8+8 >= f32's 24 bits, each
+                # residual exact by Sterbenz), so three DEFAULT single-pass
+                # bf16 dots reproduce v_i EXACTLY — same f32-faithful totals
+                # as a HIGHEST dot at half the MXU passes. The one-hot operand
+                # is exact in bf16 by construction.
+                # selects stay in f32 (an i1 mask in the bf16 (16,128) tiling
+                # is a Mosaic-illegal relayout, measured); the f32->bf16 casts
+                # are exact because every selected value is bf16-representable
+                v1 = wv.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = wv - v1
+                v2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                v3 = r1 - v2
+                m2 = jnp.where(
+                    dl == iota_d, jnp.float32(1.0), jnp.float32(0.0)
+                ).astype(jnp.bfloat16)  # [TILE, ENT_W]
+                for vk in (v1, v2, v3):
+                    m1 = jnp.where(
+                        wq == iota_q, vk, jnp.float32(0.0)
+                    ).astype(jnp.bfloat16)
+                    hs = hs + lax.dot_general(
+                        m1, m2,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            return hs
 
-    hs = lax.fori_loop(0, ngp, pair, h)
+        def pair(p, hs):
+            # consume buffer 0, then immediately refill it for the next pair
+            # while buffer 1's in-flight copy finishes behind this compute
+            copy(2 * p, 0).wait()
+            hs = apply(hs, 0)
 
-    tot_ref[:] = hs
-    sm = jnp.max(hs.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
-    ct = jnp.sum((hs > 0).astype(jnp.float32), axis=1)
-    smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_CPT, 1, q)
-    cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+            @pl.when(p + 1 < ngp)
+            def _():
+                copy(2 * p + 2, 0).start()
+
+            copy(2 * p + 1, 1).wait()
+            hs = apply(hs, 1)
+
+            @pl.when(p + 1 < ngp)
+            def _():
+                copy(2 * p + 3, 1).start()
+
+            return hs
+
+        hs = lax.fori_loop(0, ngp, pair, h)
+
+        tot_ref[:] = hs
+        sm = jnp.max(hs.reshape(q, _CPT, CSUB), axis=2)  # [Q, _CPT]
+        ct = jnp.sum((hs > 0).astype(jnp.float32), axis=1)
+        smax_ref[:, pl.ds(t, 1), :] = jnp.transpose(sm).reshape(_CPT, 1, q)
+        cnt_ref[pl.ds(t, 1), :] = ct.reshape(1, q)
+
+    return _unified_kernel
+
+
+_unified_kernel = _make_unified_kernel(fast=False)
+_unified_kernel_fast = _make_unified_kernel(fast=True)
 
 
 def unified_fused_pallas(
@@ -384,6 +399,7 @@ def unified_fused_pallas(
     #   reads up to 2*ENT_G - 1 windows past a tile's last entry.
     eoff: jax.Array,  # int32 [n_tiles + 1] entry offsets per TILE-doc tile
     *,
+    fast: bool = False,
     interpret: bool = False,
 ):
     """Heavy matmul + light-entry application + selection epilogue, one pass.
@@ -415,7 +431,7 @@ def unified_fused_pallas(
     sub_pad = tiles_pad * _CPT
 
     out = pl.pallas_call(
-        _unified_kernel,
+        _unified_kernel_fast if fast else _unified_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -461,17 +477,18 @@ def unified_fused_pallas(
     return tot, smax, cnt
 
 
-def unified_fused_xla(mix, dense, ent_pack, eoff):
+def unified_fused_xla(mix, dense, ent_pack, eoff, *, fast: bool = False):
     """Pure-XLA reference for unified_fused_pallas (and the CPU path).
 
     Semantics note: the scatter-add runs fine on CPU; on TPU it is the
     ~95 ms path the Pallas kernel exists to avoid. HIGHEST on the heavy
-    dot for the same selection fidelity as the kernel (no-op on CPU)."""
+    dot for the same selection fidelity as the kernel (no-op on CPU);
+    fast=True mirrors the kernel's guarded 1-pass DEFAULT mode."""
     Q = mix.shape[0]
     n_slots = dense.shape[1]
     H = jnp.dot(
         mix, dense, preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST,
     )
     docs_all = ent_pack[:, 0, :].reshape(-1)
     qs_all = ent_pack[:, 1, :].reshape(-1)

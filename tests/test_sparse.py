@@ -808,3 +808,51 @@ def test_probe_workload_applies_shortcut(segs):
         di.plan_full(batch)[3], di.config.device.posting_block
     )
     assert raw > 1
+
+
+@pytest.mark.parametrize("eps", [2e-3, 1e9])
+def test_unified_fast_heavy_guard(segs, eps):
+    """The GUARDED fast unified pipeline (DEFAULT heavy dot folded with
+    exact in-kernel light entries, single K2 pool, guard column) must stay
+    bit-exact: with the default eps the guard mostly passes (CPU dots are
+    exact); with eps=1e9 every non-trivial query trips and relaunches the
+    exact wide PACKED kernel — both must match the oracle exactly."""
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, unified=True,
+            fast_heavy=True, fast_heavy_eps=eps,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    assert di.n_dense > 0
+    r = np.random.default_rng(53)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(24)
+    ]
+    check_parity(di, segs, queries)
+
+
+def test_unified_fast_guard_trip_host_rescue(segs, monkeypatch):
+    """Unified fast trips with the rescue cap raised go through the
+    vectorized host oracle (eps=1e9 forces every query to trip)."""
+    monkeypatch.setenv("NEXTSEARCH_TRIP_RESCUE", "100")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, unified=True,
+            fast_heavy=True, fast_heavy_eps=1e9,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    r = np.random.default_rng(59)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 5)))]
+        for _ in range(24)
+    ]
+    check_parity(di, segs, queries)
