@@ -61,6 +61,9 @@ VARIANTS = {
     "no_rowgather": ("rowgather",),
     "no_heavy_mm": ("heavy_mm", "rowgather"),
     "no_s2hg": ("sort2", "hgather"),
+    "no_segsum": ("segsum",),
+    "no_lcount": ("lcount",),
+    "no_seg_lc": ("segsum", "lcount"),
     # light chain + base alone (heavy stages all off): in-context light
     # cost without the heavy kernel competing for the scheduler
     "light_only": ("rowgather", "heavy_mm", "cand_heavy", "rescore"),
@@ -120,7 +123,12 @@ def main():
     )
 
     groups = int(os.environ.get("NEXTSEARCH_PROF_GROUPS", 1))
-    plans = [di.plan_sparse(b) for b in batches]
+    # Serving strips 1-term head-heavy/light queries host-side BEFORE
+    # planning (the row/posting top-k shortcuts); without this the chunk
+    # budget inflates past the serving pin (measured: C 3072 -> 5376).
+    plans = [
+        di.plan_sparse(di._shortcut_single_heavy(b, 10)[0]) for b in batches
+    ]
     K = 10
     K2 = min(max(2 * K, margin), di.n_slots)
     C = max(di._chunk_budget(p[0][1], blk) for p in plans)

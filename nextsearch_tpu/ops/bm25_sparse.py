@@ -56,7 +56,7 @@ def _segmented_cumsum(vals, first):
 
 
 def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, Q, n_slots,
-                 skip_sort: bool = False):
+                 skip_sort: bool = False, skip_segsum: bool = False):
     """Flat per-(query, doc) light-term totals via sort + segmented sum.
 
     Returns (sq, sd, stot, last) sorted by (q, doc): stot at `last` positions
@@ -105,7 +105,9 @@ def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, 
             (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1]),
         ]
     )
-    stot = _segmented_cumsum(sc, first)
+    # skip_segsum (static, profiling only — totals are WRONG) replaces the
+    # segmented scan with the raw contributions for stage attribution.
+    stot = sc if skip_segsum else _segmented_cumsum(sc, first)
     last = jnp.concatenate(
         [
             (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1]),
@@ -1030,6 +1032,7 @@ def _packed_impl(
             post_doc, post_score, starts, light_dfs, weights,
             C=C, block=block, Q=Q, n_slots=n_slots,
             skip_sort="lsort" in prof_skip,
+            skip_segsum="segsum" in prof_skip,
         )
         sd_clip = jnp.clip(sd, 0, n_slots - 1)
         if "hgather" in prof_skip:
@@ -1046,7 +1049,10 @@ def _packed_impl(
             hval = H[jnp.clip(sq, 0, Q - 1), sd_clip].astype(jnp.float32)
         valid_last = last & (sq < Q)
         light_only = valid_last & (hval == 0.0)
-        found = heavy_found + per_query_counts(sq, light_only, Q)
+        if "lcount" in prof_skip:
+            found = heavy_found
+        else:
+            found = heavy_found + per_query_counts(sq, light_only, Q)
 
         # ---- candidates
         sel_score = jnp.where(valid_last, stot + hval, jnp.float32(0.0))
