@@ -138,6 +138,11 @@ class DeviceConfig:
     # DEFAULT over an RN-bf16 compact table and trips relaunch the exact
     # wide PACKED kernel. Requires compact heavy mode (single-launch
     # batches only; launch groups keep the packed kernel).
+    # MEASURED (1M docs, batch 512, depth 8, guarded fast mode, parity
+    # exact): 9,957 QPS vs the split path's 14,001 — the in-kernel
+    # one-hot application costs more than the +18 ms it removes. Kept
+    # OFF; the kernel stays as the proven aligned-window entry-DMA
+    # pattern should a cheaper in-tile application land.
     unified: bool = False
     # Guarded fast path (sparse + f32 rows): heavy matmul at DEFAULT
     # precision (1 bf16 MXU pass vs HIGHEST's 6) and ONE merged K2-wide
