@@ -43,6 +43,33 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _deal_sorted(order: np.ndarray, g: int) -> np.ndarray:
+    """Deal a sorted query order round-robin into the multi-launch groups.
+
+    `order` is the window-sorted index order; the group path slices the
+    permuted list into consecutive blocks of `g` (last block = remainder).
+    Dealing assigns sorted element i to the next non-full group in
+    rotation, so each group's block stays internally sorted (a stride of
+    a sorted list is sorted — the selection kernel's clustering invariant)
+    while window/posting mass balances across groups. Without this the
+    global sort concentrates the big windows into the LAST group and its
+    inflated C/L2 budgets tax every group (all groups share one kernel
+    shape, the max over groups)."""
+    nq = int(order.shape[0])
+    gn = -(-nq // g)
+    sizes = [g] * (gn - 1) + [nq - g * (gn - 1)]
+    groups: list = [[] for _ in range(gn)]
+    j = 0
+    for idx in order:
+        while len(groups[j % gn]) >= sizes[j % gn]:
+            j += 1
+        groups[j % gn].append(idx)
+        j += 1
+    return np.concatenate(
+        [np.asarray(gq, dtype=order.dtype) for gq in groups]
+    )
+
+
 def _pick_shape(
     n: int,
     buckets: Sequence[int],
@@ -1257,15 +1284,27 @@ class DeviceIndex:
         # program pays the worst query's width (measured: unsorted, the
         # kernel only matched the sort it replaces). Results are
         # un-permuted on the host at gather time. Stable order keeps
-        # everything deterministic; with multi-launch groups the global
-        # sort also concentrates big windows into the last group.
+        # everything deterministic. With multi-launch groups the sorted
+        # order is DEALT round-robin across the groups: a plain global
+        # sort concentrates the big windows (and their postings) into the
+        # last group, and since every group shares ONE kernel shape sized
+        # at the max over groups, that group's inflated C/L2 taxes all of
+        # them — measured as per-launch escape-shape flapping (C 5298 /
+        # 5212 / 9115 against a 3072 pin) that collapsed the group path
+        # to 8.9k QPS. Dealing keeps each group internally sorted (a
+        # stride of a sorted list is sorted) and window mass balanced, so
+        # every group's budgets land on the single-batch pins.
         perm = None
         forced = os.environ.get("NEXTSEARCH_SORT_QUERIES") == "1"  # tests
         if (use_pallas_m or forced) and nq > 1:
             wins = self._query_windows(queries)
             # below ~1 block per query the kernel is already minimal
             if wins.size and (wins.max() > 1024 or forced):
-                perm = np.argsort(wins, kind="stable")
+                order = np.argsort(wins, kind="stable")
+                if g and nq > g:
+                    perm = _deal_sorted(order, g)
+                else:
+                    perm = order
                 queries = [queries[i] for i in perm]
         fast = (
             self.config.device.fast_heavy

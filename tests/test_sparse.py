@@ -6,6 +6,8 @@ counts, and bit-exact scores (unified full-range binary-search rescore),
 plus the HTTP server running in sparse mode end to end.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -856,3 +858,64 @@ def test_unified_fast_guard_trip_host_rescue(segs, monkeypatch):
         for _ in range(24)
     ]
     check_parity(di, segs, queries)
+
+
+def test_deal_sorted_balances_groups():
+    """Dealing a window-sorted order round-robin keeps each group block
+    internally sorted and balances window mass across groups (a plain
+    sort concentrates the big windows in the LAST group, whose inflated
+    C/L2 budgets tax every group — all share one kernel shape)."""
+    from nextsearch_tpu.index.segment import _deal_sorted
+
+    r = np.random.default_rng(7)
+    for nq, g in [(16, 4), (19, 8), (1024, 512), (33, 32), (9, 4)]:
+        wins = r.integers(0, 1 << 20, size=nq)
+        order = np.argsort(wins, kind="stable")
+        perm = _deal_sorted(order, g)
+        # a permutation
+        assert sorted(perm.tolist()) == list(range(nq))
+        gn = -(-nq // g)
+        sizes = [g] * (gn - 1) + [nq - g * (gn - 1)]
+        off = 0
+        for sz in sizes:
+            blk = perm[off : off + sz]
+            w = wins[blk]
+            # each group block is internally sorted by window size
+            assert (np.diff(w) >= 0).all(), (nq, g)
+            # window mass balanced proportionally to group size, within
+            # a couple of max-element slack (ragged last group fills
+            # early, shifting its share onto the full groups)
+            if gn > 1:
+                bound = wins.sum() * sz / nq + 2 * wins.max()
+                assert w.sum() <= bound, (nq, g, sz, int(w.sum()), bound)
+            off += sz
+
+
+def test_deal_sorted_group_parity(segs):
+    """Window-sorted + dealt grouping stays oracle-exact on a skewed
+    batch (big-window queries interleaved with tiny ones)."""
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, launch_group=8,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    os.environ["NEXTSEARCH_SORT_QUERIES"] = "1"
+    try:
+        r = np.random.default_rng(61)
+        words = [f"w{i:04d}" for i in range(220)]
+        # skew: half the queries repeat the highest-df terms (big light
+        # windows), half are single rare terms
+        queries = []
+        for i in range(21):
+            if i % 2 == 0:
+                queries.append(
+                    [(words[int(r.integers(0, 8))], 1.0),
+                     (words[int(r.integers(0, 8))], 0.7)]
+                )
+            else:
+                queries.append([(words[int(r.integers(100, 220))], 1.0)])
+        check_parity(di, segs, queries)
+    finally:
+        os.environ.pop("NEXTSEARCH_SORT_QUERIES", None)
