@@ -217,9 +217,13 @@ def main():
     )
     print(f"[bench] pins: {pins} ({time.time() - t0:.1f}s probe)",
           file=sys.stderr)
-    depth = int(
-        os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 3 if batch >= 2048 else 8)
-    )
+    # Pipeline depth 2 is enough: the depth sweep (benchmarks/probe_depth.py,
+    # 1M docs, batch 512) measured 13,988/13,989/13,998/14,000/13,997 QPS at
+    # depths 2/3/4/6/8 — serving is device-bound and the relay round trip is
+    # hidden with just one extra launch in flight — while p50 scales with the
+    # queue: 109/146/182/255/328 ms. Depth 2 takes the same headline QPS at
+    # 3x better p50 (the metric names both).
+    depth = int(os.environ.get("NEXTSEARCH_BENCH_PIPELINE", 2))
 
     # Warmup / compile.
     t0 = time.time()

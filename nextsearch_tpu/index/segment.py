@@ -1293,7 +1293,12 @@ class DeviceIndex:
         # 5212 / 9115 against a 3072 pin) that collapsed the group path
         # to 8.9k QPS. Dealing keeps each group internally sorted (a
         # stride of a sorted list is sorted) and window mass balanced, so
-        # every group's budgets land on the single-batch pins.
+        # every group's budgets land on the single-batch pins — measured
+        # (benchmarks/probe_group.py, 1M): dealt groups run at parity
+        # with single-batch launches (13,966 / 13,882 / 13,663 QPS at
+        # x1 / x2 / x4), i.e. the collapse is fixed; grouping itself wins
+        # nothing at batch 512 because the launch floor is already
+        # pipeline-hidden (probe_depth: full QPS at depth 2).
         perm = None
         forced = os.environ.get("NEXTSEARCH_SORT_QUERIES") == "1"  # tests
         if (use_pallas_m or forced) and nq > 1:
