@@ -1271,6 +1271,13 @@ class DeviceIndex:
         # precomputed row top-k (exact, canonical, zero guard trips);
         # their batch slots plan as empty queries.
         queries, fills = self._shortcut_single_heavy(queries, k)
+        if fills is not None and len(fills) == nq:
+            # Every query in the batch was answered host-side — skip the
+            # device launch entirely (a single-term stream over a head-
+            # heavy vocabulary, e.g. BASELINE config 1, is ALL shortcut;
+            # launching an empty-plan kernel would bill a full relay
+            # round trip for zero device work).
+            return ("fills", nq, k, fills)
 
         g = self._pins.get("Q") or self.config.device.launch_group
         use_pallas_m = (
@@ -1529,6 +1536,10 @@ class DeviceIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
+        if handle[0] == "fills":
+            # whole batch answered host-side by the 1-term shortcut
+            _tag, nq, _k, fills = handle
+            return [fills[qi] for qi in range(nq)]
         fills = None
         if handle[0] in ("packed", "packedg"):
             perm = handle[6] if handle[0] == "packedg" and len(handle) > 6 \

@@ -170,14 +170,24 @@ class HybridIndex:
         handle = self.index.search_batch_async(queries, C)
         if handle[0] == "empty":
             return ("hybrid_passthrough", handle)
-        if handle[0] == "packed":
+        if handle[0] == "packed" and len(handle) == 5:
+            # fused-mode packed launch: rerank straight off the device
+            # result array, nothing round-trips through the host
             _tag, _nq, _k, K, out_arr = handle
             vals = out_arr[:, :K]
             # ids packed as exact f32 values (TPU flushes denormal bitcasts)
             idx = out_arr[:, K : 2 * K].astype(jnp.int32)
             found = out_arr[:, 2 * K].astype(jnp.int32)
-        else:
+        elif handle[0] == "pending":
             _tag, _nq, _k, K, vals, idx, found = handle
+        else:
+            # sparse-mode handles carry permutations / host fills / a
+            # guard-trip protocol that only index.search_batch_gather
+            # knows how to resolve — rerank at gather time from the host
+            # candidate lists (the BM25 launch still pipelines; the
+            # rerank adds one synchronous launch per batch).
+            q_emb = np.stack([self.query_embedding(q) for q in queries])
+            return ("hybrid_host", nq, k, C, handle, q_emb)
 
         q_emb = np.stack([self.query_embedding(q) for q in queries])
         Qb = vals.shape[0]
@@ -204,6 +214,26 @@ class HybridIndex:
             ] * handle[1]
         if handle[0] == "hybrid_passthrough":
             return self.index.search_batch_gather(handle[1])
+        if handle[0] == "hybrid_host":
+            import jax.numpy as jnp
+
+            from ..ops.dense import hybrid_rerank
+
+            _tag, nq, k, C, bm_handle, q_emb = handle
+            base = self.index.search_batch_gather(bm_handle)
+            vals_h = np.zeros((nq, C), np.float32)
+            idx_h = np.zeros((nq, C), np.int32)
+            found_h = np.array([r.found for r in base], np.int32)
+            for qi, r in enumerate(base):
+                n = min(len(r.scores), C)
+                vals_h[qi, :n] = r.scores[:n]
+                idx_h[qi, :n] = r.doc_slots[:n]
+            hvals, hdocs, hbm25 = hybrid_rerank(
+                self.doc_emb, jnp.asarray(q_emb), jnp.asarray(idx_h),
+                jnp.asarray(vals_h), jnp.float32(self.beta), K=min(k, C),
+            )
+            handle = ("hybrid", nq, k, hvals, hdocs, hbm25,
+                      jnp.asarray(found_h))
         _tag, nq, k, hvals, hdocs, hbm25, found = handle
         hvals, hdocs, hbm25, found = jax.device_get(
             (hvals, hdocs, hbm25, found)

@@ -1213,6 +1213,10 @@ class ShardedIndex:
             # per-shard row top-k (exact, canonical, zero guard trips);
             # their batch slots plan as empty queries.
             queries, fills = self._shortcut_single_heavy(queries, k)
+            if fills is not None and len(fills) == nq:
+                # Whole batch answered host-side (see DeviceIndex:
+                # all-shortcut batches skip the device launch).
+                return ("fills", nq, k, fills)
             plan_np, U = self.plan_sparse(queries)
             S, Qb, L = plan_np.shape
             T = L // 7
@@ -1364,6 +1368,10 @@ class ShardedIndex:
             return [
                 QueryResult(np.empty(0, np.float32), np.empty(0, np.int32), 0)
             ] * nq
+        if handle[0] == "fills":
+            # whole batch answered host-side by the 1-term shortcut
+            _tag, nq, _k, fills = handle
+            return [fills[qi] for qi in range(nq)]
         if handle[0] == "packedg":
             # Guarded fast path: same trip protocol as
             # DeviceIndex.search_batch_gather — few trips get the exact

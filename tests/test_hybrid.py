@@ -153,3 +153,40 @@ def test_engine_hybrid_endpoint(tmp_path, monkeypatch):
     # plain search unaffected (separate cache key)
     j3 = e.search("covid vaccine", 5)
     assert "hybrid" not in j3
+
+
+def test_hybrid_over_sparse_mode_index(setup):
+    """Hybrid over a sparse-mode index (the production serving mode) must
+    work and match hybrid over the default fused index: sparse handles
+    carry permutations / host fills / the guard-trip protocol, so the
+    rerank resolves through the host-candidate path (hybrid_host)."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    di, sem = setup
+    segs = di.segments
+    di_sp = DeviceIndex(
+        [segs[0]],
+        config=EngineConfig(
+            device=DeviceConfig(
+                mode="sparse", posting_block=64,
+                chunk_buckets=(64, 256), dense_df_ratio=0.001,
+            )
+        ),
+    )
+    assert di_sp.n_dense > 0
+    hy_f = HybridIndex(di, sem, beta=0.5)
+    hy_s = HybridIndex(di_sp, sem, beta=0.5)
+    queries = [
+        [("covid", 1.0), ("virus", 1.0)],
+        [("banana", 1.0)],
+        [("covid", 1.0)],  # 1-term: may resolve via host fills
+        [("zzz", 1.0)],
+    ]
+    handle = hy_s.search_batch_async(queries, 4, candidates=4)
+    assert handle[0] == "hybrid_host"
+    res_s = hy_s.search_batch_gather(handle)
+    res_f = hy_f.search_batch(queries, k=4, candidates=4)
+    for a, b in zip(res_s, res_f):
+        assert a.found == b.found
+        assert a.doc_slots.tolist() == b.doc_slots.tolist()
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5)

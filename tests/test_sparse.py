@@ -748,6 +748,33 @@ def test_row_topk_shortcut_in_batch(segs):
         del os.environ["NEXTSEARCH_SORT_QUERIES"]
 
 
+def test_all_shortcut_batch_skips_launch(segs):
+    """A batch in which EVERY query is answered by the 1-term shortcut
+    must not launch a device kernel at all (handle tag 'fills') and the
+    gathered results must stay oracle-exact at their original batch
+    positions — single-term Zipf streams over a head-heavy vocabulary
+    (BASELINE config 1) are all-shortcut in steady state."""
+    di = make_index(segs, dense_ratio=0.02, unified=False)
+    heavy_terms = sorted(
+        {t for lex in di.lex for t, v in lex.items() if v[2] >= 0}
+    )
+    assert len(heavy_terms) >= 3
+    queries = [[(t, 1.0)] for t in heavy_terms[:3]]
+    queries.append([(heavy_terms[0], 1.0)])  # memoized repeat
+    handle = di.search_batch_async(queries, 10)
+    assert handle[0] == "fills"
+    res = di.search_batch_gather(handle)
+    assert len(res) == len(queries)
+    check_parity(di, segs, queries)
+
+    # one kernel-path query in the batch keeps the launch path
+    mixed = queries + [[("w0150", 1.0), ("w0180", 0.7)]]
+    handle2 = di.search_batch_async(mixed, 10)
+    assert handle2[0] != "fills"
+    di.search_batch_gather(handle2)
+    check_parity(di, segs, mixed)
+
+
 def test_light_topk_shortcut_parity(segs):
     """1-term LIGHT queries answered host-side from the per-(term,
     segment) posting top-k must be oracle-exact: single- and multi-
