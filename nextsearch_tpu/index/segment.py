@@ -202,6 +202,9 @@ class DeviceIndex:
     # Static compact light-pair count for the v4 rescore (live light
     # (query, slot) pairs per launch; pinned like C).
     L_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+    # Static compact heavy-pair count for the v5 rescore (live heavy
+    # (query, slot) pairs per launch; pinned like L).
+    HP_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
     # Selection-window envelope (ops/select_pallas.py): max entries of one
     # query's contiguous run of the flat light array = that query's summed
     # light dfs. Scan volume scales with the bucket, so serving pins it to
@@ -949,8 +952,9 @@ class DeviceIndex:
         "C": max live posting chunks per batch, "U": max unique dense
         rows per batch, "W": max summed light dfs of one query (the
         selection-window driver), "L": max live light (query, slot)
-        pairs per batch (the v4 compact-rescore block)} — the inputs
-        pin_shapes() freezes. Costs one lexicon probe per (query, term);
+        pairs per batch (the v4 compact-rescore block), "HP": max live
+        heavy (query, slot) pairs per batch (the v5 compact heavy-value
+        gather)} — the inputs pin_shapes() freezes. Costs one lexicon probe per (query, term);
         no device work.
 
         The probe applies the 1-term shortcut (row/light top-k tables) at
@@ -961,7 +965,7 @@ class DeviceIndex:
         """
         block = self.config.device.posting_block
         table = self._lex_table
-        t = q = c = u = w = li = 1
+        t = q = c = u = w = li = hp = 1
         for b in batches:
             q = max(q, len(b))
             b, _f = self._shortcut_single_heavy(b, shortcut_k)
@@ -979,7 +983,8 @@ class DeviceIndex:
             c = max(c, int(np.sum((light_df + block - 1) // block)))
             u = max(u, int(np.unique(dense[dense >= 0]).shape[0]))
             li = max(li, int((dense < 0).sum()))
-        return {"T": t, "Q": q, "C": c, "U": u, "W": w, "L": li}
+            hp = max(hp, int((dense >= 0).sum()))
+        return {"T": t, "Q": q, "C": c, "U": u, "W": w, "L": li, "HP": hp}
 
     def pin_shapes(
         self,
@@ -991,6 +996,7 @@ class DeviceIndex:
         U: Optional[int] = None,
         W: Optional[int] = None,
         L: Optional[int] = None,
+        HP: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
         scope_q: bool = False,
@@ -1028,6 +1034,7 @@ class DeviceIndex:
                 ("U", U or _round_up(m["U"] + 1, u_pad)),
                 ("W", W or _bucket(m["W"], self.W_BUCKETS)),
                 ("L", L or _bucket(m["L"], self.L_BUCKETS)),
+                ("HP", HP or _bucket(m["HP"], self.HP_BUCKETS)),
             ):
                 scope[k] = int(v)
             return {qb: dict(scope)}
@@ -1039,8 +1046,10 @@ class DeviceIndex:
             U = U or _round_up(m["U"] + 1, u_pad)
             W = W or _bucket(m["W"], self.W_BUCKETS)
             L = L or _bucket(m["L"], self.L_BUCKETS)
+            HP = HP or _bucket(m["HP"], self.HP_BUCKETS)
         for k, v in (
-            ("T", T), ("Q", Q), ("C", C), ("U", U), ("W", W), ("L", L)
+            ("T", T), ("Q", Q), ("C", C), ("U", U), ("W", W), ("L", L),
+            ("HP", HP),
         ):
             if v:
                 self._pins[k] = int(v)
@@ -1335,6 +1344,10 @@ class DeviceIndex:
                 self._light_budget(plans[gi])
                 for gi in range(plans.shape[0])
             )
+            H2 = max(
+                self._heavy_budget(plans[gi])
+                for gi in range(plans.shape[0])
+            )
             K2 = min(
                 max(2 * K, self.config.device.rescore_margin), self.n_slots
             )
@@ -1363,7 +1376,7 @@ class DeviceIndex:
                     fast_heavy=fh, guard_eps=eps,
                     w_max=self._sel_window(plans[:, 1]),
                     h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
-                    lb_log2=self._lb_log2, L2=L2,
+                    lb_log2=self._lb_log2, L2=L2, H2=H2,
                 )
                 out.copy_to_host_async()
                 return out
@@ -1379,6 +1392,7 @@ class DeviceIndex:
         block = self.config.device.posting_block
         C = self._chunk_budget(plan[1], block)
         L2 = self._light_budget(plan)
+        H2 = self._heavy_budget(plan)
         K2 = min(max(2 * K, self.config.device.rescore_margin), self.n_slots)
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -1422,7 +1436,7 @@ class DeviceIndex:
                 fast_heavy=fh, guard_eps=eps,
                 w_max=self._sel_window(plan[1]),
                 h_bf16=os.environ.get("NEXTSEARCH_H_BF16", "0") == "1",
-                lb_log2=self._lb_log2, L2=L2,
+                lb_log2=self._lb_log2, L2=L2, H2=H2,
             )
             out.copy_to_host_async()
             return out
@@ -1644,6 +1658,20 @@ class DeviceIndex:
         return _pick_shape(
             max(pairs, 1), self.L_BUCKETS,
             self._pin("L", int(plan_ints.shape[1])), "L",
+        )
+
+    def _heavy_budget(self, plan_ints) -> int:
+        """Static live heavy-pair count H2 for the v5 compact rescore.
+
+        Pairs are (query, slot) with a live dense row and a nonzero
+        weight; bucketed/pinned like L so serving keeps one compiled
+        shape."""
+        pairs = int(
+            ((plan_ints[2] < self.n_dense) & (plan_ints[5] != 0)).sum()
+        )
+        return _pick_shape(
+            max(pairs, 1), self.HP_BUCKETS,
+            self._pin("HP", int(plan_ints.shape[1])), "HP",
         )
 
     def _chunk_budget(self, dfs, block) -> int:

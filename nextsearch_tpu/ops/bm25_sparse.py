@@ -595,6 +595,126 @@ def exact_rescore_v4(
     return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
 
 
+def exact_rescore_v5(
+    post_doc,
+    post_score,
+    dense_rows3,
+    light_bucket_pos,
+    starts,
+    slot_dense,
+    slot_light,
+    weights,
+    cand,
+    *,
+    bs_steps,
+    nd,
+    nl,
+    L2,
+    H2,
+    lb_log2: int = LIGHT_BUCKET_LOG2,
+):
+    """v4 with the HEAVY value gather compacted to the live heavy pairs.
+
+    v4 compacted the light binary search to [L2, kc] lanes but still
+    gathered heavy values over the FULL [Q, T, kc] grid — at the 1M
+    serving point that is Q*T*kc (512*16*32 = 262k) random element
+    gathers into the multi-GB dense table, of which only ~8-12% are live
+    heavy (query, slot) pairs (~1.2 dense terms per Zipf query against a
+    T=16 envelope); every dead lane still pays a random HBM cache-line
+    touch at ~18-27ns. Here the live heavy pairs are packed to a static
+    [H2, kc] block by the same device-side prefix-scatter v4 uses for the
+    light pairs, ONLY those rows gather from the dense table, and the
+    [Q, T, kc] grid is reassembled by a row gather from the small block
+    (contiguous kc-wide f32 rows of a ~H2*kc*4B table — streams, not
+    random cache lines). The accumulation grid and order are UNCHANGED,
+    so scores stay bit-identical to v4/v3/v2/the C++ engine
+    (/root/reference/src/api_engine.cpp:473-481 term-order f32 adds).
+
+    H2 (static) must cover the batch's live heavy pair count — DeviceIndex
+    sizes and pins it like L2; overflow escapes via a bigger bucket at the
+    caller, never silently.
+    """
+    Q, T = starts.shape
+    kc = cand.shape[1]
+    P = post_doc.shape[0]
+    c = cand[:, None, :]  # [Q, 1, kc]
+
+    is_heavy = slot_dense[:, :, None] < nd  # [Q, T, 1]
+
+    # ---- compact the heavy pairs: row-major (q, t) order
+    hflat = ((slot_dense < nd) & (weights != 0.0)).reshape(-1)
+    hidx = jnp.cumsum(hflat.astype(jnp.int32)) - 1
+    hidx = jnp.where(hflat, jnp.minimum(hidx, H2), H2)  # oob -> dropped
+    hp_row = jnp.full((H2 + 1,), nd, jnp.int32).at[hidx].set(
+        jnp.where(hflat, slot_dense.reshape(-1), nd), mode="drop"
+    )
+    qgrid_h = lax.broadcasted_iota(jnp.int32, (Q, T), 0).reshape(-1)
+    hp_q = jnp.zeros((H2 + 1,), jnp.int32).at[hidx].set(
+        qgrid_h, mode="drop"
+    )
+    chv = cand[jnp.clip(hp_q, 0, Q - 1)]  # [H2+1, kc]
+    dvc = dense_rows3[
+        jnp.clip(hp_row, 0, nd)[:, None],
+        lax.shift_right_logical(chv, 7),
+        chv & jnp.int32(127),
+    ]  # f32 [H2+1, kc]: exact eager score, 0 where the doc lacks the term
+    dvc = dvc.at[H2].set(0.0)  # sentinel row: light/padding/oob pairs
+    dv = dvc[hidx].reshape(Q, T, kc)
+
+    # ---- compact the light pairs: row-major (q, t) order (v4 verbatim)
+    is_light = (slot_light < nl) & (weights != 0.0)  # [Q, T]
+    lflat = is_light.reshape(-1)
+    lidx = jnp.cumsum(lflat.astype(jnp.int32)) - 1
+    lidx = jnp.where(lflat, jnp.minimum(lidx, L2), L2)  # oob -> dropped
+    lp_start = jnp.zeros((L2 + 1,), jnp.int32).at[lidx].set(
+        starts.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    lp_row = jnp.full((L2 + 1,), nl, jnp.int32).at[lidx].set(
+        slot_light.reshape(-1), mode="drop"
+    )
+    lp_q = jnp.zeros((L2 + 1,), jnp.int32).at[lidx].set(
+        qgrid_h, mode="drop"
+    )
+
+    cl = cand[jnp.clip(lp_q, 0, Q - 1)]  # [L2+1, kc]
+    s = lp_start[:, None]
+    cbl = lax.shift_right_logical(cl, lb_log2)
+    lrow = jnp.clip(lp_row[:, None], 0, nl)
+    lo = light_bucket_pos[lrow, cbl]
+    hi0 = light_bucket_pos[lrow, cbl + 1]
+    hi = hi0
+
+    def bs_step(_i, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
+        go_right = v < cl
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
+    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
+    lhit = (lo < hi0) & (post_doc[pos] == cl)
+    v_light = jnp.where(lhit, post_score[pos], jnp.float32(0.0))
+    v_light = v_light.at[L2].set(0.0)  # sentinel row: heavy/padding pairs
+
+    # ---- reassemble the [Q, T, kc] value grid; accumulation unchanged
+    vl = v_light[lidx].reshape(Q, T, kc)
+    w = weights[:, :, None]
+    v = jnp.where(is_heavy, dv, vl)
+    hit = (v > 0.0) & (w != 0.0)
+    # jnp.abs blocks XLA from contracting `acc + w*score` into an fma,
+    # which would skip the intermediate rounding the C++ engine performs
+    # (all contributions are non-negative, so abs is bit-exact).
+    term_contrib = jnp.where(hit, jnp.abs(w * v), jnp.float32(0.0))
+
+    def acc_step(t, acc):
+        return acc + lax.dynamic_index_in_dim(
+            term_contrib, t, axis=1, keepdims=False
+        )
+
+    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
+
+
 def _dedup_sorted(vals, docs):
     """Kill duplicate docs in a (score desc, doc asc)-sorted candidate list."""
     dup = jnp.concatenate(
@@ -867,6 +987,7 @@ def _packed_impl(
     h_bf16: bool = False,
     lb_log2: int = LIGHT_BUCKET_LOG2,
     L2: int = 0,
+    H2: int = 0,
     prof_skip: tuple = (),
 ):
     """Transfer-minimal sparse search; output packed f32 [Q, 2K+1] like
@@ -875,7 +996,9 @@ def _packed_impl(
     L2 > 0 (static; must cover the batch's live light (query, slot) pair
     count — DeviceIndex sizes and pins it like C) routes the rescore
     through exact_rescore_v4, which compacts the light binary search to
-    [L2, kc] lanes instead of [Q*T, kc]; 0 keeps v3.
+    [L2, kc] lanes instead of [Q*T, kc]; 0 keeps v3. H2 > 0 (static; live
+    heavy pair count, pinned like L2) additionally compacts the heavy
+    value gather to [H2, kc] (exact_rescore_v5).
 
     prof_skip (static, profiling only — results are WRONG when non-empty)
     disables named stages so benchmarks/profile_serving.py can attribute
@@ -1115,6 +1238,14 @@ def _packed_impl(
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     if "rescore" in prof_skip:
         exact = jnp.where(cand < n_slots, 1.0, 0.0).astype(jnp.float32)
+    elif heavy_direct and L2 > 0 and H2 > 0:
+        exact = exact_rescore_v5(
+            post_doc, post_score, dense_rows, light_bucket_pos, starts,
+            slot_dense, slot_light, weights, safe_cand,
+            bs_steps=bs_steps, nd=nd, nl=nl, L2=L2, H2=H2,
+            lb_log2=lb_log2,
+        )
+        exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     elif heavy_direct and L2 > 0:
         exact = exact_rescore_v4(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
@@ -1169,7 +1300,7 @@ def _packed_impl(
 _PACKED_STATICS = (
     "n_slots", "K", "K2", "C", "block", "bs_steps", "nd", "nl", "U",
     "use_pallas", "use_compact", "heavy_direct", "fast_heavy", "guard_eps",
-    "w_max", "h_bf16", "lb_log2", "L2", "prof_skip",
+    "w_max", "h_bf16", "lb_log2", "L2", "H2", "prof_skip",
 )
 
 bm25_search_sparse_packed = functools.partial(
@@ -1204,6 +1335,7 @@ def bm25_search_sparse_packed_multi(
     h_bf16: bool = False,
     lb_log2: int = LIGHT_BUCKET_LOG2,
     L2: int = 0,
+    H2: int = 0,
     prof_skip: tuple = (),
 ):
     """G sub-batches through the packed pipeline in ONE device launch.
@@ -1249,7 +1381,7 @@ def bm25_search_sparse_packed_multi(
             use_pallas=use_pallas, use_compact=use_compact,
             heavy_direct=heavy_direct, fast_heavy=fast_heavy,
             guard_eps=guard_eps, w_max=w_max, h_bf16=h_bf16,
-            lb_log2=lb_log2, L2=L2, prof_skip=prof_skip,
+            lb_log2=lb_log2, L2=L2, H2=H2, prof_skip=prof_skip,
         )
         dep = out
         outs.append(out)

@@ -58,6 +58,7 @@ def _sharded_search_fn(
     fast_heavy: bool = False,
     guard_eps: float = 2e-3,
     L2: int = 0,
+    H2: int = 0,
 ):
     """Build the jit'd shard_map search step for a given mesh/static shapes.
 
@@ -117,7 +118,7 @@ def _sharded_search_fn(
                 bs_steps=bs_steps, nd=nd, nl=nl, U=U,
                 use_pallas=use_pallas, use_compact=use_compact,
                 heavy_direct=heavy_direct, fast_heavy=fast_heavy,
-                guard_eps=guard_eps, L2=L2,
+                guard_eps=guard_eps, L2=L2, H2=H2,
             )
             vals = out[:, :K]
             idx = out[:, K : 2 * K].astype(jnp.int32)
@@ -242,6 +243,7 @@ class ShardedIndex:
     T_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
     K_BUCKETS = (10, 32, 100)
     L_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+    HP_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
 
     def __init__(
         self,
@@ -1067,6 +1069,21 @@ class ShardedIndex:
             max(pairs, 1), self.L_BUCKETS, self._pin("L", Qb), "L"
         )
 
+    def _heavy_budget(self, plan_np) -> int:
+        """Static live heavy-pair count H2 for the v5 compact rescore:
+        max over (shard, dp-group) of live (query, slot) heavy pairs
+        (DeviceIndex._heavy_budget per shard_map block)."""
+        S, Qb, L = plan_np.shape
+        T = L // 7
+        live = (plan_np[:, :, 2 * T : 3 * T] < self.n_dense) & (
+            plan_np[:, :, 5 * T : 6 * T] != 0
+        )
+        per = live.reshape(S, self.dp, -1).sum(axis=2)
+        pairs = int(per.max(initial=0))
+        return _pick_shape(
+            max(pairs, 1), self.HP_BUCKETS, self._pin("HP", Qb), "HP"
+        )
+
     def probe_workload(self, batches, shortcut_k: int = 10):
         """Raw (unbucketed) static-shape drivers over a sample workload,
         measured per (shard, dp-group) — the units the shard_map blocks
@@ -1082,7 +1099,7 @@ class ShardedIndex:
         block = self.config.device.posting_block
         S, DP = self.n_shards, self.dp
         nd = self.n_dense
-        t = q = c = u = li = 1
+        t = q = c = u = li = hp = 1
         for b in batches:
             q = max(q, len(b))
             b, _f = self._shortcut_single_heavy(b, shortcut_k)
@@ -1112,7 +1129,10 @@ class ShardedIndex:
                 u = max(u, int(np.bincount(
                     np.unique(hk) // (nd + 1), minlength=S * DP
                 ).max()))
-        return {"T": t, "Q": q, "C": c, "U": u, "L": li}
+                hp = max(hp, int(np.bincount(
+                    key_sg[~light], minlength=S * DP
+                ).max()))
+        return {"T": t, "Q": q, "C": c, "U": u, "L": li, "HP": hp}
 
     def pin_shapes(
         self,
@@ -1123,6 +1143,7 @@ class ShardedIndex:
         C: Optional[int] = None,
         U: Optional[int] = None,
         L: Optional[int] = None,
+        HP: Optional[int] = None,
         c_pad: int = 128,
         u_pad: int = 16,
         scope_q: bool = False,
@@ -1139,8 +1160,9 @@ class ShardedIndex:
             if sparse:
                 m = self.probe_workload(probe_batches)
                 t, q, c, u, li = m["T"], m["Q"], m["C"], m["U"], m["L"]
+                hp = m["HP"]
             else:
-                t = q = c = u = li = 1
+                t = q = c = u = li = hp = 1
                 for b in probe_batches:
                     q = max(q, len(b))
                     s, _dfs, _w, light_dfs, uh, _m = self.plan(b)
@@ -1158,6 +1180,7 @@ class ShardedIndex:
                     ("C", C or _round_up(c, c_pad)),
                     ("U", U or _round_up(u + 1, u_pad)),
                     ("L", L or _bucket(li, self.L_BUCKETS)),
+                    ("HP", HP or _bucket(hp, self.HP_BUCKETS)),
                 ):
                     scope[k] = int(v)
                 return {qb: dict(scope)}
@@ -1166,9 +1189,12 @@ class ShardedIndex:
             C = C or _round_up(c, c_pad)
             U = U or _round_up(u + 1, u_pad)
             L = L or _bucket(li, self.L_BUCKETS)
+            HP = HP or _bucket(hp, self.HP_BUCKETS)
         elif scope_q:
             raise ValueError("scope_q=True requires probe_batches")
-        for k, v in (("T", T), ("Q", Q), ("C", C), ("U", U), ("L", L)):
+        for k, v in (
+            ("T", T), ("Q", Q), ("C", C), ("U", U), ("L", L), ("HP", HP)
+        ):
             if v:
                 self._pins[k] = int(v)
         return dict(self._pins)
@@ -1222,6 +1248,7 @@ class ShardedIndex:
             T = L // 7
             C = self._chunk_budget(plan_np[:, :, T : 2 * T], block)
             L2 = self._light_budget(plan_np)
+            H2 = self._heavy_budget(plan_np)
             K2 = min(
                 max(2 * K, self.config.device.rescore_margin),
                 self.shard_capacity,
@@ -1255,7 +1282,7 @@ class ShardedIndex:
                 uc = use_compact and (fh or not fast)
                 key = (
                     K, K2, mode, C, Qb, T, U if uc else 0,
-                    self._bs_depth, use_pallas, direct, uc, fh, L2,
+                    self._bs_depth, use_pallas, direct, uc, fh, L2, H2,
                 )
                 fn = self._fns.get(key)
                 if fn is None:
@@ -1266,7 +1293,7 @@ class ShardedIndex:
                         nd=self.n_dense, nl=self.n_light,
                         use_pallas=use_pallas, heavy_direct=direct,
                         use_compact=uc, fast_heavy=fh, guard_eps=eps,
-                        L2=L2,
+                        L2=L2, H2=H2,
                     )
                     self._fns[key] = fn
                 out = fn(

@@ -47,8 +47,10 @@ def _sparse_static_shapes(di, batch):
     kernel's compilation."""
     plan, U = di.plan_sparse(batch)
     C = di._chunk_budget(plan[1], di.config.device.posting_block)
+    L2 = di._light_budget(plan)
+    H2 = di._heavy_budget(plan)
     _seven, Qb, T = plan.shape
-    return (Qb, T, C, U)
+    return (Qb, T, C, U, L2, H2)
 
 
 def test_pinned_sparse_shapes_are_batch_invariant(sparse_index):
@@ -56,7 +58,7 @@ def test_pinned_sparse_shapes_are_batch_invariant(sparse_index):
     rng = np.random.default_rng(0)
     probe = [_queries(rng, 48, n) for n in (8, 16)]
     pins = di.pin_shapes(probe)
-    assert set(pins) == {"T", "Q", "C", "U", "W", "L"}
+    assert set(pins) == {"T", "Q", "C", "U", "W", "L", "HP"}
 
     shapes = set()
     for n in (1, 3, 8, 11, 16):
@@ -86,7 +88,7 @@ def test_pin_overflow_escape_is_bounded(sparse_index):
     rng = np.random.default_rng(2)
     di.pin_shapes(T=2, Q=4, C=128, U=16)
     qs = _queries(rng, 48, 6, tmin=5, tmax=5)  # T=5 > pin 2, Q=6 > pin 4
-    Qb, T, C, U = _sparse_static_shapes(di, qs)
+    Qb, T, C, U, _L2, _H2 = _sparse_static_shapes(di, qs)
     assert T == 6 and T % 2 == 0  # 5 -> next multiple of 2
     assert Qb == 8 and Qb % 4 == 0
     di._pins.clear()
@@ -129,7 +131,7 @@ def test_scoped_pins_per_batch_size(sparse_index):
     (qb_small,) = small.keys()
     (qb_big,) = big.keys()
     assert qb_small < qb_big
-    assert set(small[qb_small]) == {"C", "U", "W", "L"}
+    assert set(small[qb_small]) == {"C", "U", "W", "L", "HP"}
 
     shapes_small = {
         _sparse_static_shapes(di, _queries(rng, 48, n, tmax=4))
@@ -143,8 +145,8 @@ def test_scoped_pins_per_batch_size(sparse_index):
     assert len(shapes_big) == 1, shapes_big
     # the small scope really is smaller work: its C envelope must not
     # inherit the big batch's chunk budget
-    (qs, _ts, cs, _us) = next(iter(shapes_small))
-    (qbig, _tb, cb, _ub) = next(iter(shapes_big))
+    (qs, _ts, cs, _us, _ls, _hs) = next(iter(shapes_small))
+    (qbig, _tb, cb, _ub, _lb, _hb) = next(iter(shapes_big))
     assert qs == qb_small and qbig == qb_big
     assert cs <= cb
     di._qpins.clear()
@@ -158,10 +160,12 @@ def test_scoped_pin_beats_global(sparse_index):
     qb = next(iter(di._qpins))
     scoped_c = di._qpins[qb]["C"]
     assert scoped_c < 4096
-    _q, _t, C, _u = _sparse_static_shapes(di, _queries(rng, 48, 4))
+    _q, _t, C, _u, _l, _h = _sparse_static_shapes(di, _queries(rng, 48, 4))
     assert C == scoped_c  # scoped pin wins inside its envelope
     # outside the scoped envelope the global pin still applies
-    _q2, _t2, C2, _u2 = _sparse_static_shapes(di, _queries(rng, 48, 16))
+    _q2, _t2, C2, _u2, _l2, _h2 = _sparse_static_shapes(
+        di, _queries(rng, 48, 16)
+    )
     assert C2 == 4096
     di._pins.clear()
     di._qpins.clear()
