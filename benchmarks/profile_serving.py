@@ -133,9 +133,10 @@ def main():
     K2 = min(max(2 * K, margin), di.n_slots)
     C = max(di._chunk_budget(p[0][1], blk) for p in plans)
     L2 = max(di._light_budget(p[0]) for p in plans)
+    H2 = max(di._heavy_budget(p[0]) for p in plans)
     U = plans[0][1]
     T = plans[0][0].shape[2]
-    print(f"[prof] C={C} L2={L2} U={U} T={T} K2={K2} G={groups}",
+    print(f"[prof] C={C} L2={L2} H2={H2} U={U} T={T} K2={K2} G={groups}",
           file=sys.stderr)
     if groups > 1:
         # Stack G single-group plans into multi-launch blocks; per-"batch"
@@ -166,7 +167,7 @@ def main():
                 heavy_direct=di._heavy_direct,
                 fast_heavy=fast,
                 w_max=di._sel_window(pi[:, 1] if groups > 1 else pi[1]),
-                L2=L2,
+                L2=L2, H2=H2,
                 prof_skip=skip,
             )
             out.copy_to_host_async()
