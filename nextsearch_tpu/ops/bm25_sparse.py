@@ -55,6 +55,69 @@ def _segmented_cumsum(vals, first):
     return out
 
 
+def _shift1(x, fill):
+    return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+
+def _segmented_cumsum_bounded(vals, first, tmax: int):
+    """Inclusive segmented cumsum for segments of length <= tmax, in exact
+    serial (left-fold) order.
+
+    light_totals' (q, doc) groups hold at most one lane per term slot, so
+    their length is bounded by the envelope's static T — a tmax-1-step
+    shifted-add chain replaces lax.associative_scan's ~log2(N) levels of
+    tuple select/add (measured +8.4 ms/batch at the 1M serving point via
+    the segsum prof_skip marginal, on a 344k-lane flat stream whose live
+    groups are all <= 4 long). s_k[i] = s_{k-1}[i-1] + vals[i] is the
+    LEFT FOLD of the k+1 trailing lanes, so out[i] = s_{o[i]}[i] (o = lane
+    offset within its segment) accumulates in exact lane order — the
+    stable sort's term-slot order, i.e. the reference's accumulation order
+    (src/api_engine.cpp:473-481) — where the associative scan's balanced
+    tree reassociates groups of 4+. Lanes deeper than tmax into a segment
+    (only the invalid-padding sentinel group at the stream tail; live
+    groups cannot exceed T) return the tmax-lane left fold instead of the
+    full sum: callers mask those lanes out (light_totals' valid_last).
+    """
+    out = vals
+    s = vals
+    m = ~first  # m_k[i]: lane i is >= k lanes into its segment (k = 1 here)
+    for _ in range(max(tmax - 1, 0)):
+        s = _shift1(s, 0) + vals
+        out = jnp.where(m, s, out)
+        m = m & _shift1(m, False)
+    return out
+
+
+def _cumsum_count_blocked(ind):
+    """Inclusive cumsum of a flat 0/1 indicator via 128-lane triangular
+    MXU matmuls + a short carry scan.
+
+    XLA lowers jnp.cumsum to a log2(N)-level shift chain (~19 full-array
+    passes at the 344k-lane serving point, measured +5.9 ms/batch via the
+    lcount prof_skip marginal). Block form: one [N/128, 128] x [128, 128]
+    upper-triangular dot gives every in-block prefix (0/1 operands are
+    EXACT in bf16, accumulation is f32, so the DEFAULT single-pass MXU dot
+    is exact), and only the [N/128] block totals ride the log-shift scan.
+    f32 holds counts exactly to 2^24 — far above any flat stream here.
+    Returns int32.
+    """
+    n = ind.shape[0]
+    x = ind.astype(jnp.float32)
+    if n < 1024 or n % 128 != 0:
+        return jnp.cumsum(ind.astype(jnp.int32))
+    nb = n // 128
+    xb = x.reshape(nb, 128)
+    io = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jo = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (io <= jo).astype(jnp.float32)  # tri[k, j] = 1 for k <= j
+    inner = jnp.dot(
+        xb, tri, preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT,
+    )  # [nb, 128] in-block inclusive prefixes
+    carry = jnp.cumsum(inner[:, -1]) - inner[:, -1]  # exclusive block sums
+    return (inner + carry[:, None]).astype(jnp.int32).reshape(n)
+
+
 def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, Q, n_slots,
                  skip_sort: bool = False, skip_segsum: bool = False):
     """Flat per-(query, doc) light-term totals via sort + segmented sum.
@@ -107,7 +170,12 @@ def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, 
     )
     # skip_segsum (static, profiling only — totals are WRONG) replaces the
     # segmented scan with the raw contributions for stage attribution.
-    stot = sc if skip_segsum else _segmented_cumsum(sc, first)
+    # Group length is bounded by T (one lane per term slot per doc), so
+    # the bounded serial fold applies at every envelope.
+    stot = (
+        sc if skip_segsum
+        else _segmented_cumsum_bounded(sc, first, starts.shape[1])
+    )
     last = jnp.concatenate(
         [
             (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1]),
@@ -119,7 +187,7 @@ def light_totals(post_doc, post_score, starts, light_dfs, weights, *, C, block, 
 
 def per_query_counts(sq, indicator, Q):
     """Sum `indicator` per query over a q-sorted flat array (no scatter)."""
-    cs = jnp.cumsum(indicator.astype(jnp.int32))
+    cs = _cumsum_count_blocked(indicator)
     bounds = jnp.searchsorted(sq, jnp.arange(Q + 1, dtype=jnp.int32))
     csz = jnp.concatenate([jnp.zeros((1,), jnp.int32), cs])
     return csz[bounds[1:]] - csz[bounds[:-1]]
@@ -1169,6 +1237,10 @@ def _packed_impl(
             half = (sd_clip & 1).astype(jnp.uint32) * jnp.uint32(16)
             hval = _bf16_hi_f32(w >> half)
         else:
+            # NB a flat 1D gather (H.reshape(-1)[q * n_slots + d]) measured
+            # FASTER unpipelined (hgather marginal 10.7 -> 8.6 ms) but cost
+            # -14% end-to-end QPS at depth 2: the [Q, n_slots] -> [Q*n_slots]
+            # reshape materializes a 2GB relayout copy per in-flight batch.
             hval = H[jnp.clip(sq, 0, Q - 1), sd_clip].astype(jnp.float32)
         valid_last = last & (sq < Q)
         light_only = valid_last & (hval == 0.0)

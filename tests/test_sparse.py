@@ -946,3 +946,68 @@ def test_deal_sorted_group_parity(segs):
         check_parity(di, segs, queries)
     finally:
         os.environ.pop("NEXTSEARCH_SORT_QUERIES", None)
+
+
+def test_segmented_cumsum_bounded_serial_order():
+    """The bounded fold matches serial left-fold accumulation exactly for
+    every segment length <= tmax (live groups never exceed T: at most one
+    lane per term slot per doc)."""
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.bm25_sparse import _segmented_cumsum_bounded
+
+    rng = np.random.default_rng(7)
+    for tmax in (1, 2, 4, 7):
+        lens, total = [], 0
+        while total < 300:
+            n = int(rng.integers(1, tmax + 1))
+            lens.append(n)
+            total += n
+        vals = rng.uniform(0.1, 3.0, total).astype(np.float32)
+        first = np.zeros(total, bool)
+        pos = 0
+        for n in lens:
+            first[pos] = True
+            pos += n
+        out = np.asarray(
+            _segmented_cumsum_bounded(
+                jnp.asarray(vals), jnp.asarray(first), tmax
+            )
+        )
+        # serial reference: f32 left fold restarting at each boundary
+        ref = np.empty_like(vals)
+        acc = np.float32(0.0)
+        for i in range(total):
+            acc = vals[i] if first[i] else np.float32(acc + vals[i])
+            ref[i] = acc
+        assert out.tolist() == ref.tolist()
+
+
+def test_segmented_cumsum_bounded_overlong_tail_masked():
+    """Lanes deeper than tmax into a segment (the sentinel padding group)
+    return the tmax-lane fold — callers mask them; boundary lanes of LIVE
+    segments are unaffected."""
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.bm25_sparse import _segmented_cumsum_bounded
+
+    vals = jnp.asarray(np.ones(10, np.float32))
+    first = np.zeros(10, bool)
+    first[0] = True  # one 10-long segment, tmax=4
+    out = np.asarray(
+        _segmented_cumsum_bounded(jnp.asarray(vals), jnp.asarray(first), 4)
+    )
+    assert out[:4].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert (out[4:] == 4.0).all()  # truncated fold, masked by callers
+
+
+def test_cumsum_count_blocked_matches():
+    import jax.numpy as jnp
+
+    from nextsearch_tpu.ops.bm25_sparse import _cumsum_count_blocked
+
+    rng = np.random.default_rng(11)
+    for n in (64, 1024, 4096, 128 * 37, 1000):  # incl. non-multiple fallback
+        ind = rng.integers(0, 2, n).astype(bool)
+        out = np.asarray(_cumsum_count_blocked(jnp.asarray(ind)))
+        assert out.tolist() == np.cumsum(ind.astype(np.int32)).tolist()
