@@ -766,11 +766,18 @@ def heavy_fused3_pallas(
     )(mix.astype(dense3.dtype), dense3)
     h3, smax3, cnt = out
     smax = jnp.transpose(smax3, (1, 0, 2)).reshape(sub_pad, Q)
-    return h3.reshape(Q, n_slots), smax, cnt
+    # H stays in the kernel's native 3D layout [Q, n_slots/128, 128]:
+    # reshaping to [Q, n_slots] is a real 2GB relayout copy on TPU (tiled
+    # physical layouts regroup sublanes), measured via the standalone
+    # reshape+take_along_axis probe (9.2 ms vs 5.1 ms on a resident 3D
+    # array). Downstream consumers index 3D (d >> 7, d & 127).
+    return h3, smax, cnt
 
 
 def heavy_fused3_xla(mix, dense3, *, fast: bool = False,
                      h_dtype=jnp.float32):
     """Pure-XLA reference for heavy_fused3_pallas (CPU path)."""
     dense2 = dense3.reshape(dense3.shape[0], -1)
-    return heavy_fused_xla(mix, dense2, fast=fast, h_dtype=h_dtype)
+    h, smax, cnt = heavy_fused_xla(mix, dense2, fast=fast, h_dtype=h_dtype)
+    nblk = dense2.shape[1] // 128
+    return h.reshape(h.shape[0], nblk, 128), smax, cnt
