@@ -200,8 +200,14 @@ def main():
 
     t0 = time.time()
     di = DeviceIndex([seg], config=cfg)
+    hbm = di.hbm_bytes()
     print(f"[bench] index build+upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
+    print(
+        "[bench] index HBM: "
+        + " ".join(f"{k}={v / (1 << 30):.2f}GiB" for k, v in hbm.items()),
+        file=sys.stderr,
+    )
     # Freeze every batch-varying static shape (T/Q/C/U/W/L) through the
     # first-class pinning API. The probe applies the 1-term shortcut
     # (heavy row top-k AND light posting top-k) exactly as serving does,
@@ -360,6 +366,13 @@ def main():
         "unit": "queries/sec",
         "vs_baseline": round(qps / 10000.0, 4),
         "p50_req_ms": round(p50, 2),
+        # north-star memory clause: total device bytes behind this QPS
+        # (reference disk index is ~8 B/posting; our postings alone match
+        # that — dense rows/tables are the reported throughput tradeoff)
+        "index_hbm_gb": round(hbm["total"] / (1 << 30), 2),
+        "postings_gb": round(
+            (hbm.get("post_doc", 0) + hbm.get("post_score", 0)) / (1 << 30), 2
+        ),
     }
     if lat_point:
         out["latency_point"] = lat_point

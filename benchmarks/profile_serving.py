@@ -11,7 +11,7 @@ fast_heavy guarded pipeline (1-pass DEFAULT heavy matmul, merged K2 pool).
 Variants:
     full           the exact serving kernel configuration (fast path)
     wide           fast_heavy=False (the relaunch kernel: HIGHEST + 2*K2)
-    no_rescore     skip exact_rescore_v3
+    no_rescore     skip the exact rescore
     no_sort2       skip per_query_topk_flat (light selection sort)
     no_light       skip the whole light chain (expand+sort+segsum+sort2)
     no_hgather     light totals but H values gathered as zeros

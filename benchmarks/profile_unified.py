@@ -5,7 +5,7 @@ toggles (same methodology as profile_serving.py for the packed path —
 full-kernel variants, deltas vs "full" attribute each stage):
 
     full           the exact serving unified pipeline
-    no_rescore     exact_rescore_v3 off (candidates scored 1.0)
+    no_rescore     exact rescore off (candidates scored 1.0)
     no_cand        heavy_candidates off (selection gather + top-k)
     no_entries     entry expand+sort+pack off, kernel sees zero windows
                    (eoff = 0): measures the whole light-entry feed
@@ -40,7 +40,7 @@ from jax import lax  # noqa: E402
 from nextsearch_tpu.ops.bm25 import canonical_sort, expand_chunks  # noqa: E402
 from nextsearch_tpu.ops.bm25_sparse import (  # noqa: E402
     _round_up_16,
-    exact_rescore_v3,
+    exact_rescore_v4,
     heavy_candidates,
 )
 from nextsearch_tpu.ops.heavy_pallas import (  # noqa: E402
@@ -158,10 +158,13 @@ def variant_unified(
 
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
     if do_rescore:
-        exact = exact_rescore_v3(
+        # v3 retired; v4 with L2 = full lane width is the uncompacted
+        # equivalent for this profile harness.
+        exact = exact_rescore_v4(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
             bs_steps=bs_steps, nd=nd, nl=nl,
+            L2=int(starts.shape[0] * starts.shape[1]),
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     else:

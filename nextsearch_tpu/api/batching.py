@@ -6,6 +6,14 @@ queue; a dispatcher thread drains up to `max_batch` requests within a
 `window_ms` coalescing window and runs them as ONE batched device kernel
 (Engine.search_batch), amortizing kernel launches across requests — the
 BASELINE.json north-star serving pattern.
+
+PipelinedBatcher extends this with the depth-2 launch pipeline the bench
+harness measures: the dispatcher launches batch N+1 (host planning + device
+dispatch via Engine.search_batch_async) BEFORE gathering batch N, so the
+~12.7 ms per-launch relay floor and the host planning of the next batch are
+hidden behind device execution instead of serialized after it. Depth 2 is
+enough (probe_depth.py: 13,988/13,997 QPS at depths 2/8; deeper queues only
+add wait time).
 """
 
 from __future__ import annotations
@@ -13,26 +21,64 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from ..config import BatchingConfig
 
+# A queue unit: (requests, future, multi). `multi` units carry a LIST of
+# requests resolved by ONE future (the batched HTTP endpoint) — per-request
+# future wakeups cost ~40us each on the 1-core host, so a 512-query HTTP
+# batch pays one wakeup instead of 512.
+_Unit = Tuple[list, Future, bool]
+
 
 class MicroBatcher:
-    """Generic coalescing dispatcher: many submit() -> one batch_fn call."""
+    """Generic coalescing dispatcher: many submit() -> one batch_fn call.
 
-    def __init__(self, batch_fn, config: BatchingConfig, name: str = "batcher"):
+    Two modes:
+      - sync: `batch_fn(requests) -> results` (one blocking call per window)
+      - pipelined: `launch_fn(requests) -> state`, `gather_fn(state) ->
+        results`, with up to `depth` launches in flight.
+    """
+
+    def __init__(
+        self,
+        batch_fn=None,
+        config: BatchingConfig = None,
+        name: str = "batcher",
+        launch_fn=None,
+        gather_fn=None,
+        depth: int = 1,
+    ):
+        if batch_fn is None and (launch_fn is None or gather_fn is None):
+            raise ValueError("need batch_fn or launch_fn+gather_fn")
         self.batch_fn = batch_fn
+        self.launch_fn = launch_fn
+        self.gather_fn = gather_fn
+        self.depth = max(1, int(depth))
         self.config = config
-        self._q: "queue.Queue[Tuple[object, Future]]" = queue.Queue()
+        self._q: "queue.Queue[_Unit]" = queue.Queue()
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, name=name, daemon=True)
+        run = self._run_pipelined if launch_fn is not None else self._run
+        self._thread = threading.Thread(target=run, name=name, daemon=True)
         self._thread.start()
 
     def submit(self, request) -> Future:
         fut: Future = Future()
-        self._q.put((request, fut))
+        self._q.put(([request], fut, False))
+        return fut
+
+    def submit_many(self, requests: list) -> Future:
+        """One future resolving to the result list for `requests` (in order).
+
+        The unit coalesces with concurrently submitted singles; results are
+        sliced back out by the dispatcher. Units larger than max_batch are
+        split across launches by the caller (see SearchBatcher.search_many).
+        """
+        fut: Future = Future()
+        self._q.put((list(requests), fut, True))
         return fut
 
     def call(self, request):
@@ -40,49 +86,122 @@ class MicroBatcher:
 
     def shutdown(self) -> None:
         self._stop.set()
-        self._q.put((None, None))  # wake the dispatcher
+        self._q.put(([], None, False))  # wake the dispatcher
         self._thread.join(timeout=2)
 
-    def _run(self) -> None:
-        window_s = self.config.window_ms / 1000.0
-        while not self._stop.is_set():
+    # ---------------- internals ----------------
+
+    def _drain(self, block: bool) -> List[_Unit]:
+        """One coalescing window of queue units (possibly empty)."""
+        try:
+            item = self._q.get(timeout=0.2) if block else self._q.get_nowait()
+        except queue.Empty:
+            return []
+        if item[1] is None:
+            return []
+        units = [item]
+        count = len(item[0])
+        deadline = time.monotonic() + self.config.window_ms / 1000.0
+        while count < self.config.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                item = self._q.get(timeout=0.2)
+                nxt = self._q.get(timeout=remaining)
             except queue.Empty:
+                break
+            if nxt[1] is None:
                 continue
-            if item[1] is None:
+            units.append(nxt)
+            count += len(nxt[0])
+        return units
+
+    @staticmethod
+    def _resolve(units: List[_Unit], results) -> None:
+        pos = 0
+        for reqs, fut, multi in units:
+            n = len(reqs)
+            if fut.done():
+                pos += n
                 continue
-            batch: List[Tuple[object, Future]] = [item]
-            # Coalesce whatever arrives within ONE window, up to max_batch.
-            deadline = time.monotonic() + window_s
-            while len(batch) < self.config.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self._q.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if nxt[1] is None:
-                    continue
-                batch.append(nxt)
+            if multi:
+                fut.set_result(list(results[pos : pos + n]))
+            else:
+                fut.set_result(results[pos])
+            pos += n
+
+    @staticmethod
+    def _fail(units: List[_Unit], exc: Exception) -> None:
+        for _reqs, fut, _multi in units:
+            if fut is not None and not fut.done():
+                fut.set_exception(exc)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            units = self._drain(block=True)
+            if not units:
+                continue
+            flat = [r for reqs, _f, _m in units for r in reqs]
             try:
-                results = self.batch_fn([req for req, _ in batch])
-                for (_req, fut), res in zip(batch, results):
-                    fut.set_result(res)
+                results = self.batch_fn(flat)
+                self._resolve(units, results)
             except Exception as e:  # propagate to all waiters
-                for _req, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                self._fail(units, e)
+
+    def _run_pipelined(self) -> None:
+        inflight: deque = deque()  # (units, state)
+        while not (self._stop.is_set() and not inflight):
+            units = []
+            if len(inflight) < self.depth and not self._stop.is_set():
+                # Block only when the pipe is empty; with work in flight a
+                # dry queue should fall through to the gather immediately.
+                units = self._drain(block=not inflight)
+            if units:
+                flat = [r for reqs, _f, _m in units for r in reqs]
+                try:
+                    state = self.launch_fn(flat)
+                except Exception as e:
+                    self._fail(units, e)
+                else:
+                    inflight.append((units, state))
+                continue
+            if inflight:
+                done_units, state = inflight.popleft()
+                try:
+                    results = self.gather_fn(state)
+                    self._resolve(done_units, results)
+                except Exception as e:
+                    self._fail(done_units, e)
 
 
 class SearchBatcher(MicroBatcher):
+    """Pipelined search dispatcher over Engine.search_batch_async/gather."""
+
     def __init__(self, engine, config: BatchingConfig):
-        super().__init__(engine.search_batch, config, name="search-batcher")
+        super().__init__(
+            config=config,
+            name="search-batcher",
+            launch_fn=engine.search_batch_async,
+            gather_fn=engine.search_batch_gather,
+            depth=config.pipeline_depth,
+        )
         self.engine = engine
 
     def search(self, query: str, k: int) -> dict:
         return self.call((query, k))
+
+    def search_many(self, requests: List[Tuple[str, int]]) -> List[dict]:
+        """Batched entry (POST /api/search_batch): one future per max_batch
+        chunk; chunks pipeline through the same dispatcher as singles."""
+        mb = self.config.max_batch
+        futs = [
+            self.submit_many(requests[i : i + mb])
+            for i in range(0, len(requests), mb)
+        ]
+        out: List[dict] = []
+        for f in futs:
+            out.extend(f.result())
+        return out
 
 
 class SuggestBatcher(MicroBatcher):

@@ -36,7 +36,13 @@ class LRUCache:
         persist_path: Optional[str | os.PathLike] = None,
         save_interval: int = 1,
         tag: str = "cache",
+        flush_ms: float = 0.0,
     ):
+        """flush_ms=0 (default): write-through every `save_interval` puts —
+        the reference's CACHE_SAVE_INTERVAL=1 semantics. flush_ms>0:
+        write-behind — puts mark dirty and a daemon thread persists at most
+        once per flush_ms (serving: a full 2600-entry JSON dump PER PUT is
+        ~10 ms of host CPU, i.e. a ~100 puts/s ceiling on one core)."""
         self.capacity = int(capacity)
         self.persist_path = Path(persist_path) if persist_path else None
         self.save_interval = max(1, int(save_interval))
@@ -44,6 +50,13 @@ class LRUCache:
         self._data: "OrderedDict[str, Any]" = OrderedDict()  # newest last
         self._updates_since_save = 0
         self._lock = threading.Lock()
+        self._dirty = False
+        self._flush_ms = float(flush_ms)
+        if self._flush_ms > 0:
+            self._flush_stop = threading.Event()
+            threading.Thread(
+                target=self._flush_loop, name=f"{tag}-flush", daemon=True
+            ).start()
 
     def __len__(self) -> int:
         with self._lock:
@@ -69,6 +82,9 @@ class LRUCache:
             if len(self._data) >= self.capacity:
                 self._data.popitem(last=False)
             self._data[key] = result
+            if self._flush_ms > 0:
+                self._dirty = True
+                return
             self._updates_since_save += 1
             do_save = self._updates_since_save >= self.save_interval
             if do_save:
@@ -78,6 +94,15 @@ class LRUCache:
             self._save(snapshot)
 
     # ---------------- persistence ----------------
+
+    def _flush_loop(self) -> None:
+        while not self._flush_stop.wait(self._flush_ms / 1000.0):
+            with self._lock:
+                if not self._dirty:
+                    continue
+                self._dirty = False
+                snapshot = list(self._data.items())
+            self._save(snapshot)
 
     def _save(self, snapshot) -> None:
         if self.persist_path is None:

@@ -187,6 +187,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                 return self._handle_feedback()
             if path == "/api/add_document":
                 return self._handle_add_document()
+            if path == "/api/search_batch":
+                return self._handle_search_batch()
             return self._respond(404, {"error": "not found"})
         except BrokenPipeError:
             pass
@@ -234,6 +236,47 @@ class ApiHandler(BaseHTTPRequestHandler):
             log("search", f'q="{q}" k={k} search={search_ms:.3f}ms')
         self._respond(200, j)
 
+    def _handle_search_batch(self):
+        """Ours (no reference counterpart): many queries per HTTP request.
+
+        POST {"queries": [{"q": "...", "k": 10}, ...]} ->
+        {"results": [<same shape as /api/search>...], "search_time_ms": N}.
+        A TPU serving front is batch-oriented end to end: per-request HTTP
+        costs ~150us of host CPU each on this 1-core box, so a production
+        client (or an upstream gateway) amortizes it across a batch. The
+        batch coalesces with concurrent single requests in the same
+        pipelined dispatcher.
+        """
+        t0 = time.perf_counter()
+        try:
+            body = json.loads(self._body() or b"{}")
+        except ValueError:
+            return self._respond(400, {"error": "invalid JSON body"})
+        queries = body.get("queries")
+        if not isinstance(queries, list) or not queries:
+            return self._respond(400, {"error": "missing queries list"})
+        if len(queries) > 4096:
+            return self._respond(400, {"error": "too many queries (max 4096)"})
+        reqs = []
+        for item in queries:
+            if not isinstance(item, dict) or "q" not in item:
+                return self._respond(400, {"error": "each query needs q"})
+            reqs.append((str(item["q"]), int(item.get("k", 10))))
+        results = self.ctx.batcher.search_many(reqs)
+        ms = (time.perf_counter() - t0) * 1000.0
+        self.ctx.stats.increment_searches(len(results))
+        n_cached = 0
+        for j in results:
+            if j.pop("from_cache", None):
+                j["cached"] = True
+                n_cached += 1
+            else:
+                j["cached"] = False
+        if n_cached:
+            self.ctx.stats.increment_search_cache_hits(n_cached)
+        log("search", f"batch n={len(results)} {ms:.1f}ms")
+        self._respond(200, {"results": results, "search_time_ms": ms})
+
     def _handle_suggest(self):
         params = self._params()
         if "q" not in params:
@@ -269,6 +312,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                     "dense_rows": getattr(idx, "n_dense", None),
                     "doc_slots": getattr(idx, "n_slots", None),
                 }
+                if hasattr(idx, "hbm_bytes"):
+                    stats["index"]["hbm_bytes"] = idx.hbm_bytes()
         self._respond(200, stats)
 
     def _handle_feedback(self):
@@ -419,6 +464,16 @@ def main(argv=None):
     index_dir = Path(argv[0])
     port = int(argv[1]) if len(argv) > 1 else 8080
 
+    # NEXTSEARCH_PLATFORM=cpu forces the JAX backend (the environment's
+    # sitecustomize pins JAX_PLATFORMS=axon, which env vars cannot override
+    # — only jax.config.update can; see CLAUDE.md).
+    platform = os.environ.get("NEXTSEARCH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+        log("server", f"jax platform forced: {platform}")
+
     mesh = None
     if mesh_shape is not None:
         from ..parallel.mesh import make_mesh
@@ -426,17 +481,74 @@ def main(argv=None):
         mesh = make_mesh(dp=mesh_shape[0], seg=mesh_shape[1])
         log("server", f"serving over mesh (dp={mesh_shape[0]}, seg={mesh_shape[1]})")
 
+    from dataclasses import replace
+
     config = DEFAULT_CONFIG
     if mode is not None:
-        from dataclasses import replace
-
         config = replace(config, device=replace(config.device, mode=mode))
         log("server", f"device execution mode: {mode}")
 
+    # Memory/throughput operating point (VERDICT r3 item 3): dense-row HBM
+    # budget + classification ratio, overridable so a deployment can pick
+    # its point on the measured QPS-vs-HBM curve (see README). Defaults
+    # match DeviceConfig (2 GiB rows); the bench's throughput headline
+    # runs 7 GiB.
+    dev = config.device
+    dev = replace(
+        dev,
+        dense_max_bytes=int(
+            os.environ.get("NEXTSEARCH_DENSE_BYTES", dev.dense_max_bytes)
+        ),
+        dense_df_ratio=float(
+            os.environ.get("NEXTSEARCH_DENSE_RATIO", dev.dense_df_ratio)
+        ),
+        heavy_buckets=tuple(
+            int(x)
+            for x in os.environ.get(
+                "NEXTSEARCH_HEAVY_BUCKETS",
+                ",".join(str(b) for b in dev.heavy_buckets),
+            ).split(",")
+        ),
+        posting_block=int(
+            os.environ.get("NEXTSEARCH_POSTING_BLOCK", dev.posting_block)
+        ),
+    )
+    if dev != config.device:
+        config = replace(config, device=dev)
+        log("server", f"device budgets: dense_bytes={dev.dense_max_bytes} "
+            f"ratio={dev.dense_df_ratio:.6f} buckets={dev.heavy_buckets}")
+
+    # Serving persistence: write-behind (bounded staleness) instead of the
+    # reference's write-per-update — a full cache/stats JSON dump per
+    # request is a hard QPS ceiling on the host CPU. Set *_FLUSH_MS=0 for
+    # strict reference-parity persistence.
+    cache_flush = float(os.environ.get("NEXTSEARCH_CACHE_FLUSH_MS", 1000))
+    if cache_flush != config.cache.flush_ms:
+        config = replace(config, cache=replace(config.cache, flush_ms=cache_flush))
+
+    # Serving-batch shape knobs (the bench's throughput point runs batch 512
+    # depth 2; the BatchingConfig default of 256 favors latency).
+    bat = config.batching
+    bat = replace(
+        bat,
+        max_batch=int(os.environ.get("NEXTSEARCH_MAX_BATCH", bat.max_batch)),
+        window_ms=float(os.environ.get("NEXTSEARCH_WINDOW_MS", bat.window_ms)),
+        pipeline_depth=int(
+            os.environ.get("NEXTSEARCH_PIPELINE_DEPTH", bat.pipeline_depth)
+        ),
+    )
+    if bat != config.batching:
+        config = replace(config, batching=bat)
+        log("server", f"batching: max_batch={bat.max_batch} "
+            f"window_ms={bat.window_ms} depth={bat.pipeline_depth}")
+
     engine = Engine(index_dir, mesh=mesh, config=config)
+    t0 = time.perf_counter()
     if not engine.reload():
         log("server", f"Failed to load index segments from: {index_dir}", level="error")
         return 1
+    log("server", f"reload (load + device build/upload) took "
+        f"{time.perf_counter() - t0:.1f}s")
 
     env_vars = load_env_file(".env")
     azure = AzureOpenAIConfig(
@@ -444,7 +556,9 @@ def main(argv=None):
         api_key=env_vars.get("AZURE_OPENAI_API_KEY", ""),
         model=env_vars.get("AZURE_OPENAI_MODEL", ""),
     )
-    stats = StatsTracker()
+    stats = StatsTracker(
+        flush_ms=float(os.environ.get("NEXTSEARCH_STATS_FLUSH_MS", 200))
+    )
     if not Path("stats.json").exists() and env_vars.get("AI_API_CALLS_LIMIT"):
         limit = int(env_vars["AI_API_CALLS_LIMIT"])
         stats.set_ai_api_calls_limit(limit)
@@ -456,7 +570,16 @@ def main(argv=None):
             "(AI overview endpoint will return error)")
     feedback = FeedbackManager("feedback.json")
     if os.environ.get("NEXTSEARCH_WARMUP", "1") == "1":
-        engine.warmup()
+        # NEXTSEARCH_WARMUP_SIZES="1,512": warm only those batch-size
+        # envelopes (each is a probe + XLA compile — minutes through the
+        # relay on first run; cached after). Default warms the full Q
+        # ladder so any coalesced batch size hits a compiled shape.
+        sizes_env = os.environ.get("NEXTSEARCH_WARMUP_SIZES")
+        t0 = time.perf_counter()
+        engine.warmup(
+            sizes=[int(s) for s in sizes_env.split(",")] if sizes_env else None
+        )
+        log("server", f"warmup took {time.perf_counter() - t0:.1f}s")
     ctx = ServerContext(
         engine, stats, feedback, azure,
         enable_add_document=os.environ.get("NEXTSEARCH_ENABLE_ADD_DOCUMENT") == "1",
@@ -470,6 +593,7 @@ def main(argv=None):
         pass
     finally:
         engine.save_caches()
+        stats.flush()
     return 0
 
 

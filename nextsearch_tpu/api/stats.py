@@ -36,7 +36,17 @@ _FIELDS = (
 
 
 class StatsTracker:
-    def __init__(self, storage_path: str | os.PathLike = "stats.json"):
+    def __init__(
+        self,
+        storage_path: str | os.PathLike = "stats.json",
+        flush_ms: float = 0.0,
+    ):
+        """flush_ms=0 (default): persist synchronously on every increment —
+        the reference's semantics (include/api_stats.hpp:37-45). flush_ms>0:
+        write-behind — increments mark dirty, a daemon thread persists at
+        most once per flush_ms. A full-file write per counter bump caps a
+        1-core host at ~10k increments/s, so the serving front enables the
+        bounded-staleness mode (NEXTSEARCH_STATS_FLUSH_MS)."""
         self.stats_file = Path(storage_path)
         self._lock = threading.Lock()
         self.total_searches = 0
@@ -48,19 +58,30 @@ class StatsTracker:
         self.ai_api_calls_remaining = 10000
         self.ai_api_calls_used = 0
         self._load()
+        self._dirty = False
+        self._flush_ms = float(flush_ms)
+        if self._flush_ms > 0:
+            self._flush_stop = threading.Event()
+            t = threading.Thread(
+                target=self._flush_loop, name="stats-flush", daemon=True
+            )
+            t.start()
 
     # ---------------- counters ----------------
 
     def _bump(self, field: str, delta: int = 1) -> None:
         with self._lock:
             setattr(self, field, getattr(self, field) + delta)
-            self._save_locked()
+            if self._flush_ms > 0:
+                self._dirty = True
+            else:
+                self._save_locked()
 
-    def increment_searches(self):
-        self._bump("total_searches")
+    def increment_searches(self, n: int = 1):
+        self._bump("total_searches", n)
 
-    def increment_search_cache_hits(self):
-        self._bump("search_cache_hits")
+    def increment_search_cache_hits(self, n: int = 1):
+        self._bump("search_cache_hits", n)
 
     def increment_ai_overview_calls(self):
         self._bump("ai_overview_calls")
@@ -91,6 +112,17 @@ class StatsTracker:
             self._save_locked()
 
     # ---------------- persistence ----------------
+
+    def _flush_loop(self) -> None:
+        while not self._flush_stop.wait(self._flush_ms / 1000.0):
+            self.flush()
+
+    def flush(self) -> None:
+        """Persist now if dirty (write-behind mode; also call at shutdown)."""
+        with self._lock:
+            if self._dirty:
+                self._dirty = False
+                self._save_locked()
 
     def _load(self) -> None:
         if not self.stats_file.exists():

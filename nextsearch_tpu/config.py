@@ -47,6 +47,11 @@ class CacheConfig:
     ai_overview_capacity: int = 500
     ai_summary_capacity: int = 1000
     save_interval: int = 1
+    # 0 = write-through on every save_interval-th put (reference parity);
+    # >0 = write-behind, persisted at most once per flush_ms by a daemon
+    # thread (the serving front sets this: a full cache JSON dump per put
+    # is a ~100 puts/s ceiling on a 1-core host).
+    flush_ms: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -192,6 +197,11 @@ class BatchingConfig:
     max_batch: int = 256
     # How long the dispatcher waits to coalesce concurrent requests.
     window_ms: float = 2.0
+    # Launches kept in flight by the serving dispatcher: batch N+1 is
+    # planned+launched before batch N is gathered, hiding the per-launch
+    # relay round trip behind device exec. 2 matches the bench harness
+    # (probe_depth.py: deeper queues gain no QPS, only p50).
+    pipeline_depth: int = 2
 
 
 @dataclass(frozen=True)

@@ -71,15 +71,15 @@ class Engine:
         cc = config.cache
         self.cache = LRUCache(
             cc.search_capacity, cache_dir / "search_cache.json",
-            cc.save_interval, tag="cache",
+            cc.save_interval, tag="cache", flush_ms=cc.flush_ms,
         )
         self.ai_overview_cache = LRUCache(
             cc.ai_overview_capacity, cache_dir / "ai_overview_cache.json",
-            cc.save_interval, tag="cache",
+            cc.save_interval, tag="cache", flush_ms=cc.flush_ms,
         )
         self.ai_summary_cache = LRUCache(
             cc.ai_summary_capacity, cache_dir / "ai_summary_cache.json",
-            cc.save_interval, tag="cache",
+            cc.save_interval, tag="cache", flush_ms=cc.flush_ms,
         )
 
     # ---------------- lifecycle ----------------
@@ -164,7 +164,12 @@ class Engine:
             self.ai_summary_cache.load()
             return True
 
-    def warmup(self, k_values: Sequence[int] = (10,), n_queries: int = 0) -> int:
+    def warmup(
+        self,
+        k_values: Sequence[int] = (10,),
+        n_queries: int = 0,
+        sizes: Optional[Sequence[int]] = None,
+    ) -> int:
         """Precompile the search kernels for typical shapes (cold-start).
 
         Runs dummy batches drawn from the loaded lexicon through the batched
@@ -173,28 +178,68 @@ class Engine:
         """
         if self.index is None or not self.seg_names:
             return 0
-        import random
 
-        rng = random.Random(0)
-        terms = []
+        # Probe queries must look like TRAFFIC, not like the lexicon: term
+        # popularity in real query streams tracks document frequency (Zipf),
+        # and the shape-pinning probe sizes the C/U/W/L envelopes from these
+        # queries — a uniform sample over a Zipf lexicon is nearly all
+        # low-df tail terms, under-pins the heavy budgets, and every serving
+        # batch then escapes its envelope (recompile => QPS collapse).
+        # NEXTSEARCH_WARMUP_QUERIES=<file> warms from recorded traffic
+        # (one query per line) instead.
+        qfile = os.environ.get("NEXTSEARCH_WARMUP_QUERIES")
+        recorded: List[List[Tuple[str, float]]] = []
+        if qfile and Path(qfile).exists():
+            for line in Path(qfile).read_text(encoding="utf-8").splitlines():
+                terms_line = filter_terms(tokenize(line))
+                if terms_line:
+                    recorded.append([(t, 1.0) for t in terms_line])
+        df_map: Dict[str, int] = {}
         for lex in self.index.iter_lexicons():
-            terms.extend(lex.keys())
-            if len(terms) > 4096:
-                break
-        if not terms:
+            for t, ent in lex.items():
+                df_map[t] = df_map.get(t, 0) + int(ent[1])
+        if not df_map and not recorded:
             return 0
+        terms = list(df_map.keys())
+        dfs = np.array([df_map[t] for t in terms], np.float64)
+        cum = np.cumsum(dfs / dfs.sum()) if dfs.sum() > 0 else None
+        if cum is not None:
+            cum[-1] = 1.0
+        rng = np.random.default_rng(0)
         launches = 0
-        sizes = (
-            [n_queries]
-            if n_queries
-            else sorted({1, 8, self.config.batching.max_batch})
-        )
+        # Serving batches pad up the index's Q-bucket ladder, so every
+        # bucket <= max_batch the dispatcher can form must be compiled up
+        # front — an unwarmed bucket first hit mid-serving is a full XLA
+        # compile (minutes through the relay). One-time cost per config:
+        # compiled programs persist in .jax_cache.
+        mb = self.config.batching.max_batch
+        if sizes is not None:
+            sizes = sorted(set(int(s) for s in sizes))
+        elif n_queries:
+            sizes = [n_queries]
+        else:
+            buckets = list(getattr(self.index, "Q_BUCKETS", (1, 8)))
+            ladder = [q for q in buckets if q < mb]
+            # past the ladder, Q rounds up to multiples of the largest
+            # bucket (_pick_shape) — warm those intermediate shapes too
+            top = buckets[-1]
+            ladder += list(range(top * 2, mb, top))
+            sizes = sorted(set(ladder) | {mb})
 
         def _mk_batch(nq: int):
-            return [
-                [(rng.choice(terms), 1.0) for _ in range(rng.randint(1, 4))]
-                for _ in range(nq)
-            ]
+            if recorded:
+                idx = rng.integers(0, len(recorded), nq)
+                return [recorded[int(i)] for i in idx]
+            out = []
+            for _ in range(nq):
+                w = int(rng.integers(1, 5))
+                # df-weighted draw via inverse CDF (O(w log V) per query);
+                # duplicate terms within one query are resampled.
+                picks = np.searchsorted(cum, rng.random(w), side="right")
+                while len(set(picks.tolist())) != w:
+                    picks = np.searchsorted(cum, rng.random(w), side="right")
+                out.append([(terms[int(t)], 1.0) for t in picks])
+            return out
 
         # Freeze the batch-varying kernel shapes (C/U/W/T) PER BATCH-SIZE
         # envelope before compiling: serving then hits exactly the warmed
@@ -240,8 +285,16 @@ class Engine:
     def search(self, query: str, k: int) -> dict:
         return self.search_batch([(query, k)])[0]
 
-    def search_batch(self, requests: Sequence[Tuple[str, int]]) -> List[dict]:
-        """Search many (query, k) in one device launch; cache per request."""
+    def search_batch_async(self, requests: Sequence[Tuple[str, int]]):
+        """Phase 1 of a batched search: plan + LAUNCH, don't wait.
+
+        Does the host-side work (cache probes, tokenization, semantic
+        expansion) and fires one batched device kernel, returning an opaque
+        state for search_batch_gather(). Keeping two launches in flight
+        (launch batch N+1 before gathering batch N) hides the host<->device
+        round trip — the serving pipeline the bench harness measures, now
+        available to the HTTP dispatcher (api/batching.PipelinedBatcher).
+        """
         bm = self.config.bm25
         out: List[Optional[dict]] = [None] * len(requests)
         pending: List[Tuple[int, str, int, List[Tuple[str, float]]]] = []
@@ -278,12 +331,22 @@ class Engine:
                     continue
                 pending.append((i, query, K, qterms_w))
 
+        handle = None
+        kmax = 0
         if pending:
             kmax = max(p[2] for p in pending)
-            with GLOBAL_TRACER.span("search.device"), device_trace("search"):
-                results = index.search_batch(
+            with GLOBAL_TRACER.span("search.launch"):
+                handle = index.search_batch_async(
                     [p[3] for p in pending], k=kmax
                 )
+        return (out, pending, handle, kmax, index, metadata, seg_count)
+
+    def search_batch_gather(self, state) -> List[dict]:
+        """Phase 2: gather the launch, render JSON, fill the cache."""
+        out, pending, handle, kmax, index, metadata, seg_count = state
+        if handle is not None:
+            with GLOBAL_TRACER.span("search.device"), device_trace("search"):
+                results = index.search_batch_gather(handle)
             for (i, query, K, _), qres in zip(pending, results):
                 res = {
                     "query": query,
@@ -325,6 +388,10 @@ class Engine:
                 out[i] = dict(res)  # shallow copy: callers add timing keys
 
         return [x for x in out]  # type: ignore[return-value]
+
+    def search_batch(self, requests: Sequence[Tuple[str, int]]) -> List[dict]:
+        """Search many (query, k) in one device launch; cache per request."""
+        return self.search_batch_gather(self.search_batch_async(requests))
 
     # ---------------- hybrid rerank (ours; BASELINE config 5) ----------------
 

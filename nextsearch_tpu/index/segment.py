@@ -296,7 +296,7 @@ class DeviceIndex:
         # segment, query weights are per-term, and the other segments
         # contribute literal +0.0f at its slot, which f32 addition drops
         # (scores are never -0.0). Requires the direct heavy rescore
-        # (exact_rescore_v3 reads scores off the merged row); the bf16-
+        # (the heavy-direct rescore reads scores off the merged row); the bf16-
         # rows opt-in keeps per-(term, segment) rows because its v2
         # rescore binary-searches one contiguous posting range per slot.
         self._sparse = dcfg.mode == "sparse"
@@ -394,7 +394,7 @@ class DeviceIndex:
 
         # Heavy bucket positions exist ONLY for the bf16-rows opt-in: with
         # f32 rows the rescore reads a candidate's exact heavy score
-        # straight off the dense table (exact_rescore_v3), so the ~1GB
+        # straight off the dense table (the v4/v5 heavy-direct rescore), so the ~1GB
         # heavy table would be dead weight.
         nb = (self.n_slots + (1 << BUCKET_LOG2) - 1) >> BUCKET_LOG2
         bucket_host = (
@@ -1420,7 +1420,7 @@ class DeviceIndex:
             # batch 1024 collapsed throughput to 141 QPS on recompiles).
             U = 0
         # Depth = measured max bucket occupancy of the light bucket-
-        # position table (exact_rescore_v3; + heavy when bf16 rows use v2).
+        # position table (v4/v5; + heavy when bf16 rows use v2).
         def launch_single(fh: bool):
             # exact relaunch runs full-table — see launch_multi
             uc = use_compact and (fh or not fast)
@@ -1774,6 +1774,28 @@ class DeviceIndex:
         return chunk_start, chunk_len, chunk_q, chunk_w
 
     # ---------------- result mapping ----------------
+
+    def hbm_bytes(self) -> Dict[str, int]:
+        """Device (HBM) footprint of the serving index, bytes by component.
+
+        BASELINE.json's north star reads "at equal index memory"; the
+        reference's disk index is ~8 B/posting (src/api_engine.cpp:473-481
+        reads two u32 per posting) plus the in-RAM lexicon. Our postings
+        match that 8 B/posting exactly (post_doc i32 + post_score f32);
+        everything else (dense score rows, bucket/position tables) is a
+        measured throughput/memory tradeoff reported here so the bench can
+        publish QPS per memory point (VERDICT r3 item 3).
+        """
+        out: Dict[str, int] = {}
+        for name in (
+            "post_doc", "post_score", "dense_rows", "bucket_pos",
+            "light_bucket_pos",
+        ):
+            arr = getattr(self, name, None)
+            if arr is not None:
+                out[name] = int(arr.nbytes)
+        out["total"] = sum(out.values())
+        return out
 
     def locate(self, doc_slot: int) -> Tuple[int, int]:
         """Global doc slot -> (segment index, local docId)."""

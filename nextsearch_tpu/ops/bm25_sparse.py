@@ -26,7 +26,7 @@ This module replaces the scatter pipeline (reference hot loop:
                 wide-pool kernel — see _packed_impl's fast_heavy docs)
   rescore       bit-exact f32 re-accumulation in term-slot order: heavy
                 slots read their exact eager score straight off the f32
-                dense rows (exact_rescore_v3); light slots run a bucket-
+                dense rows (exact_rescore_v4/v5); light slots run a bucket-
                 narrowed lower_bound over their posting range. The device
                 only does fixed-order f32 add/mul on host-precomputed
                 scores, so parity is portable across backends.
@@ -417,152 +417,6 @@ def exact_rescore_v2(
     term_contrib = jnp.where(
         hit, jnp.abs(w * post_score[pos]), jnp.float32(0.0)
     )
-
-    def acc_step(t, acc):
-        return acc + lax.dynamic_index_in_dim(
-            term_contrib, t, axis=1, keepdims=False
-        )
-
-    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
-
-
-def exact_rescore_v3(
-    post_doc,
-    post_score,
-    dense_rows3,
-    light_bucket_pos,
-    starts,
-    slot_dense,
-    slot_light,
-    weights,
-    cand,
-    *,
-    bs_steps,
-    nd,
-    nl,
-    lb_log2: int = LIGHT_BUCKET_LOG2,
-):
-    """Bit-exact rescore with heavy values read straight off the dense rows.
-
-    A heavy term's per-doc eager score IS its dense-row entry (the table is
-    scattered from post_score bit-for-bit, f32), so the candidate's heavy
-    contribution is ONE gather dense_rows3[row, c >> 7, c & 127] — no
-    binary search and no heavy bucket-position table (v2 spent 4 of its 10
-    per-element gathers selecting between two bucket tables; the ~1GB
-    heavy table at 1M docs exists only for that search). Light slots keep
-    the bucket-narrowed lower_bound over their posting ranges; bs_steps
-    now covers the LIGHT table's max occupancy only. Requires f32 dense
-    rows (bf16 rows are not the exact scores — the bf16 opt-in keeps the
-    v2 path). Accumulation order and fma-blocking match v2 exactly.
-    """
-    Q, T = starts.shape
-    kc = cand.shape[1]
-    P = post_doc.shape[0]
-    c = cand[:, None, :]  # [Q, 1, kc]
-
-    s = starts[:, :, None].astype(jnp.int32)
-    is_heavy = slot_dense[:, :, None] < nd  # [Q, T, 1]
-    row = jnp.where(is_heavy, slot_dense[:, :, None], nd)  # nd = zero row
-    rowb = jnp.broadcast_to(row, (Q, T, kc))
-    cb = jnp.broadcast_to(c, (Q, T, kc))
-    dv = dense_rows3[
-        rowb, lax.shift_right_logical(cb, 7), cb & jnp.int32(127)
-    ]  # f32 [Q, T, kc]: exact eager score, 0 where the doc lacks the term
-
-    lrow = jnp.clip(slot_light[:, :, None], 0, nl)
-    cbl = lax.shift_right_logical(c, lb_log2)
-    lo0 = light_bucket_pos[lrow, cbl]
-    hi0 = light_bucket_pos[lrow, cbl + 1]
-    lo = jnp.broadcast_to(lo0, (Q, T, kc))
-    hi = jnp.broadcast_to(hi0, (Q, T, kc))
-
-    def bs_step(_i, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
-        go_right = v < c
-        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
-
-    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
-    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
-    w = weights[:, :, None]
-    lhit = (lo < hi0) & (post_doc[pos] == c)
-    v = jnp.where(is_heavy, dv, jnp.where(lhit, post_score[pos], 0.0))
-    hit = (v > 0.0) & (w != 0.0)
-    # jnp.abs blocks XLA from contracting `acc + w*score` into an fma,
-    # which would skip the intermediate rounding the C++ engine performs
-    # (all contributions are non-negative, so abs is bit-exact).
-    term_contrib = jnp.where(hit, jnp.abs(w * v), jnp.float32(0.0))
-
-    def acc_step(t, acc):
-        return acc + lax.dynamic_index_in_dim(
-            term_contrib, t, axis=1, keepdims=False
-        )
-
-    return lax.fori_loop(0, T, acc_step, jnp.zeros((Q, kc), jnp.float32))
-
-
-def exact_rescore_v3_2d(
-    post_doc,
-    post_score,
-    dense_rows2,  # f32 [rows, n_slots] (a shard's flat dense block)
-    light_bucket_pos,
-    starts,
-    slot_dense,
-    slot_light,
-    weights,
-    cand,
-    *,
-    bs_steps,
-    nd,
-    nl,
-    lb_log2: int = LIGHT_BUCKET_LOG2,
-):
-    """exact_rescore_v3 over a 2D dense block (the sharded layout).
-
-    Identical semantics: heavy slots read their exact eager score
-    straight off the f32 dense rows (one gather — no heavy bucket table,
-    no per-slot binary search), light slots run the bucket-narrowed
-    lower_bound; accumulation order and fma-blocking match v3/v2/the C++
-    engine bit-for-bit. ShardedIndex keeps its dense block [rows, cap]
-    per shard (shard_map blocks slice the leading axis), so the 3D
-    [rows, cap/128, 128] storage trick the single-chip table uses for
-    DMA row gathers does not apply here.
-    """
-    Q, T = starts.shape
-    kc = cand.shape[1]
-    P = post_doc.shape[0]
-    c = cand[:, None, :]  # [Q, 1, kc]
-
-    s = starts[:, :, None].astype(jnp.int32)
-    is_heavy = slot_dense[:, :, None] < nd  # [Q, T, 1]
-    row = jnp.where(is_heavy, slot_dense[:, :, None], nd)  # nd = zero row
-    rowb = jnp.broadcast_to(row, (Q, T, kc))
-    cb = jnp.broadcast_to(c, (Q, T, kc))
-    dv = dense_rows2[rowb, cb]  # f32: exact eager score, 0 when absent
-
-    lrow = jnp.clip(slot_light[:, :, None], 0, nl)
-    cbl = lax.shift_right_logical(c, lb_log2)
-    lo0 = light_bucket_pos[lrow, cbl]
-    hi0 = light_bucket_pos[lrow, cbl + 1]
-    lo = jnp.broadcast_to(lo0, (Q, T, kc))
-    hi = jnp.broadcast_to(hi0, (Q, T, kc))
-
-    def bs_step(_i, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        v = post_doc[jnp.clip(s + mid, 0, max(P - 1, 0))]
-        go_right = v < c
-        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
-
-    lo, hi = lax.fori_loop(0, bs_steps, bs_step, (lo, hi))
-    pos = jnp.clip(s + lo, 0, max(P - 1, 0))
-    w = weights[:, :, None]
-    lhit = (lo < hi0) & (post_doc[pos] == c)
-    v = jnp.where(is_heavy, dv, jnp.where(lhit, post_score[pos], 0.0))
-    hit = (v > 0.0) & (w != 0.0)
-    # jnp.abs blocks the fma contraction (see exact_rescore_v3).
-    term_contrib = jnp.where(hit, jnp.abs(w * v), jnp.float32(0.0))
 
     def acc_step(t, acc):
         return acc + lax.dynamic_index_in_dim(
@@ -994,17 +848,16 @@ def bm25_search_sparse_unified(
     cand = jnp.where(cand >= n_slots, jnp.int32(2**30), cand)
 
     safe_cand = jnp.clip(cand, 0, n_slots - 1)
-    if heavy_direct and L2 > 0:
+    if heavy_direct:
+        # v3 (uncompacted heavy-direct rescore) retired in r4: every live
+        # caller sizes/pins L2 (DeviceIndex._light_budget), so the compact
+        # v4 path is the only heavy-direct generation kept.
+        if L2 <= 0:
+            raise ValueError("heavy_direct rescore requires L2 > 0")
         exact = exact_rescore_v4(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
             bs_steps=bs_steps, nd=nd, nl=nl, L2=L2,
-        )
-    elif heavy_direct:
-        exact = exact_rescore_v3(
-            post_doc, post_score, dense_rows, light_bucket_pos, starts,
-            slot_dense, slot_light, weights, safe_cand,
-            bs_steps=bs_steps, nd=nd, nl=nl,
         )
     else:
         exact = exact_rescore_v2(
@@ -1337,18 +1190,14 @@ def _packed_impl(
             lb_log2=lb_log2,
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
-    elif heavy_direct and L2 > 0:
+    elif heavy_direct:
+        # v3 retired (r4): L2 is always sized/pinned by the live callers.
+        if L2 <= 0:
+            raise ValueError("heavy_direct rescore requires L2 > 0")
         exact = exact_rescore_v4(
             post_doc, post_score, dense_rows, light_bucket_pos, starts,
             slot_dense, slot_light, weights, safe_cand,
             bs_steps=bs_steps, nd=nd, nl=nl, L2=L2, lb_log2=lb_log2,
-        )
-        exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
-    elif heavy_direct:
-        exact = exact_rescore_v3(
-            post_doc, post_score, dense_rows, light_bucket_pos, starts,
-            slot_dense, slot_light, weights, safe_cand,
-            bs_steps=bs_steps, nd=nd, nl=nl, lb_log2=lb_log2,
         )
         exact = jnp.where(cand < n_slots, exact, jnp.float32(0.0))
     else:

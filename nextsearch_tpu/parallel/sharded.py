@@ -352,7 +352,7 @@ class ShardedIndex:
             else (1 << 62)
         )
         # With f32 rows the sharded rescore reads heavy scores straight
-        # off the dense block (exact_rescore_v3_2d) — no heavy bucket
+        # off the dense block (heavy-direct rescore) — no heavy bucket
         # table — which also unlocks MERGED rows: classify by SHARD-
         # global df and scatter every segment's postings for the term
         # into ONE row (same bit-exactness argument as DeviceIndex: a
@@ -1478,6 +1478,22 @@ class ShardedIndex:
         return self.search_batch_gather(self.search_batch_async(queries, k))
 
     # ---------------- result mapping ----------------
+
+    def hbm_bytes(self) -> Dict[str, int]:
+        """Total device footprint across all shards, bytes by component
+        (sharded analog of DeviceIndex.hbm_bytes; arrays here are sharded
+        over the mesh, so per-chip usage is total / n_shards for the seg-
+        sharded arrays)."""
+        out: Dict[str, int] = {}
+        for name in (
+            "post_doc", "post_score", "dense_rows", "bucket_pos",
+            "light_bucket_pos",
+        ):
+            arr = getattr(self, name, None)
+            if arr is not None:
+                out[name] = int(arr.nbytes)
+        out["total"] = sum(out.values())
+        return out
 
     def locate(self, doc_slot: int) -> Tuple[int, int]:
         """Global sharded doc slot -> (segment index, local docId)."""

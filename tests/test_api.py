@@ -289,3 +289,30 @@ def test_search_hybrid_param_without_embeddings_falls_back(server):
     r, j = _get(server, "/api/search?q=covid&k=3&hybrid=1")
     assert r.status == 200
     assert "hybrid" not in j  # no embeddings loaded -> plain BM25 shape
+
+
+def test_search_batch_endpoint(server):
+    # ours (no reference route): many queries per request, results in order,
+    # same per-query shape as /api/search
+    payload = {"queries": [{"q": "covid", "k": 3}, {"q": "vaccine trial", "k": 2}]}
+    r, j = _post(server, "/api/search_batch", payload)
+    assert r.status == 200
+    assert len(j["results"]) == 2
+    assert j["results"][0]["query"] == "covid"
+    assert j["results"][1]["query"] == "vaccine trial"
+    for res in j["results"]:
+        assert "cached" in res and isinstance(res["results"], list)
+    assert j["search_time_ms"] >= 0
+    # per-query response matches the single-query route
+    r2, j2 = _get(server, "/api/search?q=covid&k=3")
+    assert j2["found"] == j["results"][0]["found"]
+
+
+def test_search_batch_endpoint_validation(server):
+    r, j = _post(server, "/api/search_batch", {"queries": []})
+    assert r.status == 400
+    r, j = _post(server, "/api/search_batch", {})
+    assert r.status == 400
+    r, j = _post(server, "/api/search_batch", {"queries": [{"k": 3}]})
+    assert r.status == 400
+    assert "error" in j

@@ -196,7 +196,14 @@ def test_engine_warmup_pins_scopes(tmp_path, monkeypatch):
     # warmup pinned one scope per distinct warmup Q envelope
     from nextsearch_tpu.index.segment import _bucket as _b
 
-    sizes = sorted({1, 8, eng.config.batching.max_batch})
+    # r4: warmup covers the full Q-bucket ladder (any coalesced serving
+    # batch size must hit a precompiled envelope), plus multiples of the
+    # top bucket up to max_batch
+    mb = eng.config.batching.max_batch
+    buckets = list(eng.index.Q_BUCKETS)
+    sizes = {q for q in buckets if q < mb}
+    sizes |= set(range(buckets[-1] * 2, mb, buckets[-1]))
+    sizes.add(mb)
     expected = {_b(s, eng.index.Q_BUCKETS) for s in sizes}
     assert set(eng.index._qpins) == expected
     for scope in eng.index._qpins.values():

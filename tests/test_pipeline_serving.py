@@ -1,0 +1,178 @@
+"""Pipelined serving-path tests (VERDICT r3 item 1).
+
+The HTTP dispatcher keeps `pipeline_depth` launches in flight
+(Engine.search_batch_async / search_batch_gather); these tests prove two
+overlapping batches return correct, correctly-routed results, that the
+batched HTTP endpoint slices results back per request, and that the
+write-behind persistence modes keep the reference's on-disk artifacts.
+"""
+
+import json
+import threading
+import time
+
+import pytest
+
+from nextsearch_tpu.api.batching import MicroBatcher, SearchBatcher
+from nextsearch_tpu.api.caches import LRUCache
+from nextsearch_tpu.api.stats import StatsTracker
+from nextsearch_tpu.config import BatchingConfig, CacheConfig, EngineConfig
+from nextsearch_tpu.engine import Engine
+from nextsearch_tpu.index.builder import build_segment_arrays
+from nextsearch_tpu.index.segmentio import save_manifest, write_segment
+
+
+@pytest.fixture()
+def engine(tmp_path):
+    d = tmp_path / "index"
+    (d / "segments").mkdir(parents=True)
+    docs = [
+        {"cord_uid": f"u{i}", "text": f"covid vaccine term{i % 7} alpha beta study{i % 11}"}
+        for i in range(60)
+    ]
+    write_segment(build_segment_arrays(docs), d / "segments" / "seg_000001")
+    save_manifest(d / "manifest.bin", ["seg_000001"])
+    e = Engine(d, cache_dir=tmp_path)
+    assert e.reload()
+    return e
+
+
+def test_two_phase_matches_blocking(engine):
+    reqs = [(f"covid term{i % 7}", 10) for i in range(8)]
+    expect = engine.search_batch(list(reqs))
+    state = engine.search_batch_async(list(reqs))
+    got = engine.search_batch_gather(state)
+    for e_res, g_res in zip(expect, got):
+        assert g_res["query"] == e_res["query"]
+        assert g_res.get("found") == e_res.get("found")
+        assert [r["cord_uid"] for r in g_res["results"]] == [
+            r["cord_uid"] for r in e_res["results"]
+        ]
+
+
+def test_overlapping_launches_in_flight(engine):
+    """Launch two DIFFERENT batches before gathering either; results must
+    stay batch-correct (no cross-batch mixing) and match the sync path."""
+    a = [(f"covid term{i % 7}", 5) for i in range(4)]
+    b = [(f"vaccine study{i % 11}", 5) for i in range(6)]
+    expect_a = [r["query"] for r in engine.search_batch(list(a))]
+    expect_b = [r["query"] for r in engine.search_batch(list(b))]
+    # fresh engine caches would short-circuit; use distinct k to bypass
+    a2 = [(q, 4) for q, _ in a]
+    b2 = [(q, 4) for q, _ in b]
+    sa = engine.search_batch_async(a2)
+    sb = engine.search_batch_async(b2)
+    ra = engine.search_batch_gather(sa)
+    rb = engine.search_batch_gather(sb)
+    assert [r["query"] for r in ra] == expect_a
+    assert [r["query"] for r in rb] == expect_b
+    for r in ra + rb:
+        if r["results"]:
+            assert r["results"][0]["score"] > 0
+
+
+def test_pipelined_batcher_correct_routing(engine):
+    cfg = BatchingConfig(max_batch=16, window_ms=5.0, pipeline_depth=2)
+    batcher = SearchBatcher(engine, cfg)
+    try:
+        queries = [f"covid term{i % 7} study{i % 11}" for i in range(50)]
+        results = {}
+        errs = []
+
+        def worker(q):
+            try:
+                results[q] = batcher.search(q, 10)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(q,)) for q in queries]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs
+        assert len(results) == len(set(queries))
+        for q, res in results.items():
+            assert res["query"] == q  # response routed to its own request
+            direct = engine.search(q, 10)
+            assert res.get("found") == direct.get("found")
+    finally:
+        batcher.shutdown()
+
+
+def test_submit_many_slices_results(engine):
+    cfg = BatchingConfig(max_batch=8, window_ms=2.0, pipeline_depth=2)
+    batcher = SearchBatcher(engine, cfg)
+    try:
+        reqs = [(f"covid term{i % 7}", 3) for i in range(20)]  # > max_batch
+        out = batcher.search_many(reqs)
+        assert len(out) == 20
+        for (q, _k), res in zip(reqs, out):
+            assert res["query"] == q
+    finally:
+        batcher.shutdown()
+
+
+def test_pipelined_exception_propagates():
+    calls = {"n": 0}
+
+    def launch(reqs):
+        calls["n"] += 1
+        if any(r == "boom" for r in reqs):
+            raise RuntimeError("launch failed")
+        return reqs
+
+    def gather(state):
+        return [f"ok:{r}" for r in state]
+
+    b = MicroBatcher(
+        config=BatchingConfig(max_batch=4, window_ms=1.0),
+        launch_fn=launch, gather_fn=gather, depth=2,
+    )
+    try:
+        assert b.call("x") == "ok:x"
+        with pytest.raises(RuntimeError):
+            b.call("boom")
+        # dispatcher survives the failed launch
+        assert b.call("y") == "ok:y"
+    finally:
+        b.shutdown()
+
+
+def test_cache_write_behind_persists(tmp_path):
+    path = tmp_path / "c.json"
+    c = LRUCache(10, path, flush_ms=30, tag="cache")
+    c.put("a|10", {"query": "a"})
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if path.exists():
+            break
+        time.sleep(0.02)
+    assert path.exists()
+    payload = json.loads(path.read_text())
+    assert payload[0]["key"] == "a|10"
+    # save() still forces a full synchronous dump
+    c.put("b|10", {"query": "b"})
+    c.save()
+    payload = json.loads(path.read_text())
+    assert {p["key"] for p in payload} == {"a|10", "b|10"}
+
+
+def test_stats_write_behind_and_counts(tmp_path):
+    path = tmp_path / "stats.json"
+    s = StatsTracker(path, flush_ms=30)
+    s.increment_searches(512)
+    s.increment_search_cache_hits(3)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if path.exists() and json.loads(path.read_text()).get("total_searches") == 512:
+            break
+        time.sleep(0.02)
+    j = json.loads(path.read_text())
+    assert j["total_searches"] == 512
+    assert j["search_cache_hits"] == 3
+    # flush() is idempotent and the sync default still writes per bump
+    s.flush()
+    s2 = StatsTracker(tmp_path / "s2.json")
+    s2.increment_searches()
+    assert json.loads((tmp_path / "s2.json").read_text())["total_searches"] == 1

@@ -388,7 +388,7 @@ def test_device_build_matches_host_build(segs, monkeypatch):
     assert np.array_equal(hrows, drows[: hrows.shape[0]])
     assert not drows[hrows.shape[0]:].any()
     # f32 rows rescore heavy slots straight off the dense table: neither
-    # build produces a heavy bucket table (exact_rescore_v3)
+    # build produces a heavy bucket table (heavy-direct rescore)
     assert host.bucket_pos is None and dev.bucket_pos is None
     assert np.array_equal(
         np.asarray(host.light_bucket_pos), np.asarray(dev.light_bucket_pos)
