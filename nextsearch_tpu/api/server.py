@@ -542,6 +542,14 @@ def main(argv=None):
         log("server", f"batching: max_batch={bat.max_batch} "
             f"window_ms={bat.window_ms} depth={bat.pipeline_depth}")
 
+    # Persistent XLA compile cache (bench.py does the same), enabled BEFORE
+    # the first compile (reload's device-build kernels): warmup's envelope
+    # compiles then survive server restarts — cold start pays them once per
+    # config, not once per boot.
+    from ..utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     engine = Engine(index_dir, mesh=mesh, config=config)
     t0 = time.perf_counter()
     if not engine.reload():
@@ -581,7 +589,7 @@ def main(argv=None):
         )
         log("server", f"warmup took {time.perf_counter() - t0:.1f}s")
     ctx = ServerContext(
-        engine, stats, feedback, azure,
+        engine, stats, feedback, azure, config=config,
         enable_add_document=os.environ.get("NEXTSEARCH_ENABLE_ADD_DOCUMENT") == "1",
     )
     server = make_server(ctx, port=port)

@@ -193,6 +193,16 @@ class QueryResult:
     found: int
 
 
+
+def _log_build_phases(phases) -> None:
+    """One-line cold-start attribution (VERDICT r3 item 5)."""
+    from ..utils.logging import log
+
+    log("build", "phases: " + " ".join(
+        f"{n}={s:.1f}s" for n, s in phases if s >= 0.05
+    ))
+
+
 class DeviceIndex:
     """Immutable multi-segment index resident in device memory."""
 
@@ -229,6 +239,19 @@ class DeviceIndex:
         at 1M-doc scale; search_batch* is unavailable."""
         import jax
         import jax.numpy as jnp
+
+        # Cold-start attribution: one log line with per-phase seconds
+        # (VERDICT r3 item 5 — the 354s-vs-1225s build spread needs a
+        # breakdown, not a guess).
+        import time as _time
+
+        _phases: List[Tuple[str, float]] = []
+        _t_last = [_time.perf_counter()]
+
+        def _tick(name: str) -> None:
+            now = _time.perf_counter()
+            _phases.append((name, now - _t_last[0]))
+            _t_last[0] = now
 
         self.host_only = host_only
         self.config = config
@@ -335,6 +358,7 @@ class DeviceIndex:
             post_score_parts.append(score)
             pbase += seg.num_postings
         self.n_postings = pbase
+        _tick("lexicons")
 
         # Highest-df terms win the capped dense-row budget.
         row_bytes = (2 if dcfg.dense_rows_bf16 else 4) * self.n_slots
@@ -527,6 +551,7 @@ class DeviceIndex:
         self._bs_depth = max(
             2, int(max(heavy_max_occ, light_max_occ, 1)).bit_length()
         )
+        _tick("light_rows")
 
         post_doc = (
             np.concatenate(post_doc_parts).astype(np.int32)
@@ -556,6 +581,8 @@ class DeviceIndex:
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         self.post_doc = put(post_doc)
         self.post_score = put(post_score)
+        self.post_doc.block_until_ready()
+        _tick("postings_upload")
         if device_build:
             from .device_build import (
                 build_heavy_on_device,
@@ -590,6 +617,8 @@ class DeviceIndex:
                     three_d=self._sparse,
                 )
             )
+            self.dense_rows.block_until_ready()
+            _tick("heavy_device_build")
             self.light_bucket_pos = None
             if self._sparse:
                 l_starts = np.zeros(self.n_light, np.int64)
@@ -612,9 +641,14 @@ class DeviceIndex:
                 2,
                 int(max(heavy_max_occ, light_max_occ, 1)).bit_length(),
             )
+            _tick("light_device_build")
             self._build_row_topk()
+            _tick("row_topk")
             self._build_light_topk(post_doc_parts, post_score_parts)
+            _tick("light_topk")
             self._build_merged_lex()
+            _tick("merged_lex")
+            _log_build_phases(_phases)
             return
         if dcfg.dense_rows_bf16:
             import ml_dtypes
@@ -631,9 +665,14 @@ class DeviceIndex:
         self.light_bucket_pos = (
             put(light_host) if light_host is not None else None
         )
+        _tick("host_tables_upload")
         self._build_row_topk()
+        _tick("row_topk")
         self._build_light_topk(post_doc_parts, post_score_parts)
+        _tick("light_topk")
         self._build_merged_lex()
+        _tick("merged_lex")
+        _log_build_phases(_phases)
 
     def _build_row_topk(self) -> None:
         """Precompute exact canonical top-k for the df-head dense rows.
@@ -1057,11 +1096,29 @@ class DeviceIndex:
 
     def _pin(self, key: str, qb: Optional[int] = None) -> Optional[int]:
         """Effective pin for `key`: the Q-scoped pin for this batch's Q
-        envelope (pin_shapes(scope_q=True)) wins over the global pin."""
+        envelope (pin_shapes(scope_q=True)) wins over the global pin.
+
+        A Q envelope with NO scoped pin borrows the nearest LARGER warmed
+        envelope's pin (else the largest). Unpinned budgets re-derive
+        C/L2/H2/W from each batch's own workload, so successive batches
+        flap static shapes and EVERY batch pays a fresh XLA compile —
+        measured served QPS 9.5 (one ~39s compile per 256-query batch,
+        device exec 62 ms) when the dispatcher emitted a batch size warmup
+        had not pinned. Borrowed pins over-pad smaller batches (bounded
+        waste) but guarantee one compiled shape per Q bucket."""
         if qb is not None:
             v = self._qpins.get(qb, {}).get(key)
             if v:
                 return v
+            # Borrow ONLY from larger envelopes: a smaller envelope's pin
+            # would under-budget this batch and flap escape shapes instead.
+            # (Warmup always pins the max_batch envelope, so every serving
+            # batch has a larger-or-equal warmed scope to borrow.)
+            larger = [q for q in self._qpins if q > qb]
+            if larger:
+                v = self._qpins[min(larger)].get(key)
+                if v:
+                    return v
         return self._pins.get(key)
 
     # ---------------- query planning ----------------

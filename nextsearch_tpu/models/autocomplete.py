@@ -54,7 +54,11 @@ class AutocompleteIndex:
     narrow sorted-table ranges and go to the windowed device kernel.
     """
 
-    PRECOMP_LEN = 4
+    # Prefix lengths served from the precomputed per-prefix cache. 5 (was
+    # 4 through r3) covers the len-5 band of a typing-user workload (~10%
+    # of suggests) host-side; build cost is one more vectorized lexsort
+    # pass, memory one more [groups, K] table (~25 MB at 719k terms).
+    PRECOMP_LEN = 5
     WINDOW_BUCKETS = (256, 2048, 16384)
 
     def __init__(self):

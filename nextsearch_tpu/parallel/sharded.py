@@ -1201,11 +1201,19 @@ class ShardedIndex:
 
     def _pin(self, key, qb=None):
         """Effective pin for `key`: the Q-scoped pin for this batch's Q
-        envelope wins over the global pin (DeviceIndex._pin contract)."""
+        envelope wins over the global pin; an unwarmed envelope borrows
+        the nearest larger warmed one (DeviceIndex._pin contract — see
+        its docstring for the measured recompile-flapping failure)."""
         if qb is not None:
             v = self._qpins.get(qb, {}).get(key)
             if v:
                 return v
+            # borrow only from LARGER warmed envelopes (see DeviceIndex)
+            larger = [q for q in self._qpins if q > qb]
+            if larger:
+                v = self._qpins[min(larger)].get(key)
+                if v:
+                    return v
         return self._pins.get(key)
 
     # ---------------- execution ----------------

@@ -237,3 +237,30 @@ def test_sharded_pin_shapes():
         shapes.add((pi.shape, C, U, si._light_budget(pi)))
     assert len(shapes) == 1, shapes
     si._pins.clear()
+
+
+def test_pin_borrows_from_larger_envelope():
+    """An unwarmed Q envelope must borrow the nearest larger warmed
+    envelope's pins instead of re-deriving budgets per batch (unpinned
+    statics flap -> a fresh XLA compile per serving batch; measured as
+    served QPS 9.5 with 39s launch spans while device exec was 62 ms)."""
+    segs = _mk_segments()
+    cfg = EngineConfig(device=DeviceConfig(mode="sparse", dense_df_ratio=1 / 8))
+    di = DeviceIndex(segs, config=cfg)
+    di._qpins = {
+        1: {"C": 128, "U": 16, "W": 512, "L": 128, "HP": 128},
+        512: {"C": 3584, "U": 432, "W": 8192, "L": 512, "HP": 1024},
+    }
+    # exact scoped match wins
+    assert di._pin("C", 512) == 3584
+    assert di._pin("C", 1) == 128
+    # unwarmed envelope between warmed ones borrows the next larger
+    assert di._pin("C", 256) == 3584
+    assert di._pin("W", 64) == 8192
+    # beyond the largest warmed envelope there is nothing safe to borrow
+    # (a smaller pin would under-budget and flap escapes) -> unpinned
+    assert di._pin("C", 1024) is None
+    # no scoped pins at all falls back to the global pin
+    di._qpins = {}
+    di._pins = {"C": 777}
+    assert di._pin("C", 256) == 777
