@@ -101,10 +101,15 @@ def _pick_shape(
                 level="warning",
             )
         return v
-    b = _bucket(n, buckets)
-    if n > b:
-        b = _round_up(n, buckets[-1])
-    return b
+    # NB: must compare against the LADDER TOP, not _bucket's return —
+    # _bucket returns raw n past the ladder, so `n > b` was dead code and
+    # every off-ladder size compiled its own shape. Measured in serving:
+    # engine cache hits shrink each batch's pending count differently
+    # (512 -> 460 -> 422 -> ...), and each count became a fresh ~25s XLA
+    # compile of the packed kernel.
+    if n > buckets[-1]:
+        return _round_up(n, buckets[-1])
+    return _bucket(n, buckets)
 
 
 _EMPTY_I64 = np.empty(0, np.int64)

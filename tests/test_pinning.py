@@ -264,3 +264,23 @@ def test_pin_borrows_from_larger_envelope():
     di._qpins = {}
     di._pins = {"C": 777}
     assert di._pin("C", 256) == 777
+
+
+def test_pick_shape_off_ladder_rounds_to_top_bucket():
+    """Unpinned sizes past the bucket ladder must round up to multiples of
+    the largest bucket — raw sizes would give every serving batch its own
+    compiled shape (engine cache hits shrink pending counts 512 -> 460 ->
+    422 -> ..., measured as one fresh ~25s XLA compile PER BATCH)."""
+    from nextsearch_tpu.index.segment import _pick_shape
+
+    ladder = (1, 8, 16, 32, 64, 128)
+    assert _pick_shape(460, ladder, None) == 512
+    assert _pick_shape(422, ladder, None) == 512
+    assert _pick_shape(129, ladder, None) == 256
+    assert _pick_shape(512, ladder, None) == 512
+    assert _pick_shape(513, ladder, None) == 640
+    # on-ladder sizes still bucket normally
+    assert _pick_shape(3, ladder, None) == 8
+    assert _pick_shape(128, ladder, None) == 128
+    # pins still dominate
+    assert _pick_shape(460, ladder, 512) == 512
