@@ -232,9 +232,79 @@ def run_single_mode(port, texts, secs, conns, k=10):
     return done[0] / wall, float(np.median(lat)) * 1000 if lat else 0.0, errors[0]
 
 
+def run_engine_mode(docs, vocab, texts, secs, batch):
+    """In-process serving-dispatcher capacity: Engine + SearchBatcher at
+    pipeline depth 2, no sockets. Upper-bounds what ANY HTTP front on this
+    host could deliver; the gap to bench.py is the engine's host work
+    (cache probes + tokenize + render + cache fill), the gap from HTTP
+    modes is socket/JSON turnaround + the in-process load generator."""
+    import threading as _t
+
+    from nextsearch_tpu.api.batching import SearchBatcher
+    from nextsearch_tpu.config import (
+        BatchingConfig, CacheConfig, DeviceConfig, EngineConfig,
+    )
+    from nextsearch_tpu.engine import Engine
+    from nextsearch_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
+    index_dir = prepare_index_dir(docs, vocab)
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, heavy_buckets=(512,),
+            dense_df_ratio=1 / 1024, dense_max_bytes=7 << 30,
+        ),
+        batching=BatchingConfig(max_batch=batch, pipeline_depth=2),
+        # write-behind persistence like the server: the reference's
+        # write-per-put default dumps the WHOLE growing cache JSON 512x
+        # per batch (measured: +~30s per successive batch)
+        cache=CacheConfig(flush_ms=1000),
+    )
+    import tempfile
+
+    eng = Engine(index_dir, config=cfg, cache_dir=tempfile.mkdtemp())
+    t0 = time.time()
+    assert eng.reload()
+    print(f"[load] engine reload {time.time() - t0:.1f}s", file=sys.stderr)
+    # full Q-ladder warmup: engine cache hits shrink pending counts, so
+    # EVERY Q bucket the plan can emit needs its compiled shape up front
+    eng.warmup()
+    b = SearchBatcher(eng, cfg.batching)
+    reqs = [
+        [(q, 10) for q in texts[i : i + batch]]
+        for i in range(0, len(texts) - batch, batch)
+    ]
+    done, lat = [0], []
+    stop = time.time() + secs
+    lock = _t.Lock()
+
+    def worker(wi):
+        pi = wi
+        while time.time() < stop:
+            t0 = time.time()
+            out = b.search_many(reqs[pi % len(reqs)])
+            dt = time.time() - t0
+            with lock:
+                done[0] += len(out)
+                lat.append(dt)
+            pi += 3
+    ts = [_t.Thread(target=worker, args=(i,)) for i in range(3)]
+    t0 = time.time()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.time() - t0
+    b.shutdown()
+    return done[0] / wall, float(np.median(lat)) * 1000 if lat else 0.0
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="batch", choices=["batch", "single", "both"])
+    ap.add_argument(
+        "--mode", default="batch",
+        choices=["batch", "single", "both", "engine"],
+    )
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vocab", type=int, default=200_000)
     ap.add_argument("--secs", type=float, default=20)
@@ -247,6 +317,17 @@ def main():
     args = ap.parse_args()
 
     texts = make_query_texts(args.vocab, 40_000)
+    if args.mode == "engine":
+        qps, p50 = run_engine_mode(
+            args.docs, args.vocab, texts, args.secs, args.batch
+        )
+        print(json.dumps({
+            "metric": "served_qps_engine_dispatcher",
+            "value": round(qps, 1), "unit": "queries/sec",
+            "p50_req_ms": round(p50, 2), "batch": args.batch,
+            "vs_baseline": round(qps / 10000.0, 4),
+        }))
+        return
     proc = None
     if not args.reuse_server:
         index_dir = prepare_index_dir(args.docs, args.vocab)
@@ -261,10 +342,15 @@ def main():
         env.setdefault("NEXTSEARCH_DENSE_BYTES", str(7 << 30))
         env.setdefault("NEXTSEARCH_HEAVY_BUCKETS", "512")
         logf = open(f"/tmp/nextsearch_server_{args.port}.log", "ab")
+        # run from a scratch cwd: the server persists stats.json + cache
+        # JSONs to its working directory (reference parity)
+        run_dir = Path(f"/tmp/nextsearch_run_{args.port}")
+        run_dir.mkdir(exist_ok=True)
+        env["PYTHONPATH"] = str(REPO)
         proc = subprocess.Popen(
             [sys.executable, "-m", "nextsearch_tpu.api.server",
              str(index_dir), str(args.port)],
-            cwd=str(REPO), env=env, stdout=logf, stderr=logf,
+            cwd=str(run_dir), env=env, stdout=logf, stderr=logf,
         )
         print(f"[load] server pid {proc.pid}; waiting for health "
               f"(cold start: index upload + warmup compiles)", file=sys.stderr)

@@ -101,9 +101,16 @@ class ApiHandler(BaseHTTPRequestHandler):
         )
         self.send_header("Access-Control-Max-Age", "600")
 
-    def _respond(self, status: int, payload, extra_headers=None):
+    def _respond(self, status: int, payload, extra_headers=None, compact=False):
+        # Reference routes pretty-print (json.dump(2), src/api_server.cpp);
+        # the batched route (ours) uses compact separators — indent=2 on a
+        # multi-MB 512-result payload costs ~100+ ms of the 1-core host.
         body = (
-            json.dumps(payload, indent=2).encode("utf-8")
+            (
+                json.dumps(payload, separators=(",", ":"))
+                if compact
+                else json.dumps(payload, indent=2)
+            ).encode("utf-8")
             if payload is not None
             else b""
         )
@@ -275,7 +282,9 @@ class ApiHandler(BaseHTTPRequestHandler):
         if n_cached:
             self.ctx.stats.increment_search_cache_hits(n_cached)
         log("search", f"batch n={len(results)} {ms:.1f}ms")
-        self._respond(200, {"results": results, "search_time_ms": ms})
+        self._respond(
+            200, {"results": results, "search_time_ms": ms}, compact=True
+        )
 
     def _handle_suggest(self):
         params = self._params()

@@ -347,45 +347,46 @@ class Engine:
         if handle is not None:
             with GLOBAL_TRACER.span("search.device"), device_trace("search"):
                 results = index.search_batch_gather(handle)
-            for (i, query, K, _), qres in zip(pending, results):
-                res = {
-                    "query": query,
-                    "k": K,
-                    "segments": seg_count,
-                    "results": [],
-                    "found": int(qres.found),
-                }
-                for score, slot in zip(
-                    qres.scores[:K], qres.doc_slots[:K]
-                ):
-                    seg_name, cord_uid, doc_id = index.doc_info(int(slot))
-                    r = {
-                        "score": float(score),
-                        "segment": seg_name,
-                        "docId": doc_id,
-                        "cord_uid": cord_uid,
+            with GLOBAL_TRACER.span("search.render"):
+                for (i, query, K, _), qres in zip(pending, results):
+                    res = {
+                        "query": query,
+                        "k": K,
+                        "segments": seg_count,
+                        "results": [],
+                        "found": int(qres.found),
                     }
-                    meta = (
-                        metadata.fetch(cord_uid)
-                        if metadata is not None
-                        else None
-                    )
-                    if meta is not None:
-                        if meta.title:
-                            r["title"] = meta.title
-                        url = meta.url
-                        semi = url.find(";")
-                        if semi >= 0:
-                            url = url[:semi]
-                        if url:
-                            r["url"] = url
-                        if meta.publish_time:
-                            r["publish_time"] = meta.publish_time
-                        if meta.author:
-                            r["author"] = meta.author
-                    res["results"].append(r)
-                self.cache.put(make_cache_key(query, K), res)
-                out[i] = dict(res)  # shallow copy: callers add timing keys
+                    infos = index.doc_info_batch(qres.doc_slots[:K])
+                    for score, (seg_name, cord_uid, doc_id) in zip(
+                        qres.scores[:K].tolist(), infos
+                    ):
+                        r = {
+                            "score": score,
+                            "segment": seg_name,
+                            "docId": doc_id,
+                            "cord_uid": cord_uid,
+                        }
+                        meta = (
+                            metadata.fetch(cord_uid)
+                            if metadata is not None
+                            else None
+                        )
+                        if meta is not None:
+                            if meta.title:
+                                r["title"] = meta.title
+                            url = meta.url
+                            semi = url.find(";")
+                            if semi >= 0:
+                                url = url[:semi]
+                            if url:
+                                r["url"] = url
+                            if meta.publish_time:
+                                r["publish_time"] = meta.publish_time
+                            if meta.author:
+                                r["author"] = meta.author
+                        res["results"].append(r)
+                    self.cache.put(make_cache_key(query, K), res)
+                    out[i] = dict(res)  # shallow copy: callers add timing keys
 
         return [x for x in out]  # type: ignore[return-value]
 

@@ -1861,8 +1861,30 @@ class DeviceIndex:
 
     def locate(self, doc_slot: int) -> Tuple[int, int]:
         """Global doc slot -> (segment index, local docId)."""
-        seg_idx = int(np.searchsorted(np.asarray(self.doc_bases), doc_slot, "right") - 1)
+        seg_idx = int(np.searchsorted(self._doc_bases_np, doc_slot, "right") - 1)
         return seg_idx, int(doc_slot - self.doc_bases[seg_idx])
+
+    @property
+    def _doc_bases_np(self) -> np.ndarray:
+        arr = getattr(self, "_doc_bases_arr", None)
+        if arr is None or arr.shape[0] != len(self.doc_bases):
+            arr = np.asarray(self.doc_bases, np.int64)
+            self._doc_bases_arr = arr
+        return arr
+
+    def doc_info_batch(self, slots: np.ndarray):
+        """Vectorized doc_info for one query's hit slots: list of
+        (segment name, cord_uid, local docId). The per-hit locate() costs
+        one array build + searchsorted each (~5120 calls per 512-query
+        render at k=10 — measured as most of the 25 ms render span)."""
+        slots = np.asarray(slots, np.int64)
+        seg_idx = np.searchsorted(self._doc_bases_np, slots, "right") - 1
+        out = []
+        for si, slot in zip(seg_idx, slots):
+            si = int(si)
+            did = int(slot - self.doc_bases[si])
+            out.append((self.seg_names[si], self.segments[si].cord_uids[did], did))
+        return out
 
     def doc_info(self, doc_slot: int) -> Tuple[str, str, int]:
         """Global doc slot -> (segment name, cord_uid, local docId)."""

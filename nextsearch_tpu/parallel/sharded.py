@@ -1514,3 +1514,7 @@ class ShardedIndex:
     def doc_info(self, doc_slot: int) -> Tuple[str, str, int]:
         seg_idx, doc_id = self.locate(doc_slot)
         return self.seg_names[seg_idx], self.segments[seg_idx].cord_uids[doc_id], doc_id
+
+    def doc_info_batch(self, slots):
+        """Vectorized doc_info (render hot path; DeviceIndex contract)."""
+        return [self.doc_info(int(s)) for s in np.asarray(slots)]
