@@ -60,6 +60,9 @@ class AutocompleteIndex:
     # pass, memory one more [groups, K] table (~25 MB at 719k terms).
     PRECOMP_LEN = 5
     WINDOW_BUCKETS = (256, 2048, 16384)
+    # Ranges at or below this answer host-side with a partial sort
+    # (microseconds vs a ~25 ms relay launch).
+    NARROW_RANGE = 4096
 
     def __init__(self):
         self.terms: List[str] = []
@@ -95,6 +98,7 @@ class AutocompleteIndex:
         padded = np.full(T, -1, np.int32)
         padded[: len(scores)] = scores
         self._scores_dev = jnp.asarray(padded)
+        self._scores_host = scores
         self._pad = T
         self._build_prefix_cache(scores)
 
@@ -151,6 +155,12 @@ class AutocompleteIndex:
             return None  # cache built from a different table; fall through
         return [int(c) for c in self._pref_cands[len(prefix)][g, :L] if c >= 0]
 
+    def _host_range_topk(self, lo: int, hi: int, L: int) -> List[int]:
+        """Top-L term indices of scores[lo:hi] by (score desc, term asc)."""
+        rng = self._scores_host[lo:hi]
+        order = np.argsort(-rng, kind="stable")[:L]  # stable = index asc ties
+        return [lo + int(i) for i in order]
+
     def suggest_batch(
         self, inputs: Sequence[str], limit: int
     ) -> List[List[str]]:
@@ -186,6 +196,20 @@ class AutocompleteIndex:
                 if cand is not None:
                     out[i] = [base + self.terms[c] for c in cand]
                     continue
+            if hi - lo <= self.NARROW_RANGE:
+                # Long prefixes cover narrow sorted-table ranges; a host
+                # partial sort over the range is microseconds and skips
+                # the device launch (~25 ms through the relay) entirely.
+                # With PRECOMP_LEN=5 covering the wide ranges, virtually
+                # every suggest is now host-answered; the windowed device
+                # kernel remains for wide uncached ranges (cache disabled
+                # or exotic workloads). Tie order matches the kernel and
+                # the reference trie: score desc, then term asc.
+                out[i] = [
+                    base + self.terms[c]
+                    for c in self._host_range_topk(lo, hi, L)
+                ]
+                continue
             bases.append(base)
             los.append(lo)
             his.append(hi)

@@ -128,3 +128,37 @@ def test_prefix_cache_wide_vocab_uses_cache(monkeypatch):
     monkeypatch.setattr(prefix_ops, "prefix_window_topk", boom)
     res = ac.suggest_batch(["te", "term", "t"], 5)
     assert res[1][:1] == ["term04999"]  # highest score first
+
+
+def test_host_narrow_range_matches_device_path():
+    """Long-prefix suggests answer host-side (narrow sorted-table range,
+    partial sort) with EXACTLY the device kernel's results and tie order
+    (score desc, term asc)."""
+    import numpy as np
+
+    from nextsearch_tpu.models.autocomplete import AutocompleteIndex
+
+    rng = np.random.default_rng(3)
+    terms = {}
+    for i in range(3000):
+        t = f"prefix{i % 40:02d}word{i:04d}"
+        terms[t] = int(rng.integers(1, 10_000))
+    # forced score ties inside one prefix group exercise the tie order
+    for i in range(10):
+        terms[f"prefix00tie{i}"] = 777
+    ac = AutocompleteIndex()
+    ac.build(terms, 10)
+    for q in ("prefix00", "prefix07wo", "prefix00tie", "prefix39word2"):
+        host = ac.suggest_query(q, 10)
+        # same lookup forced through the device/window path
+        lo, hi = ac.prefix_range(q)
+        if lo >= hi:
+            assert host == []
+            continue
+        old = AutocompleteIndex.NARROW_RANGE
+        AutocompleteIndex.NARROW_RANGE = 0  # force kernel path
+        try:
+            dev = ac.suggest_query(q, 10)
+        finally:
+            AutocompleteIndex.NARROW_RANGE = old
+        assert host == dev, (q, host, dev)
