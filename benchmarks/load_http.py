@@ -346,7 +346,10 @@ def main():
         # JSONs to its working directory (reference parity)
         run_dir = Path(f"/tmp/nextsearch_run_{args.port}")
         run_dir.mkdir(exist_ok=True)
-        env["PYTHONPATH"] = str(REPO)
+        # PREPEND to PYTHONPATH — the axon TPU backend registers via a
+        # sitecustomize on the existing PYTHONPATH (/root/.axon_site);
+        # overwriting it silently drops the device backend
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.Popen(
             [sys.executable, "-m", "nextsearch_tpu.api.server",
              str(index_dir), str(args.port)],
