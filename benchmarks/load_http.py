@@ -204,7 +204,12 @@ def run_single_mode(port, texts, secs, conns, k=10):
                     f"GET {p} HTTP/1.1\r\nHost: x\r\n\r\n".encode()
                 )
                 await writer.drain()
-                # read headers
+                # status line, then headers
+                status_line = await reader.readline()
+                try:
+                    status = int(status_line.split(b" ")[1])
+                except (IndexError, ValueError):
+                    status = 0
                 clen = 0
                 while True:
                     line = await reader.readline()
@@ -212,11 +217,13 @@ def run_single_mode(port, texts, secs, conns, k=10):
                         break
                     if line.lower().startswith(b"content-length:"):
                         clen = int(line.split(b":")[1])
-                status = 200  # first line consumed above; track via clen>0
                 if clen:
                     await reader.readexactly(clen)
-                lat.append(time.time() - t0)
-                done[0] += 1
+                if status == 200:
+                    lat.append(time.time() - t0)
+                    done[0] += 1
+                else:  # non-200 must not inflate the published QPS
+                    errors[0] += 1
                 pi += conns
         except (OSError, asyncio.IncompleteReadError):
             errors[0] += 1

@@ -60,6 +60,13 @@ class MicroBatcher:
         self.depth = max(1, int(depth))
         self.config = config
         self._q: "queue.Queue[_Unit]" = queue.Queue()
+        # One-slot pushback buffer: a unit that would overflow max_batch is
+        # held here for the NEXT window instead of being appended (only the
+        # dispatcher thread touches it). Without this, a single coalescing
+        # with a 512-query chunk forms a 513-wide batch — an UNPINNED Q
+        # envelope, i.e. a fresh XLA compile mid-serving (the recompile
+        # failure class CLAUDE.md forbids).
+        self._pushback: Optional[_Unit] = None
         self._stop = threading.Event()
         run = self._run_pipelined if launch_fn is not None else self._run
         self._thread = threading.Thread(target=run, name=name, daemon=True)
@@ -92,15 +99,26 @@ class MicroBatcher:
     # ---------------- internals ----------------
 
     def _drain(self, block: bool) -> List[_Unit]:
-        """One coalescing window of queue units (possibly empty)."""
-        try:
-            item = self._q.get(timeout=0.2) if block else self._q.get_nowait()
-        except queue.Empty:
-            return []
-        if item[1] is None:
-            return []
-        units = [item]
-        count = len(item[0])
+        """One coalescing window of queue units (possibly empty).
+
+        Invariant: the flat batch never exceeds max_batch (every envelope the
+        dispatcher emits is one warmup pinned). A unit that would overflow
+        the current window waits in the one-slot pushback buffer.
+        """
+        if self._pushback is not None:
+            units = [self._pushback]
+            self._pushback = None
+        else:
+            try:
+                item = (
+                    self._q.get(timeout=0.2) if block else self._q.get_nowait()
+                )
+            except queue.Empty:
+                return []
+            if item[1] is None:
+                return []
+            units = [item]
+        count = sum(len(u[0]) for u in units)
         deadline = time.monotonic() + self.config.window_ms / 1000.0
         while count < self.config.max_batch:
             remaining = deadline - time.monotonic()
@@ -112,6 +130,9 @@ class MicroBatcher:
                 break
             if nxt[1] is None:
                 continue
+            if count + len(nxt[0]) > self.config.max_batch:
+                self._pushback = nxt
+                break
             units.append(nxt)
             count += len(nxt[0])
         return units
@@ -136,6 +157,21 @@ class MicroBatcher:
             if fut is not None and not fut.done():
                 fut.set_exception(exc)
 
+    def _abandon_remaining(self) -> None:
+        """Fail everything still queued at shutdown so no caller blocks
+        forever in fut.result() (search_many waits without a timeout)."""
+        exc = RuntimeError("batcher shut down")
+        leftovers: List[_Unit] = []
+        if self._pushback is not None:
+            leftovers.append(self._pushback)
+            self._pushback = None
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        self._fail(leftovers, exc)
+
     def _run(self) -> None:
         while not self._stop.is_set():
             units = self._drain(block=True)
@@ -147,6 +183,7 @@ class MicroBatcher:
                 self._resolve(units, results)
             except Exception as e:  # propagate to all waiters
                 self._fail(units, e)
+        self._abandon_remaining()
 
     def _run_pipelined(self) -> None:
         inflight: deque = deque()  # (units, state)
@@ -172,6 +209,7 @@ class MicroBatcher:
                     self._resolve(done_units, results)
                 except Exception as e:
                     self._fail(done_units, e)
+        self._abandon_remaining()
 
 
 class SearchBatcher(MicroBatcher):

@@ -264,16 +264,33 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._respond(400, {"error": "missing queries list"})
         if len(queries) > 4096:
             return self._respond(400, {"error": "too many queries (max 4096)"})
+        # Per-item validation with error isolation: a malformed item gets an
+        # error object in ITS slot; the rest of the batch still runs. `k`
+        # parses with the same stoi() semantics as every GET route ("10abc"
+        # -> 10; floats truncate like the reference's int cast).
+        out: list = [None] * len(queries)
         reqs = []
-        for item in queries:
+        positions = []
+        for i, item in enumerate(queries):
             if not isinstance(item, dict) or "q" not in item:
-                return self._respond(400, {"error": "each query needs q"})
-            reqs.append((str(item["q"]), int(item.get("k", 10))))
-        results = self.ctx.batcher.search_many(reqs)
+                out[i] = {"error": "each query needs q"}
+                continue
+            k_raw = item.get("k", 10)
+            try:
+                k = stoi(k_raw) if isinstance(k_raw, str) else int(k_raw)
+            except (ValueError, TypeError):
+                out[i] = {"error": "invalid k param", "q": str(item["q"])}
+                continue
+            reqs.append((str(item["q"]), k))
+            positions.append(i)
+        searched = self.ctx.batcher.search_many(reqs) if reqs else []
+        for i, j in zip(positions, searched):
+            out[i] = j
+        results = out
         ms = (time.perf_counter() - t0) * 1000.0
-        self.ctx.stats.increment_searches(len(results))
+        self.ctx.stats.increment_searches(len(searched))
         n_cached = 0
-        for j in results:
+        for j in searched:
             if j.pop("from_cache", None):
                 j["cached"] = True
                 n_cached += 1
@@ -300,7 +317,12 @@ class ApiHandler(BaseHTTPRequestHandler):
         )
 
     def _handle_reload(self):
-        ok = self.ctx.engine.reload()
+        # warm=True: pin + compile the NEW index's envelopes before the
+        # atomic swap (compiles hit the persistent cache), so serving never
+        # sees an unwarmed index. Searches keep running on the old index for
+        # the whole build — reload() only takes engine.mtx for the swap.
+        warm = os.environ.get("NEXTSEARCH_WARMUP", "1") == "1"
+        ok = self.ctx.engine.reload(warm=warm)
         self._respond(
             200, {"reloaded": ok, "segments": len(self.ctx.engine.seg_names)}
         )

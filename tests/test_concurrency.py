@@ -31,6 +31,66 @@ def engine(tmp_path):
     return e
 
 
+def test_search_serves_during_slow_reload(engine, monkeypatch, tmp_path):
+    """Zero-downtime reload (VERDICT r4 item 4): while a reload's heavy
+    build runs (simulated by a slowed segment load), searches must complete
+    promptly with complete OLD-index results — not stall behind engine.mtx
+    for the duration of the build. After the reload, the new segment is
+    visible."""
+    import time
+
+    from nextsearch_tpu.index import artifacts as _artifacts
+    from nextsearch_tpu.index.builder import build_segment_arrays
+    from nextsearch_tpu.index.segmentio import save_manifest, write_segment
+
+    d = engine.index_dir
+    docs2 = [
+        {"cord_uid": f"v{i}", "text": "zebra quagga newterm covid"}
+        for i in range(10)
+    ]
+    write_segment(build_segment_arrays(docs2), d / "segments" / "seg_000002")
+    save_manifest(d / "manifest.bin", ["seg_000001", "seg_000002"])
+
+    real_load = _artifacts.load_segment_cached
+    slow = 0.8
+
+    def slow_load(*a, **kw):
+        time.sleep(slow)
+        return real_load(*a, **kw)
+
+    monkeypatch.setattr(_artifacts, "load_segment_cached", slow_load)
+
+    # pay one-time XLA compilation BEFORE the reload so mid-reload latency
+    # measures lock contention, not compile time
+    for i in range(7):
+        engine.search(f"covid term{i}", 10)
+
+    t = threading.Thread(target=lambda: engine.reload())
+    t.start()
+    time.sleep(0.1)  # let reload enter the slow build
+    lat = []
+    seen_segments = set()
+    while t.is_alive():
+        # same 2-term shape as the precompiled queries (no fresh XLA
+        # compile) but uncached, so the whole un-snapshotted path runs
+        t0 = time.perf_counter()
+        res = engine.search(f"study term{len(lat) % 7}", 10)
+        lat.append(time.perf_counter() - t0)
+        seen_segments.add(res["segments"])
+        if len(lat) >= 3 and not t.is_alive():
+            break
+    t.join(timeout=30)
+    assert len(lat) >= 3, "reload finished before any mid-reload searches ran"
+    # searches during the ~1.6s build must not have waited for it
+    assert max(lat) < slow / 2, f"search stalled behind reload: {max(lat):.3f}s"
+    # mid-reload searches saw a consistent snapshot (old or new, never mixed)
+    assert seen_segments <= {1, 2}
+    # post-reload: the new segment serves
+    res = engine.search("zebra quagga", 10)
+    assert res["segments"] == 2
+    assert res["found"] >= 10
+
+
 def test_concurrent_search_suggest_reload(engine):
     errors = []
     stop = threading.Event()

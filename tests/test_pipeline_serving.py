@@ -139,6 +139,86 @@ def test_pipelined_exception_propagates():
         b.shutdown()
 
 
+def test_drain_never_exceeds_max_batch():
+    """Mixed traffic (singles + submit_many chunks) must never form a flat
+    batch wider than max_batch: an oversized batch lands on an UNPINNED Q
+    envelope and recompiles mid-serving (ADVICE r4 medium-1)."""
+    sizes = []
+
+    def launch(reqs):
+        sizes.append(len(reqs))
+        return reqs
+
+    def gather(state):
+        return [f"ok:{r}" for r in state]
+
+    b = MicroBatcher(
+        config=BatchingConfig(max_batch=8, window_ms=20.0),
+        launch_fn=launch, gather_fn=gather, depth=2,
+    )
+    try:
+        futs = []
+        # a full chunk + a single + another full chunk, queued together so
+        # the window WOULD coalesce them without the pushback guard
+        futs.append(b.submit_many([f"a{i}" for i in range(8)]))
+        futs.append(b.submit("s1"))
+        futs.append(b.submit_many([f"b{i}" for i in range(8)]))
+        futs.append(b.submit("s2"))
+        ra = futs[0].result(timeout=10)
+        r1 = futs[1].result(timeout=10)
+        rb = futs[2].result(timeout=10)
+        r2 = futs[3].result(timeout=10)
+        assert ra == [f"ok:a{i}" for i in range(8)]
+        assert rb == [f"ok:b{i}" for i in range(8)]
+        assert r1 == "ok:s1" and r2 == "ok:s2"
+        assert max(sizes) <= 8, f"oversized batch launched: {sizes}"
+        assert sum(sizes) == 18  # nothing dropped or duplicated
+    finally:
+        b.shutdown()
+
+
+def test_shutdown_fails_queued_units():
+    """Units still queued at shutdown get a 'batcher shut down' exception
+    instead of hanging their callers forever (ADVICE r4 low-1)."""
+    release = threading.Event()
+
+    def launch(reqs):
+        release.wait(timeout=10)  # hold the dispatcher busy
+        return reqs
+
+    def gather(state):
+        return [f"ok:{r}" for r in state]
+
+    b = MicroBatcher(
+        config=BatchingConfig(max_batch=1, window_ms=0.1),
+        launch_fn=launch, gather_fn=gather, depth=1,
+    )
+    f1 = b.submit("first")  # dispatcher picks this up and blocks in launch
+    time.sleep(0.1)
+    f2 = b.submit("stranded")  # still in the queue at shutdown
+    b._stop.set()
+    b._q.put(([], None, False))
+    release.set()
+    b._thread.join(timeout=5)
+    assert f1.result(timeout=5) == "ok:first"
+    with pytest.raises(RuntimeError, match="shut down"):
+        f2.result(timeout=5)
+
+
+def test_warmup_terminates_on_tiny_lexicon(tmp_path):
+    """A lexicon with fewer distinct scoreable terms than the max query
+    width (4) must not hang warmup's duplicate-resample loop
+    (ADVICE r4 medium-2)."""
+    d = tmp_path / "index"
+    (d / "segments").mkdir(parents=True)
+    docs = [{"cord_uid": f"u{i}", "text": "covid covid vaccines"} for i in range(4)]
+    write_segment(build_segment_arrays(docs), d / "segments" / "seg_000001")
+    save_manifest(d / "manifest.bin", ["seg_000001"])
+    e = Engine(d, cache_dir=tmp_path)
+    assert e.reload()
+    assert e.warmup(sizes=[2]) > 0  # returns instead of spinning forever
+
+
 def test_cache_write_behind_persists(tmp_path):
     path = tmp_path / "c.json"
     c = LRUCache(10, path, flush_ms=30, tag="cache")
