@@ -27,6 +27,35 @@ def make_cache_key(query: str, k: int) -> str:
     return f"{query}|{k}"
 
 
+class Rendered(tuple):
+    """A pre-serialized per-query search response (native render path).
+
+    `fragment` is the compact JSON bytes of the full per-query response
+    object; `cached` marks an LRU hit (the dict path's from_cache flag).
+    Immutable, so cache get() can return it without a deep copy; to_dict()
+    recovers the dict shape for consumers that mutate (single-GET route,
+    AI overview)."""
+
+    __slots__ = ()
+
+    def __new__(cls, fragment: bytes, cached: bool = False):
+        return tuple.__new__(cls, (fragment, cached))
+
+    @property
+    def fragment(self) -> bytes:
+        return self[0]
+
+    @property
+    def cached(self) -> bool:
+        return self[1]
+
+    def to_dict(self) -> dict:
+        d = json.loads(self[0])
+        if self[1]:
+            d["from_cache"] = True
+        return d
+
+
 class LRUCache:
     """Thread-safe LRU cache of JSON-serializable results."""
 
@@ -63,12 +92,18 @@ class LRUCache:
             return len(self._data)
 
     def get(self, key: str) -> Optional[Any]:
-        """Cached result (deep copy) with from_cache=True, or None."""
+        """Cached result (deep copy) with from_cache=True, or None.
+
+        Rendered fragments are immutable, so they skip the deep copy and
+        return re-tagged with cached=True."""
         with self._lock:
             if key not in self._data:
                 return None
             self._data.move_to_end(key)
-            result = json.loads(json.dumps(self._data[key]))
+            raw = self._data[key]
+            if isinstance(raw, Rendered):
+                return Rendered(raw.fragment, True)
+            result = json.loads(json.dumps(raw))
         if isinstance(result, dict):
             result["from_cache"] = True
         return result
@@ -108,7 +143,19 @@ class LRUCache:
         if self.persist_path is None:
             return
         try:
-            payload = [{"key": k, "result": v} for k, v in snapshot]
+            # Rendered fragments persist as their parsed objects so the
+            # on-disk format stays the reference's {key, result} JSON
+            payload = [
+                {
+                    "key": k,
+                    "result": (
+                        json.loads(v.fragment)
+                        if isinstance(v, Rendered)
+                        else v
+                    ),
+                }
+                for k, v in snapshot
+            ]
             tmp = self.persist_path.with_suffix(".tmp")
             tmp.write_text(json.dumps(payload, indent=2), encoding="utf-8")
             tmp.replace(self.persist_path)

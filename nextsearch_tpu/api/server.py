@@ -101,22 +101,27 @@ class ApiHandler(BaseHTTPRequestHandler):
         )
         self.send_header("Access-Control-Max-Age", "600")
 
-    def _respond(self, status: int, payload, extra_headers=None, compact=False):
+    def _respond(self, status: int, payload, extra_headers=None,
+                 compact=False, raw: Optional[bytes] = None):
         # Reference routes pretty-print (json.dump(2), src/api_server.cpp);
         # the batched route (ours) uses compact separators — indent=2 on a
         # multi-MB 512-result payload costs ~100+ ms of the 1-core host.
-        body = (
-            (
-                json.dumps(payload, separators=(",", ":"))
-                if compact
-                else json.dumps(payload, indent=2)
-            ).encode("utf-8")
-            if payload is not None
-            else b""
-        )
+        # `raw` sends pre-serialized JSON bytes (native render path).
+        if raw is not None:
+            body = raw
+        else:
+            body = (
+                (
+                    json.dumps(payload, separators=(",", ":"))
+                    if compact
+                    else json.dumps(payload, indent=2)
+                ).encode("utf-8")
+                if payload is not None
+                else b""
+            )
         self.send_response(status)
         self._cors()
-        if payload is not None:
+        if payload is not None or raw is not None:
             self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         if extra_headers:
@@ -224,6 +229,8 @@ class ApiHandler(BaseHTTPRequestHandler):
             j = self.ctx.engine.search_hybrid(q, k)
         else:
             j = self.ctx.batcher.search(q, k)
+        if hasattr(j, "to_dict"):  # caches.Rendered (native render)
+            j = j.to_dict()
         search_ms = (time.perf_counter() - search_t0) * 1000.0
 
         from_cache = bool(j.get("from_cache"))
@@ -289,19 +296,36 @@ class ApiHandler(BaseHTTPRequestHandler):
         results = out
         ms = (time.perf_counter() - t0) * 1000.0
         self.ctx.stats.increment_searches(len(searched))
+        # Assemble the response as bytes: native-rendered items are already
+        # compact JSON fragments (the "cached" flag splices in before the
+        # closing brace); dict items (cache-restored, early-return, error
+        # slots) serialize individually.
         n_cached = 0
-        for j in searched:
-            if j.pop("from_cache", None):
-                j["cached"] = True
-                n_cached += 1
+        parts = []
+        for j in results:
+            if hasattr(j, "fragment"):  # caches.Rendered
+                if j.cached:
+                    n_cached += 1
+                    parts.append(j.fragment[:-1] + b',"cached":true}')
+                else:
+                    parts.append(j.fragment[:-1] + b',"cached":false}')
             else:
-                j["cached"] = False
+                if j.pop("from_cache", None):
+                    j["cached"] = True
+                    n_cached += 1
+                elif "error" not in j:
+                    j["cached"] = False
+                parts.append(
+                    json.dumps(j, separators=(",", ":")).encode("utf-8")
+                )
         if n_cached:
             self.ctx.stats.increment_search_cache_hits(n_cached)
         log("search", f"batch n={len(results)} {ms:.1f}ms")
-        self._respond(
-            200, {"results": results, "search_time_ms": ms}, compact=True
+        body = (
+            b'{"results":[' + b",".join(parts)
+            + b'],"search_time_ms":' + repr(ms).encode() + b"}"
         )
+        self._respond(200, None, raw=body)
 
     def _handle_suggest(self):
         params = self._params()
@@ -548,6 +572,16 @@ def main(argv=None):
         config = replace(config, device=dev)
         log("server", f"device budgets: dense_bytes={dev.dense_max_bytes} "
             f"ratio={dev.dense_df_ratio:.6f} buckets={dev.heavy_buckets}")
+
+    # Native C++ JSON render of search responses (default on; the Python
+    # dict render is the fallback and the parity reference). Rendered
+    # fragments flow through the caches and the batch route untouched.
+    if os.environ.get("NEXTSEARCH_NATIVE_RENDER", "1") == "1":
+        from .. import native as _native
+
+        if _native.available():
+            config = replace(config, native_render=True)
+            log("server", "native batch-response renderer enabled")
 
     # Serving persistence: write-behind (bounded staleness) instead of the
     # reference's write-per-update — a full cache/stats JSON dump per

@@ -213,6 +213,13 @@ class EngineConfig:
     device: DeviceConfig = field(default_factory=DeviceConfig)
     batching: BatchingConfig = field(default_factory=BatchingConfig)
     hybrid: HybridConfig = field(default_factory=HybridConfig)
+    # Native C++ JSON render of per-query search responses (serving path;
+    # native/render_native.cpp). Off by default: search_batch then returns
+    # the reference dict shapes. The server turns it on (env
+    # NEXTSEARCH_NATIVE_RENDER) — results come back as caches.Rendered
+    # fragments, cutting the measured ~28 ms/512-batch render+dumps host
+    # cost to ~2-4 ms on the 1-core serving box.
+    native_render: bool = False
 
 
 DEFAULT_CONFIG = EngineConfig()

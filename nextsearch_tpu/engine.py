@@ -72,6 +72,7 @@ class Engine:
         self.ac = AutocompleteIndex()
         self.sem = SemanticIndex()
         self.metadata: Optional[MetadataStore] = None
+        self._renderer = None  # native.NativeRenderer (config.native_render)
 
         cache_dir = Path(cache_dir)
         cc = config.cache
@@ -177,6 +178,10 @@ class Engine:
                     log("reload", f"embeddings file found but no usable vectors "
                         f"loaded: {emb_path} (semantic search disabled)")
 
+            new_renderer = self._build_renderer(
+                new_index, new_metadata, loaded, seg_names
+            )
+
             if warm:
                 self.warmup(index=new_index)
 
@@ -186,11 +191,42 @@ class Engine:
                 self.ac = new_ac
                 self.metadata = new_metadata
                 self.sem = new_sem
+                self._renderer = new_renderer
 
             self.cache.load()
             self.ai_overview_cache.load()
             self.ai_summary_cache.load()
             return True
+
+    def _build_renderer(self, index, metadata, loaded, seg_names):
+        """Native JSON renderer over this index's doc tables (or None).
+
+        Registered against the NEW index pre-swap so the renderer snapshot
+        in search_batch_async always matches its index snapshot."""
+        if not self.config.native_render or index is None:
+            return None
+        if not hasattr(index, "doc_bases"):
+            return None  # sharded backend renders host-side for now
+        from . import native as native_mod
+
+        if not native_mod.available():
+            return None
+        meta_map = metadata.uid_to_meta if metadata is not None else {}
+        rend = native_mod.NativeRenderer(
+            str(metadata.path) if metadata is not None else ""
+        )
+        for name, seg, base in zip(seg_names, loaded, index.doc_bases):
+            metas = [meta_map.get(u) for u in seg.cord_uids]
+            meta_off = np.asarray(
+                [m.file_offset if m is not None else -1 for m in metas],
+                np.int64,
+            )
+            meta_len = np.asarray(
+                [m.row_length if m is not None else 0 for m in metas],
+                np.int32,
+            )
+            rend.add_segment(name, base, seg.cord_uids, meta_off, meta_len)
+        return rend
 
     def warmup(
         self,
@@ -324,7 +360,10 @@ class Engine:
         return [(t, 1.0) for t in base_terms]
 
     def search(self, query: str, k: int) -> dict:
-        return self.search_batch([(query, k)])[0]
+        res = self.search_batch([(query, k)])[0]
+        if hasattr(res, "to_dict"):  # caches.Rendered (native render)
+            res = res.to_dict()
+        return res
 
     def search_batch_async(self, requests: Sequence[Tuple[str, int]]):
         """Phase 1 of a batched search: plan + LAUNCH, don't wait.
@@ -347,6 +386,7 @@ class Engine:
         with self.mtx:
             index = self.index
             metadata = self.metadata
+            renderer = self._renderer
             seg_count = len(self.seg_names)
             for i, (query, k) in enumerate(requests):
                 K = max(bm.k_min, min(int(k), bm.k_max))
@@ -380,11 +420,47 @@ class Engine:
                 handle = index.search_batch_async(
                     [p[3] for p in pending], k=kmax
                 )
-        return (out, pending, handle, kmax, index, metadata, seg_count)
+        return (out, pending, handle, kmax, index, metadata, seg_count,
+                renderer)
 
     def search_batch_gather(self, state) -> List[dict]:
-        """Phase 2: gather the launch, render JSON, fill the cache."""
-        out, pending, handle, kmax, index, metadata, seg_count = state
+        """Phase 2: gather the launch, render JSON, fill the cache.
+
+        With config.native_render, device-run items come back as
+        caches.Rendered fragments instead of dicts (same JSON object
+        shape; see Rendered.to_dict)."""
+        (out, pending, handle, kmax, index, metadata, seg_count,
+         renderer) = state
+        if handle is not None and renderer is not None:
+            from .api.caches import Rendered
+
+            with GLOBAL_TRACER.span("search.device"), device_trace("search"):
+                results = index.search_batch_gather(handle)
+            with GLOBAL_TRACER.span("search.render"):
+                ks = np.empty(len(pending), np.int32)
+                founds = np.empty(len(pending), np.int32)
+                counts = np.empty(len(pending), np.int32)
+                sc_parts = []
+                slot_parts = []
+                for j, ((i, query, K, _), qres) in enumerate(
+                    zip(pending, results)
+                ):
+                    ks[j] = K
+                    founds[j] = int(qres.found)
+                    sc = qres.scores[:K]
+                    counts[j] = sc.shape[0]
+                    sc_parts.append(sc)
+                    slot_parts.append(qres.doc_slots[:K])
+                frags = renderer.render(
+                    [p[1] for p in pending], seg_count, ks, founds, counts,
+                    np.concatenate(sc_parts) if sc_parts else np.empty(0, np.float32),
+                    np.concatenate(slot_parts) if slot_parts else np.empty(0, np.int32),
+                )
+                for (i, query, K, _), frag in zip(pending, frags):
+                    r = Rendered(frag, False)
+                    self.cache.put(make_cache_key(query, K), r)
+                    out[i] = r
+            return [x for x in out]  # type: ignore[return-value]
         if handle is not None:
             with GLOBAL_TRACER.span("search.device"), device_trace("search"):
                 results = index.search_batch_gather(handle)

@@ -92,6 +92,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
         ]
+        lib.nsr_new.restype = ctypes.c_void_p
+        lib.nsr_new.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.nsr_free.argtypes = [ctypes.c_void_p]
+        lib.nsr_add_segment.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.nsr_render.restype = ctypes.c_int64
+        lib.nsr_render.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.nsr_buf.restype = ctypes.c_void_p
+        lib.nsr_buf.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -179,6 +200,98 @@ class NativeForwardBuilder:
     def close(self):
         if self._h:
             self._lib.ns_builder_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeRenderer:
+    """Native batch-response JSON serializer (render_native.cpp).
+
+    Registered once per reload with the index's doc tables + metadata.csv
+    byte offsets; render() turns one batch's flat result arrays into
+    per-query compact JSON fragments (the exact per-query object shape of
+    the Python render in engine.search_batch_gather) without touching a
+    Python dict — the measured ~28 ms/512-batch render+dumps host cost
+    drops to ~2-4 ms. Field parity with the Python renderer is enforced
+    by tests/test_native.py."""
+
+    def __init__(self, metadata_csv_path: str):
+        self._lib = get_lib()
+        assert self._lib is not None, "native library unavailable"
+        p = str(metadata_csv_path).encode("utf-8")
+        self._h = self._lib.nsr_new(p, len(p))
+
+    def add_segment(
+        self,
+        name: str,
+        base: int,
+        cord_uids: List[str],
+        meta_off: np.ndarray,
+        meta_len: np.ndarray,
+    ) -> None:
+        n = len(cord_uids)
+        blob = "".join(cord_uids).encode("utf-8")
+        offs = np.zeros(n + 1, np.int64)
+        if n:
+            np.cumsum(
+                [len(u.encode("utf-8")) for u in cord_uids], out=offs[1:]
+            )
+        meta_off = np.ascontiguousarray(meta_off, np.int64)
+        meta_len = np.ascontiguousarray(meta_len, np.int32)
+        nm = name.encode("utf-8")
+        self._lib.nsr_add_segment(
+            self._h, nm, len(nm), base, n, blob, len(blob),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            meta_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            meta_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+
+    def render(
+        self,
+        queries: List[str],
+        seg_count: int,
+        ks: np.ndarray,
+        founds: np.ndarray,
+        counts: np.ndarray,
+        scores: np.ndarray,
+        slots: np.ndarray,
+    ) -> List[bytes]:
+        """Per-query compact JSON response objects, one bytes each."""
+        nq = len(queries)
+        q_blob = "".join(queries).encode("utf-8")
+        q_offs = np.zeros(nq + 1, np.int64)
+        np.cumsum([len(q.encode("utf-8")) for q in queries], out=q_offs[1:])
+        ks = np.ascontiguousarray(ks, np.int32)
+        founds = np.ascontiguousarray(founds, np.int32)
+        counts = np.ascontiguousarray(counts, np.int32)
+        scores = np.ascontiguousarray(scores, np.float32)
+        slots = np.ascontiguousarray(slots, np.int32)
+        frag_offs = np.zeros(nq + 1, np.int64)
+
+        def ptr(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        total = self._lib.nsr_render(
+            self._h, nq, seg_count, q_blob,
+            ptr(q_offs, ctypes.c_int64),
+            ptr(ks, ctypes.c_int32), ptr(founds, ctypes.c_int32),
+            ptr(counts, ctypes.c_int32),
+            ptr(scores, ctypes.c_float), ptr(slots, ctypes.c_int32),
+            ptr(frag_offs, ctypes.c_int64),
+        )
+        buf = ctypes.string_at(self._lib.nsr_buf(self._h), int(total))
+        return [
+            buf[frag_offs[i]:frag_offs[i + 1]] for i in range(nq)
+        ]
+
+    def close(self):
+        if self._h:
+            self._lib.nsr_free(self._h)
             self._h = None
 
     def __del__(self):

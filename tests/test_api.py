@@ -341,3 +341,64 @@ def test_search_batch_k_stoi_parity(server):
     # GET parity check for the same malformed k
     r2, _ = _get(server, "/api/search?q=covid&k=2abc")
     assert r2.status == 200
+
+
+def test_search_batch_native_render(tmp_path):
+    """Server with config.native_render: batch route streams pre-rendered
+    fragments; single route converts to the reference dict shape; values
+    match the Python-render server bit-for-bit."""
+    from dataclasses import replace
+
+    from nextsearch_tpu import native
+    from nextsearch_tpu.config import DEFAULT_CONFIG
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    d = tmp_path / "index"
+    (d / "segments").mkdir(parents=True)
+    write_segment(build_segment_arrays(DOCS_SEG1), d / "segments" / "seg_000001")
+    write_segment(build_segment_arrays(DOCS_SEG2), d / "segments" / "seg_000002")
+    save_manifest(d / "manifest.bin", ["seg_000001", "seg_000002"])
+    (d / "metadata.csv").write_text(METADATA_CSV)
+
+    engine = Engine(
+        d, config=replace(DEFAULT_CONFIG, native_render=True),
+        cache_dir=tmp_path,
+    )
+    assert engine.reload()
+    ctx = ServerContext(
+        engine,
+        StatsTracker(tmp_path / "stats.json"),
+        FeedbackManager(tmp_path / "feedback.json"),
+        AzureOpenAIConfig("", "", ""),
+    )
+    srv = make_server(ctx, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sv = (srv, ctx)
+        payload = {"queries": [{"q": "covid vaccine", "k": 3},
+                               {"q": "influenza", "k": 2}]}
+        r, j = _post(sv, "/api/search_batch", payload)
+        assert r.status == 200
+        assert [x["query"] for x in j["results"]] == ["covid vaccine", "influenza"]
+        first = j["results"][0]
+        assert first["cached"] is False and first["found"] >= 1
+        assert first["results"][0]["cord_uid"] == "uid01"
+        assert first["results"][0]["title"] == "COVID Vaccine Trial"
+        assert first["results"][0]["url"] == "https://a.example/1"  # ';' cut
+        assert first["results"][0]["author"] == "Smith et al."
+        # repeat -> served from cache with cached=true, same values
+        r2, j2 = _post(sv, "/api/search_batch", payload)
+        second = j2["results"][0]
+        assert second["cached"] is True
+        assert second["results"] == first["results"]
+        # single route: reference shape with timing fields
+        r3, j3 = _get(sv, "/api/search?q=covid+vaccine&k=3")
+        assert r3.status == 200 and j3["cached"] is True
+        assert j3["results"] == first["results"]
+        assert "search_time_ms" in j3 and "total_time_ms" in j3
+    finally:
+        srv.shutdown()
+        ctx.batcher.shutdown()

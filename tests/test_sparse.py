@@ -378,6 +378,10 @@ def test_device_build_matches_host_build(segs, monkeypatch):
     monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "0")
     host = make_index(segs)
     monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "1")
+    # force the device light-table scatter (the default builds the light
+    # table host-side and uploads it — measured 10x faster through the
+    # relay — which would leave build_light_on_device untested here)
+    monkeypatch.setenv("NEXTSEARCH_LIGHT_BUILD", "device")
     dev = make_index(segs)
     assert dev._device_build and not host._device_build
     hrows = np.asarray(host.dense_rows, np.float32)
@@ -680,6 +684,7 @@ def test_merged_heavy_device_build_matches_host(segs, monkeypatch):
     import jax.numpy as jnp
 
     monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "1")
+    monkeypatch.setenv("NEXTSEARCH_LIGHT_BUILD", "device")
     di_dev = make_index(segs, dense_ratio=0.02, unified=False)
     monkeypatch.setenv("NEXTSEARCH_DEVICE_BUILD", "0")
     di_host = make_index(segs, dense_ratio=0.02, unified=False)
