@@ -119,8 +119,23 @@ class MicroBatcher:
                 return []
             units = [item]
         count = sum(len(u[0]) for u in units)
-        deadline = time.monotonic() + self.config.window_ms / 1000.0
-        while count < self.config.max_batch:
+        # Adaptive operating point: a shallow queue targets the SMALL
+        # warmed envelope with a short window (interactive p50 — batch-64
+        # exec is ~31 ms vs 85 ms at 512, measured BENCH_r04); a deep
+        # queue keeps the throughput point. Queue depth is re-checked as
+        # units drain so a burst arriving mid-window still widens the
+        # target to max_batch.
+        small = self.config.small_batch
+        max_batch = self.config.max_batch
+        adaptive = 0 < small < max_batch
+        if adaptive and count + self._q.qsize() > small:
+            target, window_ms = max_batch, self.config.window_ms
+        elif adaptive:
+            target, window_ms = small, self.config.small_window_ms
+        else:
+            target, window_ms = max_batch, self.config.window_ms
+        deadline = time.monotonic() + window_ms / 1000.0
+        while count < target:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
@@ -130,9 +145,20 @@ class MicroBatcher:
                 break
             if nxt[1] is None:
                 continue
-            if count + len(nxt[0]) > self.config.max_batch:
-                self._pushback = nxt
-                break
+            if count + len(nxt[0]) > target:
+                if (
+                    adaptive
+                    and target < max_batch
+                    and count + len(nxt[0]) <= max_batch
+                ):
+                    # burst mid-window: widen to the throughput point
+                    target = max_batch
+                    deadline = time.monotonic() + (
+                        self.config.window_ms / 1000.0
+                    )
+                else:
+                    self._pushback = nxt
+                    break
             units.append(nxt)
             count += len(nxt[0])
         return units

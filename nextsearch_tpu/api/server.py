@@ -601,6 +601,12 @@ def main(argv=None):
         pipeline_depth=int(
             os.environ.get("NEXTSEARCH_PIPELINE_DEPTH", bat.pipeline_depth)
         ),
+        small_batch=int(
+            os.environ.get("NEXTSEARCH_SMALL_BATCH", bat.small_batch)
+        ),
+        small_window_ms=float(
+            os.environ.get("NEXTSEARCH_SMALL_WINDOW_MS", bat.small_window_ms)
+        ),
     )
     if bat != config.batching:
         config = replace(config, batching=bat)

@@ -202,6 +202,14 @@ class BatchingConfig:
     # relay round trip behind device exec. 2 matches the bench harness
     # (probe_depth.py: deeper queues gain no QPS, only p50).
     pipeline_depth: int = 2
+    # Adaptive operating point (VERDICT r4 item 10): when the queue is
+    # shallow the dispatcher closes the window after `small_batch`
+    # requests / `small_window_ms`, landing on the small warmed Q
+    # envelope (interactive p50); a deep queue keeps the full
+    # max_batch/window_ms throughput point. Both envelopes are pinned and
+    # compiled by Engine.warmup's default ladder. small_batch=0 disables.
+    small_batch: int = 64
+    small_window_ms: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -219,15 +219,31 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, rows=None,
 
 @functools.partial(jax.jit, static_argnames=("k", "n_slots"))
 def _row_topk_group(rows3, *, k: int, n_slots: int):
-    """Exact canonical top-k per dense row: full 2-key sort by
-    (score desc, slot asc) — lax.top_k's tie rule is unspecified on this
-    backend, and the stored prefix must reproduce the engine's canonical
-    result order bit-for-bit."""
-    g = rows3.shape[0]
-    rows = rows3.reshape(g, n_slots)
-    neg = -rows
-    iota = lax.broadcasted_iota(jnp.int32, (g, n_slots), 1)
-    sneg, sidx = lax.sort((neg, iota), dimension=1, num_keys=2)
+    """Exact canonical top-k per dense row, block-prefiltered.
+
+    The old full 2-key sort of every 1M-lane row was the dominant
+    row-topk build cost (measured ~60s for 256 rows at 1M slots). Exact
+    two-phase replacement: order the 128-lane blocks by (block max desc,
+    block id asc) and keep the first k — any unpicked block's lanes lose
+    to one distinct lane per picked block (a strictly higher max, or an
+    equal max in a lower block whose slots are all smaller), so the
+    canonical top-k lives inside the picked blocks. Then one 2-key sort
+    by (score desc, slot asc) over the k*128 candidate lanes reproduces
+    the full sort's prefix bit-for-bit (same tie rule, candidate
+    superset). Sort volume per row: n_slots/128 + k*128 instead of
+    n_slots (~50x less at 1M)."""
+    g, nblk, _ = rows3.shape
+    kb = min(k, nblk)
+    bm = jnp.max(rows3, axis=2)  # [g, nblk]
+    iota_b = lax.broadcasted_iota(jnp.int32, (g, nblk), 1)
+    _snb, sbi = lax.sort((-bm, iota_b), dimension=1, num_keys=2)
+    blocks = sbi[:, :kb]  # [g, kb], canonical block order
+    cand = jnp.take_along_axis(rows3, blocks[:, :, None], axis=1)
+    lane = lax.broadcasted_iota(jnp.int32, (g, kb, 128), 2)
+    slots = (blocks[:, :, None] * 128 + lane).reshape(g, kb * 128)
+    flat = cand.reshape(g, kb * 128)
+    sneg, sidx = lax.sort((-flat, slots), dimension=1, num_keys=2)
+    k = min(k, kb * 128)
     return -sneg[:, :k], sidx[:, :k]
 
 

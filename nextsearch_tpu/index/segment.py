@@ -21,6 +21,7 @@ k axes are padded to a small set of static sizes.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -270,6 +271,12 @@ class DeviceIndex:
         self._qpins: Dict[int, Dict[str, int]] = {}
         # (term, k) -> QueryResult|None for w==1 1-term shortcut answers
         self._shortcut_memo: Dict = {}
+        # Serving-visible guard-trip accounting (bench/probes read these).
+        self.rescue_ms = 0.0
+        self.rescue_trips = 0
+        # (terms tuple, K) -> QueryResult: known guard-trippers answered
+        # host-side on recurrence (see _host_rescue_row)
+        self._rescue_memo: Dict = {}
         self.segments = list(segments)
         self.seg_names = list(seg_names) if seg_names else [
             f"seg_{i + 1:06d}" for i in range(len(self.segments))
@@ -548,11 +555,27 @@ class DeviceIndex:
                     bucket = (
                         post_doc_parts[seg_i][valid] >> self._lb_log2
                     )
-                    cnt = np.bincount(
-                        row_of_post[valid] * nbl + bucket,
-                        minlength=lt_idx.shape[0] * nbl,
-                    ).reshape(lt_idx.shape[0], nbl)
-                    counts_parts.append(cnt.astype(np.int32))
+                    # (row, bucket) keys are globally NON-DECREASING (rows
+                    # ascend in term order, postings are doc-ascending
+                    # within a row), so per-cell counts are run lengths —
+                    # one diff + one unique-key assignment instead of
+                    # bincount's 50M scattered increments into a multi-GB
+                    # int64 buffer (measured 25s -> ~5s at 1M docs).
+                    ncell = lt_idx.shape[0] * nbl
+                    kdt = np.int32 if ncell < (1 << 31) else np.int64
+                    key = (
+                        row_of_post[valid].astype(kdt) * kdt(nbl)
+                        + bucket.astype(kdt)
+                    )
+                    cnt = np.zeros(ncell, np.int32)
+                    if key.size:
+                        change = np.flatnonzero(key[1:] != key[:-1])
+                        starts_u = np.concatenate(([0], change + 1))
+                        ends_u = np.concatenate((change + 1, [key.size]))
+                        cnt[key[starts_u]] = (
+                            ends_u - starts_u
+                        ).astype(np.int32)
+                    counts_parts.append(cnt.reshape(lt_idx.shape[0], nbl))
                 base_row += lt_idx.shape[0]
             self.n_light = base_row
             if build_tables:
@@ -1362,6 +1385,29 @@ class DeviceIndex:
         # precomputed row top-k (exact, canonical, zero guard trips);
         # their batch slots plan as empty queries.
         queries, fills = self._shortcut_single_heavy(queries, k)
+        # Known guard-trippers answer from the rescue memo with zero
+        # device work (their plan slots empty out, like the shortcuts).
+        if self._rescue_memo:
+            K_memo = _bucket(max(k, 1), self.K_BUCKETS)
+            K_memo = min(K_memo, self.n_slots)
+            out_q = None
+            for qi, terms in enumerate(queries):
+                if fills is not None and qi in fills:
+                    continue
+                res = self._rescue_memo.get((tuple(terms), K_memo))
+                if res is None:
+                    continue
+                if fills is None:
+                    fills = {}
+                if out_q is None:
+                    out_q = list(queries)
+                fills[qi] = QueryResult(
+                    scores=res.scores[:k], doc_slots=res.doc_slots[:k],
+                    found=res.found,
+                )
+                out_q[qi] = []
+            if out_q is not None:
+                queries = out_q
         if fills is not None and len(fills) == nq:
             # Every query in the batch was answered host-side — skip the
             # device launch entirely (a single-term stream over a head-
@@ -1667,15 +1713,36 @@ class DeviceIndex:
                         os.environ.get("NEXTSEARCH_TRIP_RESCUE", "8")
                     )
                     if queries is not None and tripped.size <= cap:
-                        log(
-                            "sparse",
-                            f"fast-heavy guard tripped ({tripped.size}/"
-                            f"{nq} queries); host-oracle rescue",
-                        )
+                        t0 = time.perf_counter()
                         out = np.array(out)  # device_get view is read-only
                         for j in tripped:
                             self._host_rescue_row(out, int(j), queries,
                                                   K)
+                        dt = (time.perf_counter() - t0) * 1000.0
+                        self.rescue_ms += dt
+                        self.rescue_trips += int(tripped.size)
+                        log(
+                            "sparse",
+                            f"fast-heavy guard tripped ({tripped.size}/"
+                            f"{nq} queries); host-oracle rescue "
+                            f"{dt:.1f}ms",
+                        )
+                        if os.environ.get("NEXTSEARCH_TRIP_LOG") == "1":
+                            for j in tripped:
+                                terms = queries[int(j)]
+                                dfs = [
+                                    int(
+                                        sum(
+                                            lex.get(t, (0, 0, -1))[1]
+                                            for lex in self.lex
+                                        )
+                                    )
+                                    for t, _w in terms
+                                ]
+                                log(
+                                    "trip",
+                                    f"q={[t for t, _ in terms]} dfs={dfs}",
+                                )
                     else:
                         log(
                             "sparse",
@@ -1767,7 +1834,14 @@ class DeviceIndex:
     def _host_rescue_row(self, out, j, queries, K):
         """Overwrite packed row j with the exact host-oracle result for
         queries[j] (guard-trip rescue; oracle_search_vec is bit-identical
-        to the device's exact path)."""
+        to the device's exact path).
+
+        The result is memoized by (query terms, K): guard trips are
+        query-shape-deterministic (e.g. a 2-term query of two df~N terms
+        whose near-uniform sums the guard provably cannot separate — the
+        tools-built corpus trips on the SAME query every time it recurs,
+        40-50 ms of host oracle each). A memo hit answers the repeat at
+        plan time with zero device work, like the 1-term shortcut memo."""
         from .oracle import oracle_search_vec
 
         hits, found = oracle_search_vec(
@@ -1775,10 +1849,22 @@ class DeviceIndex:
             k1=self.config.bm25.k1, b=self.config.bm25.b,
         )
         out[j, : 2 * K + 1] = 0.0
+        scores = np.zeros(K, np.float32)
+        slots = np.full(K, 2**30, np.int32)
         for i, (score, seg_idx, doc) in enumerate(hits[:K]):
             out[j, i] = np.float32(score)
-            out[j, K + i] = np.float32(self.doc_bases[seg_idx] + doc)
+            slot = self.doc_bases[seg_idx] + doc
+            out[j, K + i] = np.float32(slot)
+            scores[i] = np.float32(score)
+            slots[i] = slot
         out[j, 2 * K] = np.float32(found)
+        live = scores > 0
+        memo = self._rescue_memo
+        if len(memo) >= 100_000:
+            memo.clear()
+        memo[(tuple(queries[j]), K)] = QueryResult(
+            scores=scores[live], doc_slots=slots[live], found=int(found)
+        )
 
     def _oracle_segs(self):
         """Lazy host-side oracle segment views (guard-trip rescue)."""

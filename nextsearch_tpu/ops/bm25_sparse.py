@@ -35,6 +35,7 @@ This module replaces the scatter pipeline (reference hot loop:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +194,65 @@ def per_query_counts(sq, indicator, Q):
     return csz[bounds[1:]] - csz[bounds[:-1]]
 
 
+def _topk_quantized_reduce(key, pay, sq, Q, k2, sent_key, pad_payload):
+    """Exact 2-level reduction of the quantized selection sort (sort2).
+
+    The flat stream after light_totals is sorted by (q, doc): query q's
+    lanes occupy one contiguous run [bounds[q], bounds[q+1]). Sorting the
+    whole C*block stream to pick K2 per query is the measured +5 ms
+    (headline) / +12 ms (tools-built corpus) sort2 stage; this shrinks the
+    globally-sorted volume ~3x, exactly:
+
+      1. sort each 128-lane row independently (row-parallel bitonic, ~28
+         passes vs ~190+ for the global sort). The caller's keys KEEP the
+         query id for every in-run lane (zero-score lanes included, which
+         sink to their group's tail, not the row's), so each row's
+         q-groups occupy exactly the lane counts of the (q, doc)-sorted
+         layout — group g of query q starts at in-row lane bounds[q]-128r.
+      2. keep each row's first k2 lanes. For every query this covers every
+         row where it is the row's FIRST group: a global-top-k2 member
+         ranks <= k2 inside any subset, so it sits in the group's — here
+         the row's — first k2 lanes.
+      3. the one row per query whose group starts mid-row (g > 0): its
+         top-k2 sits at sorted-stream flat positions [bounds[q],
+         bounds[q]+k2). One k2-wide gather per query collects them,
+         masked to positions that are (a) not already in the row's first
+         k2 (no duplicate lanes — a duplicate could displace a distinct
+         doc from the pool and inflate the guard's tau), (b) inside the
+         query's run, and (c) inside the row (the run's continuation in
+         the next row is that row's FIRST group, covered by 2).
+      4. the caller runs the ordinary flat sort on reduced + boundary
+         lanes — identical per-query top-k2 content, tie order preserved
+         (both sorts key on (key, pay)).
+    """
+    n = key.shape[0]
+    nb = n // 128
+    ks, ps = lax.sort(
+        (key.reshape(nb, 128), pay.reshape(nb, 128)),
+        dimension=1, num_keys=2,
+    )
+    red_k = ks[:, :k2].reshape(-1)
+    red_p = ps[:, :k2].reshape(-1)
+    bounds = jnp.searchsorted(
+        sq, jnp.arange(Q + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    ksf = ks.reshape(-1)
+    psf = ps.reshape(-1)
+    start = bounds[:Q, None]  # [Q, 1]
+    j = lax.broadcasted_iota(jnp.int32, (Q, k2), 1)
+    pos = start + j
+    g = start & 127
+    row_end = (start | 127) + 1
+    ok = (g + j >= k2) & (pos < row_end) & (pos < bounds[1:, None])
+    pos = jnp.clip(pos, 0, n - 1)
+    ex_k = jnp.where(ok, ksf[pos], sent_key).reshape(-1)
+    ex_p = jnp.where(ok, psf[pos], pad_payload).reshape(-1)
+    return (
+        jnp.concatenate([red_k, ex_k]),
+        jnp.concatenate([red_p, ex_p]),
+    )
+
+
 def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload, *,
                         quantized: bool = False):
     """Top-k2 payload ids per query by (score desc, payload asc) from a
@@ -228,10 +288,32 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload, *,
             lax.bitcast_convert_type(score, jnp.uint32) >> jnp.uint32(qbits),
             jnp.uint32(0),
         )
-        qv = jnp.where(score > 0, sq.astype(jnp.uint32), jnp.uint32(Q))
+        # Zero-score lanes KEEP their query id (they sort to their group's
+        # tail, past every positive lane, and the live filter below drops
+        # them) — the 2-level reducer relies on every in-run lane staying
+        # in its group so row layouts match the (q, doc)-sorted offsets.
+        qv = jnp.where(sq < Q, sq.astype(jnp.uint32), jnp.uint32(Q))
         key = (qv << jnp.uint32(shift)) | (max_sc - sc_hi)
         pay = jnp.where(score > 0, payload, pad_payload)
+        sent_key = (jnp.uint32(Q) << jnp.uint32(shift)) | max_sc
+        # OFF by default (measured): XLA's TPU sort is input-adaptive —
+        # the same 172k-lane 2-operand sort costs 39.8 ms on random keys
+        # but 5.9 ms on this stream's q-presorted keys (high bits already
+        # ordered), so the flat sort is near-optimal in situ and the
+        # 2-level reduction is a wash (29.57 vs 29.61 ms full kernel).
+        # Kept (with its exactness test) for corpora/backends where the
+        # selection stream is not presorted.
+        if (
+            n >= 32768
+            and n % 128 == 0
+            and k2 <= 128
+            and os.environ.get("NEXTSEARCH_SORT2_2LEVEL", "0") == "1"
+        ):
+            key, pay = _topk_quantized_reduce(
+                key, pay, sq, Q, k2, sent_key, pad_payload
+            )
         key2, pay2 = lax.sort((key, pay), num_keys=2)
+        m = key2.shape[0]
         q2 = (key2 >> jnp.uint32(shift)).astype(jnp.int32)
         sc2 = max_sc - (key2 & max_sc)
         pos = jnp.searchsorted(q2, jnp.arange(Q, dtype=jnp.int32))
@@ -242,7 +324,7 @@ def per_query_topk_flat(sq, score, payload, Q, k2, pad_payload, *,
                 :, None
             ]
         )
-        idx = jnp.clip(idx, 0, n - 1)
+        idx = jnp.clip(idx, 0, m - 1)
         sc_at = sc2[idx]
         live = in_q & (sc_at > 0)
         docs = jnp.where(live, pay2[idx], pad_payload)

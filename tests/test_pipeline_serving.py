@@ -256,3 +256,44 @@ def test_stats_write_behind_and_counts(tmp_path):
     s2 = StatsTracker(tmp_path / "s2.json")
     s2.increment_searches()
     assert json.loads((tmp_path / "s2.json").read_text())["total_searches"] == 1
+
+
+def test_adaptive_batch_sizing():
+    """Dispatcher picks the small warmed envelope when the queue is
+    shallow (interactive p50) and the full batch when it is deep, and a
+    mid-window burst widens the target (VERDICT r4 item 10)."""
+    sizes = []
+    hold = threading.Event()
+
+    def launch(reqs):
+        sizes.append(len(reqs))
+        hold.wait(timeout=10)
+        return reqs
+
+    def gather(state):
+        return [f"ok:{r}" for r in state]
+
+    cfg = BatchingConfig(
+        max_batch=32, window_ms=50.0, pipeline_depth=1,
+        small_batch=4, small_window_ms=5.0,
+    )
+    b = MicroBatcher(config=cfg, launch_fn=launch, gather_fn=gather, depth=1)
+    try:
+        # light load: 2 requests -> one small batch (well under max_batch)
+        hold.set()
+        f1, f2 = b.submit("a"), b.submit("b")
+        assert f1.result(timeout=10) == "ok:a" and f2.result(timeout=10) == "ok:b"
+        assert sizes and sizes[0] <= cfg.small_batch
+        # heavy load: stall the dispatcher, enqueue a deep backlog, then
+        # release — the next drains must target max_batch
+        hold.clear()
+        stall = b.submit("stall")
+        time.sleep(0.05)  # dispatcher now blocked inside launch("stall")
+        futs = [b.submit(f"x{i}") for i in range(64)]
+        hold.set()
+        assert stall.result(timeout=10) == "ok:stall"
+        for f in futs:
+            f.result(timeout=10)
+        assert max(sizes) == cfg.max_batch, sizes
+    finally:
+        b.shutdown()

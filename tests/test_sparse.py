@@ -1018,3 +1018,37 @@ def test_cumsum_count_blocked_matches():
         ind = rng.integers(0, 2, n).astype(bool)
         out = np.asarray(_cumsum_count_blocked(jnp.asarray(ind)))
         assert out.tolist() == np.cumsum(ind.astype(np.int32)).tolist()
+
+
+def test_rescue_memo_answers_repeat_trippers(segs, monkeypatch):
+    """A guard-tripped query's host-oracle rescue is memoized by (terms,
+    K): when the same query recurs it answers at plan time with zero
+    device work and no second rescue (the tools-built corpus trips on
+    the SAME 2-term df~N query every time it cycles; each oracle pass
+    costs 40-50 ms there)."""
+    monkeypatch.setenv("NEXTSEARCH_TRIP_RESCUE", "100")
+    cfg = EngineConfig(
+        device=DeviceConfig(
+            mode="sparse", posting_block=64, chunk_buckets=(64, 256, 1024),
+            dense_df_ratio=0.02, fast_heavy=True, fast_heavy_eps=1e9,
+        )
+    )
+    di = DeviceIndex(segs, config=cfg)
+    r = np.random.default_rng(17)
+    words = [f"w{i:04d}" for i in range(220)]
+    queries = [
+        [(words[int(r.integers(0, 220))], float(r.uniform(0.2, 1.5)))
+         for _ in range(int(r.integers(1, 4)))]
+        for _ in range(12)
+    ]
+    first = di.search_batch(queries, k=10)
+    trips_after_first = di.rescue_trips
+    assert trips_after_first > 0  # eps=1e9 trips every non-trivial query
+    assert di._rescue_memo
+    second = di.search_batch(queries, k=10)
+    assert di.rescue_trips == trips_after_first  # no re-rescue
+    for a, b in zip(first, second):
+        assert a.found == b.found
+        assert np.array_equal(a.scores, b.scores)
+        assert np.array_equal(a.doc_slots, b.doc_slots)
+    check_parity(di, segs, queries)
