@@ -306,6 +306,18 @@ def config5():
     hy = HybridIndex(di, sem, beta=0.5)
     emb_build_s = time.time() - t0
     hy.search_batch(batches[0], k=10, candidates=100)  # warm
+    # Parity gate (VERDICT r4 item 5, like configs 1-3): device hybrid vs
+    # the exact host oracle (exact BM25 top-C + the rerank formula over
+    # the same doc embeddings). Doc sets/order must match exactly; scores
+    # to float tolerance (the cos einsum's summation order differs).
+    parity_q = batches[1][:8]
+    got = hy.search_batch(parity_q, k=10, candidates=100)
+    for q, r in zip(parity_q, got):
+        exp = hy._host_hybrid_row(q, 10, 100)
+        assert r.found == exp.found, (q, r.found, exp.found)
+        assert r.doc_slots.tolist() == exp.doc_slots.tolist(), q
+        np.testing.assert_allclose(r.scores, exp.scores, rtol=2e-5)
+    print("[c5] parity: OK (8 queries, doc order exact)", flush=True)
     n = 0
     li = 0
     depth = 4
@@ -324,7 +336,7 @@ def config5():
         n += qbatch
     qps = n / (time.time() - t0)
     return {
-        "config": 5, "docs": n_docs, "dim": dim,
+        "config": 5, "docs": n_docs, "dim": dim, "parity": True,
         "emb_build_s": round(emb_build_s, 1), "qps": round(qps, 1),
     }
 

@@ -1367,7 +1367,7 @@ class DeviceIndex:
             else:
                 return np.stack(plans), max(us)
 
-    def _search_sparse_async(self, queries, k: int):
+    def _search_sparse_async(self, queries, k: int, shortcut: bool = True):
         """Launch the sparse-light kernel (mode='sparse')."""
         import jax
 
@@ -1384,10 +1384,14 @@ class DeviceIndex:
         # 1-term head-heavy queries: answered host-side from the
         # precomputed row top-k (exact, canonical, zero guard trips);
         # their batch slots plan as empty queries.
-        queries, fills = self._shortcut_single_heavy(queries, k)
+        queries, fills = (
+            self._shortcut_single_heavy(queries, k)
+            if shortcut
+            else (queries, None)
+        )
         # Known guard-trippers answer from the rescue memo with zero
         # device work (their plan slots empty out, like the shortcuts).
-        if self._rescue_memo:
+        if shortcut and self._rescue_memo:
             K_memo = _bucket(max(k, 1), self.K_BUCKETS)
             K_memo = min(K_memo, self.n_slots)
             out_q = None
@@ -1605,11 +1609,15 @@ class DeviceIndex:
             )
         return ("packed", nq, k, K, launch_single(False), perm, fills)
 
-    def search_batch_async(self, queries: Sequence[Sequence[WeightedTerm]], k: int):
+    def search_batch_async(self, queries: Sequence[Sequence[WeightedTerm]], k: int,
+                           shortcut: bool = True):
         """Launch one batched BM25 top-k kernel; returns an opaque handle.
 
         Pair with search_batch_gather(); keeping several launches in flight
         hides the host<->device round-trip latency (serving pipeline).
+        shortcut=False disables the host-side 1-term/rescue-memo answers —
+        the hybrid rerank chains on the packed DEVICE array and needs every
+        query's candidates in it (models/hybrid.py).
         """
         from ..ops.bm25 import bm25_topk_exact, bm25_topk_fast, bm25_topk_fused
 
@@ -1617,7 +1625,7 @@ class DeviceIndex:
         if nq == 0 or self.n_docs == 0:
             return ("empty", nq)
         if self.config.device.mode == "sparse":
-            return self._search_sparse_async(queries, k)
+            return self._search_sparse_async(queries, k, shortcut=shortcut)
 
         K = _bucket(max(k, 1), self.K_BUCKETS)
         K = min(K, self.n_slots)

@@ -167,9 +167,23 @@ class HybridIndex:
             return ("hybrid_trivial", nq)
 
         C = max(candidates, k)
-        handle = self.index.search_batch_async(queries, C)
+        sparse_direct = getattr(self.index, "_sparse", False) and hasattr(
+            self.index, "doc_bases"
+        )
+        # sparse DeviceIndex: launch WITHOUT the host-side 1-term/memo
+        # shortcuts so every query's candidates land in the packed device
+        # array — the rerank then chains on it with no host round trip
+        # (the old path gathered BM25 on the host and relaunched the
+        # rerank synchronously: one full ~25-30 ms relay RTT per batch,
+        # unpipelineable — the measured bound on EVAL config 5).
+        handle = self.index.search_batch_async(
+            queries, C, **({"shortcut": False} if sparse_direct else {})
+        )
         if handle[0] == "empty":
             return ("hybrid_passthrough", handle)
+        perm = None
+        guard = None
+        bm_queries = queries
         if handle[0] == "packed" and len(handle) == 5:
             # fused-mode packed launch: rerank straight off the device
             # result array, nothing round-trips through the host
@@ -180,16 +194,29 @@ class HybridIndex:
             found = out_arr[:, 2 * K].astype(jnp.int32)
         elif handle[0] == "pending":
             _tag, _nq, _k, K, vals, idx, found = handle
+        elif sparse_direct and handle[0] == "packedg":
+            _tag, _nq, _k, K, dev_out = handle[:5]
+            perm = handle[6]
+            vals = dev_out[:, :K]
+            idx = dev_out[:, K : 2 * K].astype(jnp.int32)
+            found = dev_out[:, 2 * K].astype(jnp.int32)
+            guard = dev_out[:, 2 * K + 1]
+            if perm is not None:
+                bm_queries = [queries[perm[j]] for j in range(nq)]
+        elif sparse_direct and handle[0] == "packed":
+            _tag, _nq, _k, K, dev_out = handle[:5]
+            perm = handle[5] if len(handle) > 5 else None
+            vals = dev_out[:, :K]
+            idx = dev_out[:, K : 2 * K].astype(jnp.int32)
+            found = dev_out[:, 2 * K].astype(jnp.int32)
+            if perm is not None:
+                bm_queries = [queries[perm[j]] for j in range(nq)]
         else:
-            # sparse-mode handles carry permutations / host fills / a
-            # guard-trip protocol that only index.search_batch_gather
-            # knows how to resolve — rerank at gather time from the host
-            # candidate lists (the BM25 launch still pipelines; the
-            # rerank adds one synchronous launch per batch).
+            # sharded / unknown handles still gather host-side
             q_emb = np.stack([self.query_embedding(q) for q in queries])
             return ("hybrid_host", nq, k, C, handle, q_emb)
 
-        q_emb = np.stack([self.query_embedding(q) for q in queries])
+        q_emb = np.stack([self.query_embedding(q) for q in bm_queries])
         Qb = vals.shape[0]
         if q_emb.shape[0] < Qb:
             q_emb = np.vstack(
@@ -202,7 +229,12 @@ class HybridIndex:
         )
         for a in (hvals, hdocs, hbm25, found):
             a.copy_to_host_async()
-        return ("hybrid", nq, k, hvals, hdocs, hbm25, found)
+        if guard is not None:
+            guard.copy_to_host_async()
+        return (
+            "hybrid", nq, k, hvals, hdocs, hbm25, found, perm, guard,
+            queries, C,
+        )
 
     def search_batch_gather(self, handle) -> List[QueryResult]:
         """Block on a search_batch_async handle and assemble results."""
@@ -234,22 +266,76 @@ class HybridIndex:
             )
             handle = ("hybrid", nq, k, hvals, hdocs, hbm25,
                       jnp.asarray(found_h))
-        _tag, nq, k, hvals, hdocs, hbm25, found = handle
-        hvals, hdocs, hbm25, found = jax.device_get(
-            (hvals, hdocs, hbm25, found)
-        )
-
-        out: List[QueryResult] = []
-        for qi in range(nq):
-            keep = hbm25[qi] > 0.0
-            out.append(
-                QueryResult(
-                    scores=hvals[qi][keep][:k],
-                    doc_slots=hdocs[qi][keep][:k],
-                    found=int(found[qi]),
-                )
+        _tag, nq, k, hvals, hdocs, hbm25, found = handle[:7]
+        perm = handle[7] if len(handle) > 7 else None
+        guard = handle[8] if len(handle) > 8 else None
+        orig_queries = handle[9] if len(handle) > 9 else None
+        C = handle[10] if len(handle) > 10 else hdocs.shape[1]
+        if guard is not None:
+            hvals, hdocs, hbm25, found, guard = jax.device_get(
+                (hvals, hdocs, hbm25, found, guard)
             )
-        return out
+        else:
+            hvals, hdocs, hbm25, found = jax.device_get(
+                (hvals, hdocs, hbm25, found)
+            )
+
+        out: List[Optional[QueryResult]] = [None] * nq
+        for qi in range(nq):
+            pos = int(perm[qi]) if perm is not None else qi
+            if (
+                guard is not None
+                and guard[qi] < 0.5
+                and orig_queries is not None
+            ):
+                # BM25 guard tripped for this row: the fast candidates may
+                # be inexact — recompute exactly host-side (rare)
+                out[pos] = self._host_hybrid_row(orig_queries[pos], k, C)
+                continue
+            keep = hbm25[qi] > 0.0
+            out[pos] = QueryResult(
+                scores=hvals[qi][keep][:k],
+                doc_slots=hdocs[qi][keep][:k],
+                found=int(found[qi]),
+            )
+        return out  # type: ignore[return-value]
+
+    def _host_hybrid_row(self, query, k: int, C: int) -> QueryResult:
+        """Exact hybrid result for one query: host-oracle BM25 top-C +
+        the rerank formula over device-gathered candidate embeddings
+        (guard-trip fix-up; also the parity oracle for config 5)."""
+        import jax.numpy as jnp
+
+        from ..index.oracle import oracle_search_vec
+
+        bm = self.index.config.bm25
+        hits, found = oracle_search_vec(
+            self.index._oracle_segs(), query, C, k1=bm.k1, b=bm.b,
+        )
+        if not hits:
+            return QueryResult(
+                np.empty(0, np.float32), np.empty(0, np.int32), int(found)
+            )
+        bases = self.index.doc_bases
+        cand = np.asarray(
+            [bases[seg] + doc for _s, seg, doc in hits], np.int32
+        )
+        bm25 = np.asarray([s for s, _seg, _doc in hits], np.float32)
+        q_emb = self.query_embedding(query)
+        emb = np.asarray(self.doc_emb[jnp.asarray(cand)], np.float32)
+        cos = np.maximum(emb @ q_emb.astype(np.float32), 0.0)
+        denom = max(float(bm25.max()), 1e-30)
+        hybrid = (
+            np.float32(self.beta) * (bm25 / np.float32(denom))
+            + np.float32(1.0 - self.beta) * cos.astype(np.float32)
+        )
+        order = np.lexsort((cand, -hybrid))
+        order = order[bm25[order] > 0][:k]
+        return QueryResult(
+            scores=hybrid[order].astype(np.float32),
+            doc_slots=cand[order],
+            found=int(found),
+        )
 
     def search_batch(
         self,

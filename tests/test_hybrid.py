@@ -157,9 +157,11 @@ def test_engine_hybrid_endpoint(tmp_path, monkeypatch):
 
 def test_hybrid_over_sparse_mode_index(setup):
     """Hybrid over a sparse-mode index (the production serving mode) must
-    work and match hybrid over the default fused index: sparse handles
-    carry permutations / host fills / the guard-trip protocol, so the
-    rerank resolves through the host-candidate path (hybrid_host)."""
+    match hybrid over the default fused index. The rerank now chains
+    directly on the sparse packed DEVICE array (shortcut-free launch, one
+    'hybrid' handle, no host round trip — the old hybrid_host path cost a
+    synchronous ~25-30 ms relay RTT per batch); guard trips resolve
+    through the exact host fix-up at gather."""
     from nextsearch_tpu.config import DeviceConfig, EngineConfig
 
     di, sem = setup
@@ -183,8 +185,42 @@ def test_hybrid_over_sparse_mode_index(setup):
         [("zzz", 1.0)],
     ]
     handle = hy_s.search_batch_async(queries, 4, candidates=4)
-    assert handle[0] == "hybrid_host"
+    assert handle[0] == "hybrid"  # device-chained rerank, no host sync
     res_s = hy_s.search_batch_gather(handle)
+    res_f = hy_f.search_batch(queries, k=4, candidates=4)
+    for a, b in zip(res_s, res_f):
+        assert a.found == b.found
+        assert a.doc_slots.tolist() == b.doc_slots.tolist()
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5)
+
+
+def test_hybrid_sparse_guard_trip_fixup(setup, monkeypatch):
+    """With fast_heavy_eps=1e9 every sparse row trips the BM25 guard; the
+    hybrid gather must fix those rows up exactly host-side and still match
+    the fused-index hybrid results."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    di, sem = setup
+    segs = di.segments
+    di_sp = DeviceIndex(
+        [segs[0]],
+        config=EngineConfig(
+            device=DeviceConfig(
+                mode="sparse", posting_block=64,
+                chunk_buckets=(64, 256), dense_df_ratio=0.001,
+                fast_heavy=True, fast_heavy_eps=1e9,
+            )
+        ),
+    )
+    hy_f = HybridIndex(di, sem, beta=0.5)
+    hy_s = HybridIndex(di_sp, sem, beta=0.5)
+    queries = [
+        [("covid", 1.0), ("virus", 1.0)],
+        [("banana", 1.0)],
+        [("covid", 1.0)],
+        [("zzz", 1.0)],
+    ]
+    res_s = hy_s.search_batch(queries, k=4, candidates=4)
     res_f = hy_f.search_batch(queries, k=4, candidates=4)
     for a, b in zip(res_s, res_f):
         assert a.found == b.found
