@@ -354,7 +354,21 @@ def main(argv=None):
         r["wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(r), flush=True)
         results.append(r)
-    Path(args.out).write_text(json.dumps(results, indent=2))
+    # merge with existing results so partial refreshes (--configs 5) keep
+    # the other configs' records
+    out_path = Path(args.out)
+    merged = {}
+    if out_path.exists():
+        try:
+            for r in json.loads(out_path.read_text()):
+                merged[r.get("config")] = r
+        except (ValueError, OSError):
+            pass
+    for r in results:
+        merged[r.get("config")] = r
+    out_path.write_text(
+        json.dumps([merged[c] for c in sorted(merged)], indent=2)
+    )
     return 0
 
 
