@@ -95,42 +95,54 @@ def _build_buckets(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_slots", "total_pad", "three_d"),
-    donate_argnums=(0,),
+    static_argnames=("g_rows", "n_slots", "total_pad", "dtype", "three_d"),
 )
-def _scatter_dense_into(
-    dense,  # DONATED [n_rows_pad, ...] accumulator (updated in place)
+def _scatter_dense_group(
     post_doc,
     post_score,
     group_starts,  # int32 [g_ents] (df 0 entries are no-ops)
     group_dfs,
-    group_rows,  # int32 [g_ents] ABSOLUTE target row per entry
+    group_rows,  # int32 [g_ents] group-LOCAL target row per entry
     *,
+    g_rows: int,
     n_slots: int,
     total_pad: int,
+    dtype,
     three_d: bool = False,
 ):
-    """Scatter one entry group's postings into the (donated) dense table.
+    """One group's dense rows via scatter (<=512 rows per call: XLA plans
+    the scatter operand padded — and f32-promoted for bf16 — so a whole-
+    table scatter fails compilation at multi-GB budgets; the group slice
+    keeps the planned buffer ~2.5 GB).
 
-    The old per-group-allocate-then-concatenate shape had a 2x-table
-    transient peak (parts + concatenated result both live at the lazy
-    sync point) — a 7 GiB budget was the OOM ceiling on a 16 GiB chip.
-    Donation is honored on this backend (probed: three in-place updates
-    on one 9.5 GiB buffer), so groups write into ONE allocation and the
-    peak is table + expansion intermediates. total_pad covers the largest
-    group (not the whole corpus), so every group reuses one compiled
-    shape at group-sized work."""
+    three_d stores [g_rows, n_slots/128, 128] — the layout sparse mode
+    keeps the table in so whole-row DMA gathers are tiling-legal
+    (ops/heavy_pallas.gather_rows_pallas)."""
     P = post_doc.shape[0]
     srow, pos, doc, valid = _expand_rows(
-        group_starts, group_dfs, group_rows, total_pad,
-        dense.shape[0], P, n_slots, post_doc,
+        group_starts, group_dfs, group_rows, total_pad, g_rows, P, n_slots,
+        post_doc,
     )
     score = jnp.where(valid, post_score[pos], jnp.float32(0.0))
     if three_d:
+        dense = jnp.zeros((g_rows, n_slots // 128, 128), dtype)
         return dense.at[srow, doc >> 7, doc & 127].set(
-            score.astype(dense.dtype), mode="drop"
+            score.astype(dtype), mode="drop"
         )
-    return dense.at[srow, doc].set(score.astype(dense.dtype), mode="drop")
+    dense = jnp.zeros((g_rows, n_slots), dtype)
+    return dense.at[srow, doc].set(score.astype(dtype), mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_block(dense, blk, base):
+    """Write one group block into the (donated) full table in place.
+
+    The old allocate-per-group + concatenate shape had a 2x-table
+    transient peak at the lazy sync point — a 7 GiB dense budget was the
+    OOM ceiling on a 16 GiB chip. Donation is honored on this backend
+    (probed: three in-place updates on one 9.5 GiB buffer), so the peak
+    is now table + one ~2.5 GB group block."""
+    return lax.dynamic_update_slice_in_dim(dense, blk, base, axis=0)
 
 
 def _round_pad(n: int, m: int = 1 << 20) -> int:
@@ -194,21 +206,31 @@ def build_heavy_on_device(post_doc, post_score, starts, dfs, *, rows=None,
             default=1,
         )
     )
+    # allocate the FULL table once, oversized to the group grid so every
+    # block write is a full g_rows slice (extra rows stay zero; the heavy
+    # kernel sizes its mix operand from dense.shape[0])
+    full_rows = n_groups * g_rows
+    dshape = (
+        (full_rows, n_slots // 128, 128) if three_d
+        else (full_rows, n_slots)
+    )
     dense = jnp.zeros(dshape, dt)
     for g in range(n_groups):
         lo, hi = int(g_lo[g]), int(g_lo[g + 1])
         gs = np.zeros(e_cap, np.int64)
         gd = np.zeros(e_cap, np.int64)
-        gr = np.full(e_cap, n_rows_pad, np.int64)  # pad -> oob, dropped
+        gr = np.full(e_cap, g_rows, np.int64)  # pad -> oob, dropped
         gs[: hi - lo] = starts[lo:hi]
         gd[: hi - lo] = dfs[lo:hi]
-        gr[: hi - lo] = rows[lo:hi]
-        dense = _scatter_dense_into(
-            dense, post_doc, post_score,
+        gr[: hi - lo] = rows[lo:hi] - g * g_rows
+        blk = _scatter_dense_group(
+            post_doc, post_score,
             jnp.asarray(gs, jnp.int32), jnp.asarray(gd, jnp.int32),
             jnp.asarray(gr, jnp.int32),
-            n_slots=n_slots, total_pad=g_total, three_d=three_d,
+            g_rows=g_rows, n_slots=n_slots, total_pad=g_total,
+            dtype=dt, three_d=three_d,
         )
+        dense = _write_block(dense, blk, g * g_rows)
     bucket_pos = None
     occ = 0
     if with_buckets:

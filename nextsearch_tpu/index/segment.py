@@ -685,7 +685,7 @@ class DeviceIndex:
                 int(max(heavy_max_occ, light_max_occ, 1)).bit_length(),
             )
             _tick("light_device_build")
-            self._build_row_topk()
+            self._build_row_topk(post_doc, post_score)
             _tick("row_topk")
             self._build_light_topk(post_doc_parts, post_score_parts)
             _tick("light_topk")
@@ -709,7 +709,7 @@ class DeviceIndex:
             put(light_host) if light_host is not None else None
         )
         _tick("host_tables_upload")
-        self._build_row_topk()
+        self._build_row_topk(post_doc, post_score)
         _tick("row_topk")
         self._build_light_topk(post_doc_parts, post_score_parts)
         _tick("light_topk")
@@ -717,7 +717,7 @@ class DeviceIndex:
         _tick("merged_lex")
         _log_build_phases(_phases)
 
-    def _build_row_topk(self) -> None:
+    def _build_row_topk(self, post_doc_np=None, post_score_np=None) -> None:
         """Precompute exact canonical top-k for the df-head dense rows.
 
         A 1-term query on a heavy term is a pure function of its (merged)
@@ -736,12 +736,57 @@ class DeviceIndex:
         k = min(dcfg.row_topk_k, self.n_slots)
         if n <= 0 or k <= 0:
             return
+        if (
+            post_doc_np is not None
+            and os.environ.get("NEXTSEARCH_ROW_TOPK_BUILD", "host") == "host"
+        ):
+            self._row_topk = self._row_topk_host(
+                n, k, post_doc_np, post_score_np
+            )
+            return
         from .device_build import build_row_topk_on_device
 
         vals, slots = build_row_topk_on_device(
             self.dense_rows, n, k=k, n_slots=self.n_slots
         )
         self._row_topk = (vals, slots)
+
+    def _row_topk_host(self, n: int, k: int, post_doc, post_score):
+        """Exact canonical top-k of the df-head rows from host postings.
+
+        A dense row's nonzero values ARE the term's eager posting scores
+        (merged across segments), so np.argpartition over each head
+        term's posting lanes + one canonical sort of the k survivors
+        reproduces the device row sort bit-for-bit at a fraction of the
+        cost (device path measured 60-150s for 256 rows at 1M slots;
+        this is ~1-2s of numpy). Device path kept behind
+        NEXTSEARCH_ROW_TOPK_BUILD=device and the parity tests compare
+        both against the oracle."""
+        vals = np.zeros((n, k), np.float32)
+        slots = np.full((n, k), 2**30, np.int32)
+        # head terms by dense row id: row_id < n. Collect each row's
+        # (start, df, segment) posting ranges from the per-segment lex.
+        row_ranges: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+        for lex in self.lex:
+            for _t, (start, df, row_id) in lex.items():
+                if 0 <= row_id < n and df > 0:
+                    row_ranges[row_id].append((start, df))
+        for row_id, ranges in enumerate(row_ranges):
+            if not ranges:
+                continue
+            sc_parts = [post_score[s:s + d] for s, d in ranges]
+            doc_parts = [post_doc[s:s + d] for s, d in ranges]
+            sc = sc_parts[0] if len(sc_parts) == 1 else np.concatenate(sc_parts)
+            doc = doc_parts[0] if len(doc_parts) == 1 else np.concatenate(doc_parts)
+            if sc.shape[0] > k:
+                part = np.argpartition(-sc, k - 1)[:k]
+                sc = sc[part]
+                doc = doc[part]
+            order = np.lexsort((doc, -sc))
+            m = order.shape[0]
+            vals[row_id, :m] = sc[order]
+            slots[row_id, :m] = doc[order]
+        return vals, slots
 
     def _build_light_topk(self, post_doc_parts, post_score_parts) -> None:
         """Precompute exact canonical top-k per LIGHT (term, segment)
