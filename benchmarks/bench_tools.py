@@ -21,12 +21,21 @@ root = os.environ.get("NEXTSEARCH_TOOLS_ROOT", "/tmp/nextsearch_tools_1m")
 seg = load_segment_cached(root + "/index/segments/seg_000001")
 print(f"segment load (binary->artifact) {time.time()-t0:.1f}s: "
       f"{seg.N} docs, {len(seg.terms)} terms, {seg.num_postings} postings", flush=True)
+# Defaults = the measured round-5 frontier for tokenized-text df profiles
+# (STATUS r5): 8 GiB dense rows (the HBM ceiling next to 2x in-flight f32
+# H; buildable since the donated block-write scatter removed the 2x-table
+# concat peak) + a 2^10-granularity light table (1 GiB) + a high rescue
+# cap (relaunches would race the 8 GiB table for HBM; host rescues are
+# memoized). Measured: 10,399 QPS vs 9,964 at the old 7 GiB / 2^9 point;
+# 8 GiB + 2^12 table measured 8,653 (deeper rescore), h_bf16 7.0-7.3k.
+os.environ.setdefault("NEXTSEARCH_TRIP_RESCUE", "64")
+os.environ.setdefault("NEXTSEARCH_LIGHT_TABLE_BYTES", str(1 << 30))
 cfg = EngineConfig(device=DeviceConfig(
     mode="sparse",
     posting_block=int(os.environ.get("NEXTSEARCH_POSTING_BLOCK", 64)),
     heavy_buckets=(512,),
     dense_df_ratio=float(os.environ.get("NEXTSEARCH_DENSE_RATIO", 1/1024)),
-    dense_max_bytes=int(os.environ.get("NEXTSEARCH_DENSE_BYTES", 7<<30))))
+    dense_max_bytes=int(os.environ.get("NEXTSEARCH_DENSE_BYTES", 8<<30))))
 t0 = time.time()
 di = DeviceIndex([seg], config=cfg)
 print(f"index build {time.time()-t0:.1f}s", flush=True)
