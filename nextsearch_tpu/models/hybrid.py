@@ -170,19 +170,20 @@ class HybridIndex:
         sparse_direct = getattr(self.index, "_sparse", False) and hasattr(
             self.index, "doc_bases"
         )
-        # sparse DeviceIndex: launch WITHOUT the host-side 1-term/memo
-        # shortcuts so every query's candidates land in the packed device
-        # array — the rerank then chains on it with no host round trip
-        # (the old path gathered BM25 on the host and relaunched the
-        # rerank synchronously: one full ~25-30 ms relay RTT per batch,
-        # unpipelineable — the measured bound on EVAL config 5).
-        handle = self.index.search_batch_async(
-            queries, C, **({"shortcut": False} if sparse_direct else {})
-        )
+        # sparse DeviceIndex: the rerank chains on the packed device
+        # array with no host round trip (the old path gathered BM25 on
+        # the host and relaunched the rerank synchronously: one full
+        # ~25-30 ms relay RTT per batch, unpipelineable — the measured
+        # bound on EVAL config 5). Host-shortcut rows (1-term head-heavy
+        # fills — removing them measured 701 -> 274 QPS because df~N
+        # queries hit the device at the K2-wide rescore) merge into the
+        # same rerank launch as a small uploaded candidate matrix.
+        handle = self.index.search_batch_async(queries, C)
         if handle[0] == "empty":
             return ("hybrid_passthrough", handle)
         perm = None
         guard = None
+        fills = None
         bm_queries = queries
         if handle[0] == "packed" and len(handle) == 5:
             # fused-mode packed launch: rerank straight off the device
@@ -194,23 +195,55 @@ class HybridIndex:
             found = out_arr[:, 2 * K].astype(jnp.int32)
         elif handle[0] == "pending":
             _tag, _nq, _k, K, vals, idx, found = handle
-        elif sparse_direct and handle[0] == "packedg":
-            _tag, _nq, _k, K, dev_out = handle[:5]
-            perm = handle[6]
+        elif sparse_direct and handle[0] == "fills":
+            # whole batch answered host-side: rerank the fill candidates
+            # in one launch (no BM25 launch happened)
+            _tag, _nq, _k, fills_all = handle
+            K = C
+            vals, idx, found = self._fill_arrays(fills_all, nq, C, None)
+            vals = jnp.asarray(vals)
+            idx = jnp.asarray(idx)
+            found = jnp.asarray(found)
+        elif sparse_direct and handle[0] in ("packed", "packedg"):
+            if handle[0] == "packedg":
+                _tag, _nq, _k, K, dev_out = handle[:5]
+                perm = handle[6]
+                fills = handle[8] if len(handle) > 8 else None
+                guard = dev_out[:, 2 * K + 1]
+            else:
+                _tag, _nq, _k, K, dev_out = handle[:5]
+                perm = handle[5] if len(handle) > 5 else None
+                fills = handle[6] if len(handle) > 6 else None
             vals = dev_out[:, :K]
             idx = dev_out[:, K : 2 * K].astype(jnp.int32)
             found = dev_out[:, 2 * K].astype(jnp.int32)
-            guard = dev_out[:, 2 * K + 1]
             if perm is not None:
                 bm_queries = [queries[perm[j]] for j in range(nq)]
-        elif sparse_direct and handle[0] == "packed":
-            _tag, _nq, _k, K, dev_out = handle[:5]
-            perm = handle[5] if len(handle) > 5 else None
-            vals = dev_out[:, :K]
-            idx = dev_out[:, K : 2 * K].astype(jnp.int32)
-            found = dev_out[:, 2 * K].astype(jnp.int32)
-            if perm is not None:
-                bm_queries = [queries[perm[j]] for j in range(nq)]
+            if fills:
+                # splice host-shortcut rows into the device candidates
+                # (row j in launch space answers original index perm[j])
+                Qb = int(vals.shape[0])
+                f_vals, f_idx, f_found = self._fill_arrays(
+                    fills, Qb, min(C, K), perm
+                )
+                mask = np.zeros((Qb, 1), bool)
+                rows = [
+                    j for j in range(Qb)
+                    if (int(perm[j]) if perm is not None else j) in fills
+                ]
+                mask[rows] = True
+                mask_d = jnp.asarray(mask)
+                pad = K - f_vals.shape[1]
+                if pad:
+                    f_vals = np.pad(f_vals, ((0, 0), (0, pad)))
+                    f_idx = np.pad(
+                        f_idx, ((0, 0), (0, pad)), constant_values=2**30
+                    )
+                vals = jnp.where(mask_d, jnp.asarray(f_vals), vals)
+                idx = jnp.where(mask_d, jnp.asarray(f_idx), idx)
+                found = jnp.where(
+                    mask_d[:, 0], jnp.asarray(f_found), found
+                )
         else:
             # sharded / unknown handles still gather host-side
             q_emb = np.stack([self.query_embedding(q) for q in queries])
@@ -235,6 +268,23 @@ class HybridIndex:
             "hybrid", nq, k, hvals, hdocs, hbm25, found, perm, guard,
             queries, C,
         )
+
+    def _fill_arrays(self, fills, rows, C, perm):
+        """Host-shortcut QueryResults -> padded (vals, idx, found) arrays
+        in LAUNCH row space (row j answers original index perm[j])."""
+        vals = np.zeros((rows, C), np.float32)
+        idx = np.full((rows, C), 2**30, np.int32)
+        found = np.zeros(rows, np.int32)
+        for j in range(rows):
+            orig = int(perm[j]) if perm is not None else j
+            qr = fills.get(orig)
+            if qr is None:
+                continue
+            n = min(len(qr.scores), C)
+            vals[j, :n] = qr.scores[:n]
+            idx[j, :n] = qr.doc_slots[:n]
+            found[j] = qr.found
+        return vals, idx, found
 
     def search_batch_gather(self, handle) -> List[QueryResult]:
         """Block on a search_batch_async handle and assemble results."""

@@ -226,3 +226,33 @@ def test_hybrid_sparse_guard_trip_fixup(setup, monkeypatch):
         assert a.found == b.found
         assert a.doc_slots.tolist() == b.doc_slots.tolist()
         np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5)
+
+
+def test_hybrid_all_fill_batch(setup):
+    """A batch whose every query resolves via host shortcuts (1-term
+    head-heavy) skips the BM25 launch entirely; the hybrid still reranks
+    the fill candidates in one device launch and matches the fused-index
+    hybrid."""
+    from nextsearch_tpu.config import DeviceConfig, EngineConfig
+
+    di, sem = setup
+    segs = di.segments
+    di_sp = DeviceIndex(
+        [segs[0]],
+        config=EngineConfig(
+            device=DeviceConfig(
+                mode="sparse", posting_block=64,
+                chunk_buckets=(64, 256), dense_df_ratio=0.001,
+            )
+        ),
+    )
+    hy_f = HybridIndex(di, sem, beta=0.5)
+    hy_s = HybridIndex(di_sp, sem, beta=0.5)
+    queries = [[("covid", 1.0)], [("banana", 1.0)]]
+    h = hy_s.search_batch_async(queries, 3, candidates=4)
+    res_s = hy_s.search_batch_gather(h)
+    res_f = hy_f.search_batch(queries, k=3, candidates=4)
+    for a, b in zip(res_s, res_f):
+        assert a.found == b.found
+        assert a.doc_slots.tolist() == b.doc_slots.tolist()
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5)
