@@ -285,10 +285,11 @@ def config5():
     seg = _cached_corpus(n_docs, vocab, 5)
     probs = 1.0 / np.arange(1, vocab + 1) ** 1.07
     probs /= probs.sum()
-    # batch 64: the hybrid path serves k=candidates=100 (K2=200-wide
-    # exact rescore), and the k=10-probed pin envelopes collapse at
-    # Qb=512 x K2=200 (measured 139 QPS vs 701 at batch 64)
-    qbatch = 64
+    # batch 128 (r5 sweep): the hybrid path serves k=candidates=100
+    # (K2=200-wide exact rescore). Measured at 1M with the pipelined
+    # device-chained rerank: Qb=64 -> 1,539 QPS, Qb=128 -> 2,767; the
+    # k=10-probed pin envelopes collapse at Qb=512 x K2=200 (139 QPS).
+    qbatch = int(os.environ.get("NEXTSEARCH_EVAL_C5_QB", 128))
     batches = sample_queries(probs, 16 * qbatch, qbatch, seed=5)
     if full:
         di = _pinned_index(

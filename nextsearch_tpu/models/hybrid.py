@@ -221,14 +221,16 @@ class HybridIndex:
                 bm_queries = [queries[perm[j]] for j in range(nq)]
             if fills:
                 # splice host-shortcut rows into the device candidates
-                # (row j in launch space answers original index perm[j])
+                # (row j in launch space answers original index perm[j];
+                # rows past the live query count are envelope padding)
                 Qb = int(vals.shape[0])
+                n_live = min(Qb, len(perm) if perm is not None else nq)
                 f_vals, f_idx, f_found = self._fill_arrays(
-                    fills, Qb, min(C, K), perm
+                    fills, Qb, min(C, K), perm, n_live
                 )
                 mask = np.zeros((Qb, 1), bool)
                 rows = [
-                    j for j in range(Qb)
+                    j for j in range(n_live)
                     if (int(perm[j]) if perm is not None else j) in fills
                 ]
                 mask[rows] = True
@@ -269,13 +271,14 @@ class HybridIndex:
             queries, C,
         )
 
-    def _fill_arrays(self, fills, rows, C, perm):
+    def _fill_arrays(self, fills, rows, C, perm, n_live=None):
         """Host-shortcut QueryResults -> padded (vals, idx, found) arrays
-        in LAUNCH row space (row j answers original index perm[j])."""
+        in LAUNCH row space (row j answers original index perm[j]; rows
+        past n_live are envelope padding)."""
         vals = np.zeros((rows, C), np.float32)
         idx = np.full((rows, C), 2**30, np.int32)
         found = np.zeros(rows, np.int32)
-        for j in range(rows):
+        for j in range(rows if n_live is None else n_live):
             orig = int(perm[j]) if perm is not None else j
             qr = fills.get(orig)
             if qr is None:
