@@ -114,8 +114,22 @@ class Engine:
         Reference analog: src/api_engine.cpp:50-162 holds the engine lock
         throughout — fine there (seconds-scale ifstream loads), a 2-minute
         outage here (VERDICT r4 item 4).
+
+        HBM constraint: zero-downtime means OLD and NEW device tables
+        coexist until the swap. At HBM-saturated operating points (e.g.
+        the 1M throughput config's 7-8 GiB dense rows) two indexes do not
+        fit: set NEXTSEARCH_RELOAD_IN_PLACE=1 to drop the old device
+        index before the build (searches during the build then serve
+        cache hits and host-shortcut answers only — a degraded window,
+        not an error window; suggest/metadata stay live either way).
         """
         with self._reload_mtx:
+            if os.environ.get("NEXTSEARCH_RELOAD_IN_PLACE") == "1":
+                with self.mtx:
+                    self.index = None
+                import gc
+
+                gc.collect()  # release the old device tables before building
             seg_names = discover_segments(self.index_dir)
             if not seg_names:
                 return False

@@ -186,3 +186,13 @@ def test_suggest_not_serialized_behind_slow_search(engine):
     t.join(timeout=5)
     assert out["suggestions"], out
     assert dt < 2.0, f"suggest blocked behind engine.mtx for {dt:.1f}s"
+
+
+def test_reload_in_place_mode(engine, monkeypatch):
+    """NEXTSEARCH_RELOAD_IN_PLACE=1 (HBM-saturated deployments: two
+    device indexes cannot coexist) drops the old index before the build;
+    reload still succeeds and serves afterwards."""
+    monkeypatch.setenv("NEXTSEARCH_RELOAD_IN_PLACE", "1")
+    assert engine.reload()
+    res = engine.search("covid", 5)
+    assert res["found"] > 0
